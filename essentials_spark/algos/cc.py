@@ -1,0 +1,90 @@
+"""Connected components — hash-min label exchange + pointer jumping.
+
+The reference has no standalone CC, but its MST ships the machinery
+(include/gunrock/algorithms/mst.hxx:173-220: min-neighbor, contract,
+pointer jumping `while (new_roots[u] != u)`). We compose the same
+primitives as supersteps:
+
+  label(v) <- min(label(v),
+               min over neighbors u of label(u),   # hash-min advance
+               label(label(v)))                    # pointer jump
+
+on the symmetrized edge table, with a **delta frontier**: only
+vertices whose label changed last round push messages (the reference's
+bypass-filter semantics, operators/filter/bypass.hxx) — converged when
+the frontier is empty. Pointer jumping gives O(log n) rounds on long
+chains. Final labels are exact: min vid per component (canonical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.graph.derive import Graph, canonicalize_edges
+
+
+def connected_components(
+    graph: Graph,
+    max_iter: int = 200,
+    runner: SuperstepRunner | None = None,
+    pre_symmetrized: bool = False,
+) -> DataFrame:
+    """Returns (vid: long, label: long) — label = min vid in component."""
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "cc")
+
+    edges = graph.edges if pre_symmetrized else canonicalize_edges(
+        graph.edges, symmetrize=True, dedup=True, drop_self_loops=True
+    )
+    # localCheckpoint truncates the derivation lineage so each
+    # superstep replans a constant-depth tree (see pagerank.py note)
+    edges = truncate_plan(edges.select("src", "dst").repartition("src"))
+    m = edges.count()
+
+    labels = truncate_plan(graph.vertices.select("vid", F.col("vid").alias("label")))
+
+    iteration = 0
+    converged = False
+    resumed = runner.latest()
+    if resumed is not None:
+        iteration, labels, meta = resumed
+        converged = bool(meta.get("converged"))
+    labels = labels.persist()
+    # frontier: vertices that changed last round (all, at start; on a
+    # non-converged resume the full set is a safe superset — extra
+    # hash-min messages are >= the receiver's label, a no-op)
+    frontier = labels.select("vid", "label")
+
+    while not converged and iteration < max_iter:
+        # hash-min advance from the changed set only
+        msgs = (
+            edges.join(frontier.select(F.col("vid").alias("src"), "label"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("dst", "vid")
+        )
+        cand = labels.join(msgs, "vid", "left").select(
+            "vid", F.least(F.col("label"), F.col("nbr_min")).alias("label"), F.col("label").alias("old")
+        )
+        # pointer jump: label <- min(label, label[label])
+        lookup = labels.select(F.col("vid").alias("label"), F.col("label").alias("jump"))
+        jumped = cand.join(lookup, "label", "left").select(
+            "vid", F.least(F.col("label"), F.col("jump")).alias("label"), "old"
+        )
+        new_labels = runner.materialize(jumped, iteration + 1)
+        changed = new_labels.filter(F.col("label") != F.col("old")).select("vid", "label")
+        n_changed = changed.count()
+        iteration += 1
+        runner.log(iteration, changed=n_changed, edges_processed=m)
+        labels.unpersist()
+        labels = new_labels.drop("old").persist()
+        frontier = changed
+        if n_changed == 0:
+            labels = runner.materialize(labels, iteration, force=True, meta={"converged": True}).persist()
+            break
+
+    out = labels.select("vid", "label")
+    runner.finalize()
+    return out

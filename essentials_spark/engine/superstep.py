@@ -1,0 +1,178 @@
+"""Bulk-synchronous superstep driver.
+
+The Spark-native enactor (reference include/gunrock/framework/
+enactor.hxx:243-254):
+
+    prepare_frontier(); while (!is_converged()) { loop(); ++iteration; }
+    finalize();
+
+becomes a driver-side Python loop where each superstep is one Spark
+job and convergence is a tiny aggregate collect. This module owns the
+three concerns GPU loops never face but 10^12-edge iteration chains
+must (SURVEY.md §7.3):
+
+1. **lineage truncation** — iterative DataFrames grow an unbounded
+   plan; every ``checkpoint_every`` iterations the state is written to
+   parquet (Iceberg on a real cluster) and re-read, otherwise
+   ``localCheckpoint`` truncates in memory;
+2. **resumability** — durable checkpoints are tagged with the
+   iteration number; ``latest()`` restores the newest one so a killed
+   run restarts mid-loop and reproduces identical output;
+3. **metrics/lineage logging** — per-iteration rows (iteration,
+   frontier size / delta, wall-clock, edges processed, per-partition
+   row counts) appended to a metrics table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint + reset carried-over statistics.
+
+    ``Dataset.localCheckpoint`` truncates lineage but PRESERVES the
+    checkpointed plan's estimated statistics on the new LogicalRDD
+    leaf. In a superstep loop where the next state joins two
+    descendants of the previous state (e.g. CC's hash-min + pointer
+    jump), the carried sizeInBytes estimate squares every iteration;
+    after ~25 supersteps Catalyst's BigInt stats arithmetic itself
+    becomes the bottleneck (observed: minutes of driver CPU inside
+    SizeInBytesOnlyStatsPlanVisitor per superstep). Rebuilding the
+    DataFrame over the already-materialized InternalRow RDD resets the
+    leaf stats to defaults with no extra computation or serde.
+    """
+    spark = df.sparkSession
+    ckpt = df.localCheckpoint(eager=eager)
+    try:
+        jdf = ckpt._jdf
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, ckpt.sparkSession)
+    except Exception:
+        # fall back to the plain checkpoint if the internal API moves
+        return ckpt
+
+
+class SuperstepRunner:
+    """State manager for one algorithm run."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str = "run",
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 5,
+        log_partition_lineage: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = max(1, checkpoint_every)
+        self.log_partition_lineage = log_partition_lineage
+        self.metrics: list[dict[str, Any]] = []
+        self._persisted: list[DataFrame] = []
+        self._last_durable_iter = -1
+        self._t0 = time.perf_counter()
+
+    # --- state materialization -------------------------------------
+    def materialize(
+        self, df: DataFrame, iteration: int, eager: bool = False, force: bool = False, meta: dict | None = None
+    ) -> DataFrame:
+        """Pin the iterate: persist (and periodically truncate lineage).
+
+        Durable (parquet) every ``checkpoint_every`` iterations or when
+        ``force`` (used for the final converged state, so a resumed run
+        returns it verbatim instead of running an extra superstep);
+        otherwise localCheckpoint truncates lineage in memory. ``meta``
+        (e.g. {'converged': True, 'dsum': ...}) rides along with
+        durable checkpoints and is handed back by :meth:`latest`.
+        """
+        if self.checkpoint_dir and (force or iteration % self.checkpoint_every == 0):
+            path = self._ckpt_path(iteration)
+            if iteration != self._last_durable_iter:
+                # (never overwrite a checkpoint this run just wrote:
+                # the state DataFrame may currently be reading from it)
+                df.write.mode("overwrite").parquet(path)
+                self._last_durable_iter = iteration
+            with open(os.path.join(path, "_meta.json"), "w") as fh:
+                json.dump({"iteration": iteration, **(meta or {})}, fh)
+            out = self.spark.read.parquet(path)
+        else:
+            out = truncate_plan(df, eager=eager)
+        self._retire_persisted()
+        return out
+
+    def _ckpt_path(self, iteration: int) -> str:
+        return os.path.join(self.checkpoint_dir, self.name, f"iter={iteration:06d}")
+
+    def latest(self) -> tuple[int, DataFrame, dict] | None:
+        """Restore the newest durable checkpoint (resume support).
+
+        Returns (iteration, state DataFrame, meta dict)."""
+        if not self.checkpoint_dir:
+            return None
+        base = os.path.join(self.checkpoint_dir, self.name)
+        if not os.path.isdir(base):
+            return None
+        iters = sorted(
+            int(m.group(1))
+            for d in os.listdir(base)
+            if (m := re.match(r"iter=(\d+)$", d)) and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        )
+        if not iters:
+            return None
+        it = iters[-1]
+        meta_path = os.path.join(self._ckpt_path(it), "_meta.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        return it, self.spark.read.parquet(self._ckpt_path(it)), meta
+
+    def _retire_persisted(self) -> None:
+        for old in self._persisted:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        self._persisted = []
+
+    # --- metrics ----------------------------------------------------
+    def log(self, iteration: int, **kv: Any) -> None:
+        row = {
+            "run": self.name,
+            "iteration": iteration,
+            "elapsed_sec": round(time.perf_counter() - self._t0, 6),
+            **kv,
+        }
+        self.metrics.append(row)
+
+    def log_partitions(self, df: DataFrame, iteration: int) -> None:
+        """Per-partition lineage: row counts by spark_partition_id."""
+        if not self.log_partition_lineage:
+            return
+        counts = (
+            df.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").count().orderBy("_pid").collect()
+        )
+        self.log(iteration, partition_rows=json.dumps({r["_pid"]: r["count"] for r in counts}))
+
+    def write_metrics(self, path: str | None = None) -> None:
+        path = path or (os.path.join(self.checkpoint_dir, self.name, "metrics") if self.checkpoint_dir else None)
+        if not path or not self.metrics:
+            return
+        rows = [json.dumps(m, default=str) for m in self.metrics]
+        df = self.spark.read.json(self.spark.sparkContext.parallelize(rows, 1))
+        df.write.mode("append").parquet(path)
+
+    def finalize(self) -> None:
+        self._retire_persisted()
+        self.write_metrics()

@@ -1,0 +1,141 @@
+"""Deterministic synthetic transcript tables + transcript ingest.
+
+Schema (BASELINE.json input_hint):
+    conv_id: string, turn_idx: int, role: string,
+    text: string, tool: string|null, ts: timestamp
+
+Everything is a pure function of (seed, conv index, turn index) built
+from Spark SQL expressions — no Python RNG, no UDFs — so generation is
+embarrassingly parallel over ``spark.range`` and reproducible at any
+scale (the same recipe generates 10^12 turns on a cluster; only
+``n_convs`` changes).
+
+Reference analogue: the reference loads graphs from .mtx files
+(include/gunrock/io/matrix_market.hxx:99-240); our "loader" is this
+generator + graph/derive.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Epoch base for ts: 2026-01-01 00:00:00 UTC (fixed, arbitrary).
+_EPOCH_BASE = 1767225600
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _u01(*cols) -> F.Column:
+    """Deterministic pseudo-uniform in [0, 1) from hashing the inputs.
+
+    Mirrors the reference's index-seeded RNG
+    (algorithms/generate/random.hxx:20-34): same index -> same value.
+    """
+    h = F.xxhash64(*cols)
+    # map int64 -> [0,1): shift to unsigned via abs of modulo
+    return (F.pmod(h, F.lit(2**31)).cast("double")) / F.lit(float(2**31))
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_convs: int = 1000,
+    seed: int = 42,
+    max_turns: int = 64,
+    n_tools: int = 20,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Generate a deterministic transcripts DataFrame.
+
+    - conversation length: power-law-ish (heavy tail -> long chains,
+      exercising multi-round pointer jumping in CC);
+    - tool: Zipf-skewed over ``tool00..`` so tool00 is a hub vertex
+      (exercises skew mitigation, north-rule requirement);
+    - text: pure function of (conv_id, turn_idx) -> enables the
+      rehydration text-equality invariant.
+    """
+    convs = spark.range(0, n_convs, 1, parallelism or spark.sparkContext.defaultParallelism)
+    s = F.lit(seed)
+
+    # Power-law-ish length: ceil(max_turns * u^3) in [1, max_turns];
+    # cubing the uniform skews mass toward short conversations with a
+    # heavy tail of long ones.
+    u_len = _u01(F.col("id"), s, F.lit("len"))
+    convs = convs.select(
+        F.col("id").alias("conv_i"),
+        F.format_string("conv%08d", F.col("id")).alias("conv_id"),
+        F.greatest(F.lit(1), F.ceil(F.lit(max_turns) * F.pow(u_len, F.lit(3.0))).cast("int")).alias("n_turns"),
+    )
+
+    turns = convs.select(
+        "conv_i",
+        "conv_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    )
+
+    u_tool = _u01(F.col("conv_i"), F.col("turn_idx"), s, F.lit("tool?"))
+    u_which = _u01(F.col("conv_i"), F.col("turn_idx"), s, F.lit("which"))
+    is_assistant = F.col("turn_idx") % 2 == 1
+    # ~30% of assistant turns call a tool; tool index Zipf-ish via u^4
+    # (tool00 dominates -> hub vertex).
+    tool = F.when(
+        is_assistant & (u_tool < 0.3),
+        F.format_string("tool%02d", F.floor(F.lit(n_tools) * F.pow(u_which, F.lit(4.0))).cast("int")),
+    )
+
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.when(is_assistant, F.lit("assistant")).otherwise(F.lit("user")).alias("role"),
+        F.concat(
+            F.lit("t-"),
+            F.col("conv_id"),
+            F.lit("-"),
+            F.col("turn_idx").cast("string"),
+            F.lit("-"),
+            F.substring(F.sha1(F.concat_ws("|", F.col("conv_id"), F.col("turn_idx"))), 1, 12),
+        ).alias("text"),
+        tool.alias("tool"),
+        F.timestamp_seconds(F.lit(_EPOCH_BASE) + F.col("conv_i") * 1000 + F.col("turn_idx")).alias("ts"),
+    )
+
+
+def transcripts_from_events(events: DataFrame) -> DataFrame:
+    """Adapt the driver-provided ``events`` table into transcript shape.
+
+    Deterministic mapping (also expressed in ANSI SQL in
+    __spark_entry__.oracle_sql so DuckDB computes the identical table):
+    each user becomes a conversation; events ordered by (ts, event_id)
+    become turns; event_type becomes the tool on every third event.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        F.format_string("conv%06d", F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+        F.col("ts"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        "text",
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias("tool"),
+        "ts",
+    )
+
+
+def rehydrate(turn_vertices: DataFrame) -> DataFrame:
+    """Project turn vertices back to (conv_id, turn_idx, text), ordered.
+
+    Supports the per-turn text-equality invariant (BASELINE.json
+    input_hint): rehydrated == source under (conv_id, turn_idx) order.
+    """
+    return (
+        turn_vertices.filter(F.col("kind") == "turn")
+        .select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+    )

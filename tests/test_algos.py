@@ -1,0 +1,135 @@
+"""Algorithm correctness vs NumPy oracles (reference semantics)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from essentials_spark.algos import connected_components, label_propagation, pagerank, triangle_count
+from tests.conftest import graph_from_edges
+from tests.oracles import cc_oracle, lp_oracle, pagerank_oracle, tc_oracle
+
+
+def _collect_by_vid(df, col):
+    rows = df.orderBy("vid").collect()
+    return np.array([r[col] for r in rows])
+
+
+def _edge_list(graph):
+    return [(r["src"], r["dst"], r["weight"]) for r in graph.edges.collect()]
+
+
+# ---------------- PageRank ----------------
+
+
+def test_pagerank_golden_graph(spark, golden_tc_graph):
+    g = golden_tc_graph
+    got = _collect_by_vid(pagerank(g, alpha=0.85, tol=1e-6), "rank")
+    exp = pagerank_oracle(4, _edge_list(g), alpha=0.85, tol=1e-6)
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_pagerank_dangling(spark):
+    # vertex 3 has no out-edges -> exercises dangling redistribution
+    # (reference pr.hxx:124-133)
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 0), (0, 3)], directed=True, n_vertices=4)
+    got = _collect_by_vid(pagerank(g, alpha=0.85, tol=1e-6), "rank")
+    exp = pagerank_oracle(4, _edge_list(g), alpha=0.85, tol=1e-6)
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_pagerank_weighted(spark):
+    g = graph_from_edges(
+        spark, [(0, 1), (0, 2), (1, 2), (2, 0)], weights=[3.0, 1.0, 2.0, 5.0], directed=True, n_vertices=3
+    )
+    got = _collect_by_vid(pagerank(g, alpha=0.85, tol=1e-6), "rank")
+    exp = pagerank_oracle(3, _edge_list(g), alpha=0.85, tol=1e-6)
+    assert np.allclose(got, exp, atol=1e-6)
+
+
+# ---------------- Connected components ----------------
+
+
+def test_cc_two_chains_and_isolated(spark):
+    # chain 0-1-2, chain 3-4, isolated 5
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (3, 4)], n_vertices=6)
+    got = _collect_by_vid(connected_components(g), "label")
+    exp = cc_oracle(6, [(0, 1), (1, 2), (3, 4)])
+    assert np.array_equal(got, exp)
+
+
+def test_cc_long_chain_pointer_jumping(spark):
+    # chain of 40 vertices: plain hash-min needs 39 rounds; pointer
+    # jumping (mst.hxx:207-220 analogue) must finish in O(log n)
+    n = 40
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    g = graph_from_edges(spark, pairs)
+    got = _collect_by_vid(connected_components(g, max_iter=14), "label")
+    assert np.array_equal(got, np.zeros(n, dtype=np.int64))
+
+
+def test_cc_reversed_chain_plus_hub(spark):
+    pairs = [(i + 1, i) for i in range(20)] + [(25, 10), (26, 25), (30, 31)]
+    g = graph_from_edges(spark, pairs, n_vertices=32)
+    got = _collect_by_vid(connected_components(g), "label")
+    exp = cc_oracle(32, [(u, v) for u, v in pairs])
+    assert np.array_equal(got, exp)
+
+
+# ---------------- Label propagation ----------------
+
+
+def test_lp_two_clusters_bridge(spark):
+    # two 4-cliques joined by one bridge edge; each cluster converges
+    # to its min label
+    clique1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique2 = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    pairs = clique1 + clique2 + [(3, 4)]
+    g = graph_from_edges(spark, pairs)
+    got = _collect_by_vid(label_propagation(g, max_iter=20), "label")
+    exp = lp_oracle(8, pairs, max_iter=20)
+    assert np.array_equal(got, exp)
+
+
+def test_lp_star(spark):
+    # star: center 0 with leaves 1..5 — leaves adopt 0; center adopts
+    # min leaf then oscillation is cut by the same max_iter both sides
+    pairs = [(0, i) for i in range(1, 6)]
+    g = graph_from_edges(spark, pairs)
+    got = _collect_by_vid(label_propagation(g, max_iter=7), "label")
+    exp = lp_oracle(6, pairs, max_iter=7)
+    assert np.array_equal(got, exp)
+
+
+# ---------------- Triangle counting ----------------
+
+
+def test_tc_golden_fixture(spark, golden_tc_graph):
+    # reference golden: per-vertex {0:2, 1:1, 2:2, 3:1}, total 6
+    # (unittests/algorithms/tc.cuh:19-55)
+    per_vertex, total = triangle_count(golden_tc_graph)
+    got = _collect_by_vid(per_vertex, "tc")
+    assert got.tolist() == [2, 1, 2, 1]
+    assert total == 6
+
+
+def test_tc_self_loop_excluded(spark):
+    # self-loop variant (tc.cuh:57-95): identical expected output
+    g = graph_from_edges(spark, [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (0, 0), (1, 1)])
+    per_vertex, total = triangle_count(g)
+    got = _collect_by_vid(per_vertex, "tc")
+    assert got.tolist() == [2, 1, 2, 1]
+    assert total == 6
+
+
+def test_tc_random_graph_vs_oracle(spark):
+    rng = np.random.RandomState(42)
+    n = 30
+    pairs = list({(int(min(u, v)), int(max(u, v))) for u, v in rng.randint(0, n, size=(120, 2)) if u != v})
+    g = graph_from_edges(spark, pairs, n_vertices=n)
+    per_vertex, total = triangle_count(g)
+    got = _collect_by_vid(per_vertex, "tc")
+    exp, exp_total = tc_oracle(n, pairs)
+    assert got.tolist() == exp.tolist()
+    assert total == exp_total
