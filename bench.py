@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline graph suite (PageRank / CC / LP / TC)
+on the transcript graph derived from $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], printing ONE JSON
+line with per-query seconds and edges/sec.
+
+Timing mirrors the reference: graph build (≙ io + graph::build) is
+reported separately from the superstep loop (≙ enact(), reference
+framework/enactor.hxx:243-254 times only the loop); eps is computed
+on the loop time only.
+
+Scaling mode (--scaling): re-invokes itself at two parallelism levels
+(cores as the N vs 4N executor proxy, per BASELINE.md) on the same
+input and writes BENCH/BASELINE.md with throughput at both and the
+scaling efficiency. Use --synthetic N to run the scaling experiment on
+a larger deterministic synthetic transcript table (compute-bound, so
+the measurement reflects the engine rather than fixed job overhead).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def build_graph(spark, sf_dir: str | None, synthetic_convs: int | None):
+    from essentials_spark.graph.keyed import keyed_graph_from_events, keyed_graph_from_transcripts
+    from essentials_spark.io.transcripts import synth_transcripts
+
+    if synthetic_convs:
+        t = synth_transcripts(spark, n_convs=synthetic_convs, seed=42)
+        return keyed_graph_from_transcripts(t), keyed_graph_from_transcripts(t, include_conv_membership=True)
+    return (
+        keyed_graph_from_events(spark, sf_dir),
+        keyed_graph_from_events(spark, sf_dir, include_conv_membership=True),
+    )
+
+
+def run_suite(spark, sf_dir: str | None, synthetic_convs: int | None, pr_iters: int = 10) -> dict:
+    from essentials_spark.algos import connected_components, label_propagation, pagerank, triangle_count
+    from essentials_spark.engine.superstep import SuperstepRunner
+
+    t0 = time.perf_counter()
+    kg, kg_m = build_graph(spark, sf_dir, synthetic_convs)
+    n = kg.graph.vertices.count()
+    m = kg.graph.edges.count()
+    m_m = kg_m.graph.edges.count()
+    build_sec = time.perf_counter() - t0
+
+    queries: dict[str, float] = {}
+    eps: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    pagerank(kg.graph, tol=0.0, max_iter=pr_iters).count()
+    queries["pagerank"] = time.perf_counter() - t0
+    eps["pagerank"] = m * pr_iters / queries["pagerank"]
+
+    runner = SuperstepRunner(spark, "bench_cc")
+    t0 = time.perf_counter()
+    connected_components(kg.graph, runner=runner).count()
+    queries["cc"] = time.perf_counter() - t0
+    cc_iters = max((r["iteration"] for r in runner.metrics), default=1)
+    # symmetrized edge count = 2m (minus dedup'd reciprocals)
+    eps["cc"] = 2 * m * cc_iters / queries["cc"]
+
+    t0 = time.perf_counter()
+    label_propagation(kg.graph, max_iter=5).count()
+    queries["lp"] = time.perf_counter() - t0
+    eps["lp"] = 2 * m * 5 / queries["lp"]
+
+    t0 = time.perf_counter()
+    _pv, total = triangle_count(kg_m.graph)
+    queries["tc"] = time.perf_counter() - t0
+    eps["tc"] = 2 * m_m / queries["tc"]
+
+    return {
+        "n_vertices": n,
+        "n_edges": m,
+        "build_sec": round(build_sec, 3),
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "edges_per_sec": {k: round(v) for k, v in eps.items()},
+        "cc_iterations": cc_iters,
+        "pr_iterations": pr_iters,
+        "tc_corner_total": int(total),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--synthetic", type=int, default=None, help="n_convs for synthetic input")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.scaling:
+        return scaling_mode(args)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from essentials_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench", shuffle_partitions=cpus)
+    res = run_suite(spark, None if args.synthetic else sf_dir, args.synthetic)
+    total = sum(res["queries"].values())
+    out = {
+        "metric": "graph_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": args.synthetic or sf_dir,
+        "cpus": cpus,
+        **{k: v for k, v in res.items() if k != "queries"},
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def scaling_mode(args) -> None:
+    """Same job, same input, two parallelism levels -> efficiency."""
+    lo, hi = 8, 32
+    results = {}
+    for cpus in (lo, hi):
+        cmd = [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus)]
+        if args.synthetic:
+            cmd += ["--synthetic", str(args.synthetic)]
+        env = dict(os.environ)
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    report = {
+        "lo_cpus": lo,
+        "hi_cpus": hi,
+        "lo": results[lo],
+        "hi": results[hi],
+        "efficiency": {
+            q: round(
+                (results[hi]["edges_per_sec"][q] / results[lo]["edges_per_sec"][q]) / (hi / lo), 3
+            )
+            for q in results[lo]["edges_per_sec"]
+        },
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
