@@ -1,19 +1,25 @@
-"""Connected components — hash-min label exchange + pointer jumping.
+"""Connected components — hash-min + root hooking + pointer jumping.
 
 The reference has no standalone CC, but its MST ships the machinery
 (include/gunrock/algorithms/mst.hxx:173-220: min-neighbor, contract,
 pointer jumping `while (new_roots[u] != u)`). We compose the same
-primitives as supersteps:
+primitives as supersteps. Per round:
 
-  label(v) <- min(label(v),
-               min over neighbors u of label(u),   # hash-min advance
-               label(label(v)))                    # pointer jump
+  cand(v)  = min(label(v), min over neighbors u of label(u))  # hash-min
+  hook(r)  = min(r, min over {v : label(v)=r} of cand(v))     # root hooking
+  label(v) = min(cand(v), hook(label(v)), hook(cand(v)))      # jump
 
-on the symmetrized edge table, with a **delta frontier**: only
-vertices whose label changed last round push messages (the reference's
-bypass-filter semantics, operators/filter/bypass.hxx) — converged when
-the frontier is empty. Pointer jumping gives O(log n) rounds on long
-chains. Final labels are exact: min vid per component (canonical).
+Root hooking is the union-find "contract" step: whenever ANY member of
+a pointer tree discovers a smaller label, the tree's root absorbs it
+in the same round and every member picks it up through the jump in the
+next — without it, a minimum entering a long chain mid-way crawls
+1 hop/round toward the chain's root (observed: 55 rounds on max-64-turn
+conversations; with hooking: O(log n)).
+
+Delta frontier: only vertices whose label changed last round push
+hash-min messages (the reference's bypass-filter semantics,
+operators/filter/bypass.hxx) — converged when nothing changes. Final
+labels are exact: min vid per component (canonical).
 """
 
 from __future__ import annotations
@@ -66,12 +72,27 @@ def connected_components(
             .withColumnRenamed("dst", "vid")
         )
         cand = labels.join(msgs, "vid", "left").select(
-            "vid", F.least(F.col("label"), F.col("nbr_min")).alias("label"), F.col("label").alias("old")
+            "vid", F.least(F.col("label"), F.col("nbr_min")).alias("cand"), F.col("label").alias("old")
         )
-        # pointer jump: label <- min(label, label[label])
-        lookup = labels.select(F.col("vid").alias("label"), F.col("label").alias("jump"))
-        jumped = cand.join(lookup, "label", "left").select(
-            "vid", F.least(F.col("label"), F.col("jump")).alias("label"), "old"
+        # root hooking: each pointer-tree root absorbs the min candidate
+        # seen anywhere in its tree this round
+        hook = (
+            cand.groupBy(F.col("old").alias("root"))
+            .agg(F.min("cand").alias("hmin"))
+            .select("root", F.least(F.col("root"), F.col("hmin")).alias("hmin"))
+        )
+        # jump through the old root and the candidate-as-root (hooked
+        # values), then a pointer-doubling jump label[cand] — hooking
+        # alone degenerates to 1 hop/round on pure chains, doubling
+        # alone crawls when a smaller label enters a formed tree
+        lookup = labels.select(F.col("vid").alias("cand"), F.col("label").alias("jump"))
+        jumped = (
+            cand.join(hook.withColumnRenamed("root", "old"), "old", "left")
+            .select("vid", "old", F.least(F.col("cand"), F.col("hmin")).alias("cand"))
+            .join(hook.withColumnRenamed("root", "cand").withColumnRenamed("hmin", "hmin2"), "cand", "left")
+            .select("vid", "old", F.least(F.col("cand"), F.col("hmin2")).alias("cand"))
+            .join(lookup, "cand", "left")
+            .select("vid", F.least(F.col("cand"), F.col("jump")).alias("label"), "old")
         )
         new_labels = runner.materialize(jumped, iteration + 1)
         changed = new_labels.filter(F.col("label") != F.col("old")).select("vid", "label")

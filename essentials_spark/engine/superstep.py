@@ -81,6 +81,8 @@ class SuperstepRunner:
         self.metrics: list[dict[str, Any]] = []
         self._persisted: list[DataFrame] = []
         self._last_durable_iter = -1
+        self._since_gc = 0
+        self.gc_every = 8
         self._t0 = time.perf_counter()
 
     # --- state materialization -------------------------------------
@@ -109,6 +111,20 @@ class SuperstepRunner:
         else:
             out = truncate_plan(df, eager=eager)
         self._retire_persisted()
+        # drop py4j refs of superseded iterates, then let ContextCleaner
+        # reap their localCheckpoint blocks and shuffle files — without
+        # this, hour-long superstep loops accumulate storage until the
+        # whole session degrades
+        self._since_gc += 1
+        if self._since_gc >= self.gc_every:
+            self._since_gc = 0
+            import gc
+
+            gc.collect()
+            try:
+                self.spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         return out
 
     def _ckpt_path(self, iteration: int) -> str:

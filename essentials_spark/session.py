@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative workloads leak localCheckpoint blocks + shuffle files
+        # until a driver GC lets ContextCleaner reap them; default
+        # periodicGC is 30min — far too lazy for superstep loops
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
