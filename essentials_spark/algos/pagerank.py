@@ -36,8 +36,17 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 1000,
     runner: SuperstepRunner | None = None,
+    kernel: str = "dataframe",
+    n_buckets: int | None = None,
+    fused_iters: int = 1,
 ) -> DataFrame:
-    """Returns (vid: long, rank: double)."""
+    """Returns (vid: long, rank: double).
+
+    kernel='dataframe': rank spread as join + groupBy (plain path,
+    correctness oracle). kernel='csr': spread as vectorized NumPy
+    SpMV over packed per-bucket CSR blocks (graph/csr_blocks.py) —
+    the performance path required by the north rule.
+    """
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "pagerank")
 
@@ -57,6 +66,14 @@ def pagerank(
     edges_w = truncate_plan(edges_w)
     m = edges_w.count()
 
+    blocks = None
+    if kernel == "csr":
+        from essentials_spark.graph.csr_blocks import build_csr_blocks, spmv_push
+
+        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+        blocks = truncate_plan(build_csr_blocks(edges_w, n_buckets))
+        blocks.count()
+
     # vertex state: rank + dangling flag (no out-edges)
     state = (
         verts.join(edges.select("src").distinct().withColumnRenamed("src", "vid").withColumn("_h", F.lit(1)), "vid", "left")
@@ -74,40 +91,64 @@ def pagerank(
         iteration, ranks, meta = resumed
         converged = bool(meta.get("converged"))
     ranks = ranks.persist()
-    # dsum over current ranks (cheap aggregate; exact on resume too)
-    dsum = ranks.filter("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
-    dsum *= alpha
 
-    while not converged and iteration < max_iter:
-        base = (1.0 - alpha + dsum) / n
-        msgs = (
-            edges_w.join(ranks.select(F.col("vid").alias("src"), "rank"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("coef")).alias("contrib"))
+    def spread(cur):
+        """One superstep as pure dataflow — the dangling mass term is a
+        1-row aggregate cross-joined in (no driver collect), so several
+        supersteps fuse into a single Spark job."""
+        if kernel == "csr":
+            msgs = spmv_push(blocks, cur.select("vid", "rank"), n_buckets)
+        else:
+            msgs = (
+                edges_w.join(cur.select(F.col("vid").alias("src"), "rank"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("coef")).alias("contrib"))
+            )
+        dsum_df = cur.agg(
+            (F.lit(alpha) * F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))).alias("_dsum")
         )
-        new_ranks = (
-            ranks.select("vid", "dangling", F.col("rank").alias("plast"))
+        return (
+            cur.select("vid", "dangling", F.col("rank").alias("plast"))
             .join(msgs.withColumnRenamed("dst", "vid"), "vid", "left")
+            .crossJoin(F.broadcast(dsum_df))
             .select(
                 "vid",
                 "dangling",
-                (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                (
+                    (F.lit(1.0 - alpha) + F.col("_dsum")) / F.lit(float(n))
+                    + F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
                 "plast",
             )
         )
-        new_ranks = runner.materialize(new_ranks, iteration + 1)
-        stats = new_ranks.agg(
-            F.max(F.abs(F.col("rank") - F.col("plast"))).alias("err"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias("dsum"),
-        ).collect()[0]
-        err, dsum = stats["err"], alpha * (stats["dsum"] or 0.0)
-        iteration += 1
-        runner.log(iteration, linf_err=err, edges_processed=m)
+
+    while not converged and iteration < max_iter:
+        k = min(max(1, fused_iters), max_iter - iteration)
+        cur = ranks
+        intermediates = []
+        for _ in range(k):
+            cur = spread(cur.drop("plast") if "plast" in cur.columns else cur)
+            # persist each fused iterate: every superstep references its
+            # predecessor three times (messages, dangling sum, join left
+            # side) — unmaterialized, the block would recompute the base
+            # state 3^k times. persist() keeps the block a single driver
+            # action while deduplicating the shared subplans.
+            cur = cur.persist()
+            intermediates.append(cur)
+        new_ranks = runner.materialize(cur, iteration + k)
+        err = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("plast"))).alias("err")).collect()[0]["err"]
+        for df in intermediates:  # only after the block is materialized
+            df.unpersist()
+        iteration += k
+        runner.log(iteration, linf_err=err, edges_processed=m * k)
         ranks.unpersist()
         ranks = new_ranks.drop("plast").persist()
         if err < tol:
             # durable final write: a resumed run must return THIS state,
-            # not run an extra superstep past convergence
+            # not run an extra superstep past convergence. (With fused
+            # blocks, convergence is detected at block granularity —
+            # the L-inf check compares the block's last two iterates,
+            # the reference's stopping rule evaluated every k-th step.)
             ranks = runner.materialize(ranks, iteration, force=True, meta={"converged": True}).persist()
             break
 

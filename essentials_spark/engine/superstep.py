@@ -83,6 +83,10 @@ class SuperstepRunner:
         self._last_durable_iter = -1
         self._since_gc = 0
         self.gc_every = 8
+        # truncate lineage every iteration by default: plain persist
+        # between truncations measured slower in practice (recompute on
+        # eviction + replanning outweigh the saved checkpoint job)
+        self.truncate_every = 1
         self._t0 = time.perf_counter()
 
     # --- state materialization -------------------------------------
@@ -108,8 +112,10 @@ class SuperstepRunner:
             with open(os.path.join(path, "_meta.json"), "w") as fh:
                 json.dump({"iteration": iteration, **(meta or {})}, fh)
             out = self.spark.read.parquet(path)
-        else:
+        elif iteration % self.truncate_every == 0:
             out = truncate_plan(df, eager=eager)
+        else:
+            out = df.persist()
         self._retire_persisted()
         # drop py4j refs of superseded iterates, then let ContextCleaner
         # reap their localCheckpoint blocks and shuffle files — without

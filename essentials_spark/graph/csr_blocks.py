@@ -1,0 +1,123 @@
+"""Per-partition packed CSR blocks + vectorized SpMV kernels.
+
+The Spark translation of the reference's CSR view
+(include/gunrock/graph/csr.hxx:230-232: offsets/indices/values) and its
+format build (formats/csr.hxx:79-157): edges are hash-bucketed by src,
+each bucket packed into ONE row of NumPy arrays
+
+    (bucket, srcs[k], offsets[k+1], dst_index[m], dst_ids[u], coefs[m])
+
+where dst_index/dst_ids pre-factor the per-bucket scatter target
+(np.unique(dsts, return_inverse) at pack time) so the per-superstep
+kernel is pure vectorized NumPy:
+
+    gather   rank_per_src = ranks[searchsorted(srcs)]     (≙ csr gather)
+    expand   per_edge = repeat(rank_per_src, degrees) * coef
+    scatter  partial[d] = bincount(dst_index, per_edge)   (≙ atomic::add)
+
+— the same three phases as the reference's advance+spread
+(algorithms/pr.hxx:140-152), with Arrow moving columns and exactly one
+shuffle per superstep (the partial-aggregate of boundary sums).
+No per-row Python anywhere (north-rule requirement).
+
+Buckets are hash-partitions of src, so the rank state bucketed the same
+way co-groups without a join; bucket count should track the cluster's
+shuffle parallelism (at 100 TB: thousands of buckets, each fitting in
+executor memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOCK_SCHEMA = (
+    "bucket int, srcs array<long>, offsets array<long>, "
+    "dst_ids array<long>, dst_index array<int>, coefs array<double>"
+)
+
+
+def build_csr_blocks(edges_w: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """Pack (src, dst, coef) edges into per-bucket CSR block rows.
+
+    One shuffle (groupBy bucket); the pack itself is a vectorized
+    pandas UDF (≙ the reference's counting-sort CSR build,
+    formats/csr.hxx:79-157).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = edges_w.sparkSession
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["bucket", "srcs", "offsets", "dst_ids", "dst_index", "coefs"]
+            )
+        bucket = int(pdf["bucket"].iloc[0])
+        order = np.lexsort((pdf["dst"].to_numpy(), pdf["src"].to_numpy()))
+        src = pdf["src"].to_numpy()[order]
+        dst = pdf["dst"].to_numpy()[order]
+        coef = pdf["coef"].to_numpy()[order]
+        srcs, counts = np.unique(src, return_counts=True)
+        offsets = np.zeros(len(srcs) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        dst_ids, dst_index = np.unique(dst, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "srcs": [srcs],
+                "offsets": [offsets],
+                "dst_ids": [dst_ids],
+                "dst_index": [dst_index.astype(np.int32)],
+                "coefs": [coef],
+            }
+        )
+
+    bucketed = edges_w.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets)).cast("int"))
+    return bucketed.groupBy("bucket").applyInPandas(pack, schema=BLOCK_SCHEMA)
+
+
+def spmv_push(blocks: DataFrame, values: DataFrame, n_buckets: int, value_col: str = "rank") -> DataFrame:
+    """One SpMV superstep over CSR blocks: returns (dst, contrib).
+
+    ``values`` is the vertex state (vid, value). Gather/expand/scatter
+    run inside Arrow batches; the only shuffle is the final
+    groupBy(dst) combining boundary partials across buckets (Catalyst
+    adds the map-side partial aggregate).
+    """
+    import numpy as np
+    import pandas as pd
+
+    vals = values.select(
+        F.pmod(F.col("vid"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "vid",
+        F.col(value_col).alias("val"),
+    )
+
+    def kernel(block_pdf: pd.DataFrame, vals_pdf: pd.DataFrame):
+        if len(block_pdf) == 0 or len(vals_pdf) == 0:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "partial": pd.Series(dtype="float64")})
+        row = block_pdf.iloc[0]
+        srcs = np.asarray(row["srcs"], dtype=np.int64)
+        offsets = np.asarray(row["offsets"], dtype=np.int64)
+        dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
+        dst_index = np.asarray(row["dst_index"], dtype=np.int64)
+        coefs = np.asarray(row["coefs"], dtype=np.float64)
+
+        vv = vals_pdf["vid"].to_numpy()
+        xs = vals_pdf["val"].to_numpy()
+        vorder = np.argsort(vv)
+        pos = np.searchsorted(vv[vorder], srcs)
+        rank_per_src = xs[vorder][pos]
+
+        degrees = np.diff(offsets)
+        per_edge = np.repeat(rank_per_src, degrees) * coefs
+        partial = np.bincount(dst_index, weights=per_edge, minlength=len(dst_ids))
+        return pd.DataFrame({"dst": dst_ids, "partial": partial})
+
+    partials = blocks.groupby("bucket").cogroup(vals.groupby("bucket")).applyInPandas(
+        kernel, schema="dst long, partial double"
+    )
+    return partials.groupBy("dst").agg(F.sum("partial").alias("contrib"))

@@ -123,6 +123,23 @@ def test_tc_self_loop_excluded(spark):
     assert total == 6
 
 
+def test_pagerank_csr_kernel_matches_dataframe_path(spark):
+    # A/B: vectorized CSR-block SpMV path vs plain join+groupBy path
+    # (SURVEY.md §7.1 step 4: plain path is the correctness oracle)
+    rng = np.random.RandomState(7)
+    n = 50
+    pairs = list({(int(u), int(v)) for u, v in rng.randint(0, n, size=(200, 2)) if u != v})
+    g = graph_from_edges(spark, pairs, n_vertices=n, directed=True)
+    a = _collect_by_vid(pagerank(g, tol=0.0, max_iter=8, kernel="dataframe"), "rank")
+    b = _collect_by_vid(pagerank(g, tol=0.0, max_iter=8, kernel="csr", n_buckets=4), "rank")
+    assert np.allclose(a, b, atol=1e-12)
+    exp = pagerank_oracle(n, _edge_list(g), tol=0.0, max_iter=8)
+    assert np.allclose(b, exp, atol=1e-9)
+    # fused supersteps (k per Spark job) must not change the arithmetic
+    c = _collect_by_vid(pagerank(g, tol=0.0, max_iter=8, fused_iters=4), "rank")
+    assert np.allclose(a, c, atol=1e-12)
+
+
 def test_tc_random_graph_vs_oracle(spark):
     rng = np.random.RandomState(42)
     n = 30
