@@ -24,6 +24,10 @@ CC_ROUNDS = 26  # Spark CC converges by ~19 supersteps at sf0.01; margin on top
 LP_ROUNDS = 5
 ANN_K = 5
 ANN_NQ = 5
+BFS_ROUNDS = 90  # >= hop eccentricity of the source at sf<=0.01
+SSSP_ROUNDS = 90
+PPR_ROUNDS = 8
+HITS_ROUNDS = 10
 
 _graph_cache: dict = {}
 
@@ -184,8 +188,184 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir)).select("doc_id", "dup_count")
 
 
+# deterministic per-edge weight both engines can compute:
+# 1 + (ascii of first md5 hex char of "src>dst") % 8
+def _md5_weight(src_col, dst_col):
+    return 1.0 + (F.ascii(F.substring(F.md5(F.concat(src_col, F.lit(">"), dst_col)), 1, 1)) % 8).cast("double")
+
+
+def _sym_graph(spark, sf_dir):
+    """Symmetrized (dedup, no self-loops) keyed graph for BFS/SSSP."""
+    from essentials_spark.graph.derive import Graph, canonicalize_edges
+
+    kg = _keyed_graph(spark, sf_dir)
+    edges = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+    return kg, Graph(vertices=kg.graph.vertices, edges=edges)
+
+
+def _min_turn_vid(kg):
+    row = (
+        kg.vkeys.filter(F.col("skey").startswith("turn|")).orderBy("skey").limit(1).collect()[0]
+    )
+    return row["vid"], row["skey"]
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.algos import bfs
+
+    kg, g = _sym_graph(spark, sf_dir)
+    src_vid, _ = _min_turn_vid(kg)
+    out = bfs(g, source=src_vid)
+    return out.join(kg.vkeys, "vid").select("skey", F.col("dist").cast("long").alias("dist"))
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.algos import sssp
+    from essentials_spark.graph.derive import Graph
+
+    kg, g = _sym_graph(spark, sf_dir)
+    # weights must be computed on string keys (oracle-reproducible),
+    # attached after the sym/dedup canonicalization
+    k = kg.vkeys
+    keyed = (
+        g.edges.join(k.select(F.col("vid").alias("src"), F.col("skey").alias("sk")), "src")
+        .join(k.select(F.col("vid").alias("dst"), F.col("skey").alias("dk")), "dst")
+        .select("src", "dst", _md5_weight(F.col("sk"), F.col("dk")).alias("weight"))
+    )
+    src_vid, _ = _min_turn_vid(kg)
+    out = sssp(Graph(vertices=g.vertices, edges=keyed), source=src_vid)
+    return out.join(kg.vkeys, "vid").select("skey", F.col("dist").alias("dist"))
+
+
+def q_spmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.algos import spmv
+
+    kg = _keyed_graph(spark, sf_dir)
+    x = kg.vkeys.select("vid", F.length("skey").cast("double").alias("value"))
+    y = spmv(kg.graph, x)
+    return y.join(kg.vkeys, "vid").select("skey", F.col("value").alias("y"))
+
+
+def q_spgemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.algos import spgemm
+
+    kg = _keyed_graph(spark, sf_dir)
+    c = spgemm(kg.graph.edges, kg.graph.edges)
+    k = kg.vkeys
+    return (
+        c.join(k.select(F.col("vid").alias("src"), F.col("skey").alias("src_key")), "src")
+        .join(k.select(F.col("vid").alias("dst"), F.col("skey").alias("dst_key")), "dst")
+        .select("src_key", "dst_key", F.col("weight").cast("long").alias("paths"))
+    )
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.algos import ppr
+
+    kg = _keyed_graph(spark, sf_dir)
+    seeds = [
+        r["vid"]
+        for r in kg.vkeys.filter(F.col("skey").startswith("turn|")).orderBy("skey").limit(3).collect()
+    ]
+    out = ppr(kg.graph, seeds=seeds, alpha=0.15, eps=0.0, max_iter=PPR_ROUNDS)
+    seed_keys = kg.vkeys.select(F.col("vid").alias("seed"), F.col("skey").alias("seed_key"))
+    return (
+        out.join(kg.vkeys, "vid")
+        .join(seed_keys, "seed")
+        .select("seed_key", "skey", F.round(F.col("score") * 1e6).cast("long").alias("score_ppm"))
+        .filter(F.col("score_ppm") > 0)
+    )
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.algos import hits
+
+    kg = _keyed_graph(spark, sf_dir)
+    out = hits(kg.graph, max_iter=HITS_ROUNDS)
+    return out.join(kg.vkeys, "vid").select(
+        "skey",
+        F.round(F.col("auth") * 1e6).cast("long").alias("auth_ppm"),
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_ppm"),
+    )
+
+
+# ---- rows-only entries (non-SQL-expressible: xxhash64 signatures,
+# iterative peeling, Brandes accumulation) ----
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.algos import kcore
+
+    kg = _keyed_graph(spark, sf_dir)
+    out = kcore(kg.graph)
+    return out.join(kg.vkeys, "vid").select("skey", F.col("core").cast("long").alias("core"))
+
+
+def q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.algos import betweenness_centrality
+
+    kg, g = _sym_graph(spark, sf_dir)
+    seeds = [
+        r["vid"]
+        for r in kg.vkeys.filter(F.col("skey").startswith("turn|")).orderBy("skey").limit(3).collect()
+    ]
+    out = betweenness_centrality(g, sources=seeds)
+    return out.join(kg.vkeys, "vid").select("skey", F.round("bc", 6).alias("bc"))
+
+
+def q_mst_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.algos import mst
+    from essentials_spark.graph.derive import Graph
+
+    kg = _keyed_graph(spark, sf_dir)
+    k = kg.vkeys
+    keyed = (
+        kg.graph.edges.join(k.select(F.col("vid").alias("src"), F.col("skey").alias("sk")), "src")
+        .join(k.select(F.col("vid").alias("dst"), F.col("skey").alias("dk")), "dst")
+        .select("src", "dst", _md5_weight(F.col("sk"), F.col("dk")).alias("weight"))
+    )
+    _edges, total = mst(Graph(vertices=kg.graph.vertices, edges=keyed))
+    return spark.createDataFrame([(float(total),)], "mst_total double")
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.dedup.minhash import minhash_dedup
+
+    return minhash_dedup(_docs(spark, sf_dir), shingle_k=3, min_sim=0.5).select(
+        "id", "cluster", "keep"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.dedup.simhash import simhash
+
+    return simhash(_docs(spark, sf_dir)).select("id", "simhash")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.ann.cosine import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_topk(emb.filter(F.col("vec_id") < ANN_NQ), emb, k=ANN_K, bits=10, tables=6, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "bfs_hops": q_bfs,
+        "sssp_md5w": q_sssp,
+        "spmv_keylen": q_spmv,
+        "spgemm_square": q_spgemm,
+        "ppr_push": q_ppr,
+        "hits_norm": q_hits,
+        "kcore_decomposition": q_kcore,
+        "betweenness_3src": q_bc,
+        "mst_total_weight": q_mst_total,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_signatures": q_simhash,
+        "ann_lsh_topk": q_lsh_topk,
         "transcripts_from_events": q_transcripts,
         "edge_derivation": q_edges,
         "degree_histogram": q_degree_histogram,
@@ -320,6 +500,118 @@ def _lp_sql() -> str:
     return f"WITH {body}\nSELECT vkey AS skey, lab AS lp_label FROM m{LP_ROUNDS}"
 
 
+_SRC_TURN = "(SELECT min(vkey) FROM verts WHERE vkey LIKE 'turn|%')"
+
+
+def _bfs_sql() -> str:
+    parts = [
+        _PRELUDE,
+        f"b0 AS (SELECT vkey, CASE WHEN vkey = {_SRC_TURN} THEN 0 END AS dist FROM verts)",
+    ]
+    for i in range(BFS_ROUNDS):
+        parts.append(
+            f"b{i + 1} AS (SELECT l.vkey,"
+            f" CASE WHEN l.dist IS NULL THEN nm.m + 1"
+            f"      WHEN nm.m IS NOT NULL AND nm.m + 1 < l.dist THEN nm.m + 1"
+            f"      ELSE l.dist END AS dist"
+            f" FROM b{i} l LEFT JOIN ("
+            f"   SELECT e.dst, min(p.dist) AS m FROM sym e JOIN b{i} p ON p.vkey = e.src"
+            f"   WHERE p.dist IS NOT NULL GROUP BY e.dst) nm ON nm.dst = l.vkey)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT vkey AS skey, CAST(dist AS BIGINT) AS dist"
+        f" FROM b{BFS_ROUNDS} WHERE dist IS NOT NULL"
+    )
+
+
+def _sssp_sql() -> str:
+    # CAST to DOUBLE: DuckDB's 1.0 literal is DECIMAL and decimal
+    # arithmetic would propagate Decimal into the result values
+    wexpr = "CAST(1.0 + (ascii(substr(md5(src || '>' || dst), 1, 1)) % 8) AS DOUBLE)"
+    parts = [
+        _PRELUDE,
+        f"wsym AS (SELECT src, dst, {wexpr} AS w FROM sym)",
+        f"s0 AS (SELECT vkey, CASE WHEN vkey = {_SRC_TURN} THEN CAST(0.0 AS DOUBLE) END AS dist FROM verts)",
+    ]
+    for i in range(SSSP_ROUNDS):
+        parts.append(
+            f"s{i + 1} AS (SELECT l.vkey,"
+            f" CASE WHEN l.dist IS NULL THEN nm.m"
+            f"      WHEN nm.m IS NOT NULL AND nm.m < l.dist THEN nm.m"
+            f"      ELSE l.dist END AS dist"
+            f" FROM s{i} l LEFT JOIN ("
+            f"   SELECT e.dst, min(p.dist + e.w) AS m FROM wsym e JOIN s{i} p ON p.vkey = e.src"
+            f"   WHERE p.dist IS NOT NULL GROUP BY e.dst) nm ON nm.dst = l.vkey)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT vkey AS skey, dist FROM s{SSSP_ROUNDS} WHERE dist IS NOT NULL"
+    )
+
+
+def _ppr_sql() -> str:
+    parts = [
+        _PRELUDE,
+        "outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges_k GROUP BY src)",
+        "seeds3 AS (SELECT vkey FROM verts WHERE vkey LIKE 'turn|%' ORDER BY vkey LIMIT 3)",
+        "pp0 AS (SELECT vkey AS seed, vkey, 0.0 AS p, 1.0 AS r FROM seeds3)",
+    ]
+    for i in range(PPR_ROUNDS):
+        parts.append(
+            f"st{i} AS (SELECT s.seed, s.vkey, s.p, s.r,"
+            f" (o.src IS NOT NULL AND s.r > 0) AS act, o.d"
+            f" FROM pp{i} s LEFT JOIN outd o ON o.src = s.vkey)"
+        )
+        parts.append(
+            f"sp{i} AS (SELECT s.seed, e.dst AS vkey, sum(0.85 * s.r / s.d) AS dr"
+            f" FROM st{i} s JOIN edges_k e ON e.src = s.vkey WHERE s.act GROUP BY s.seed, e.dst)"
+        )
+        parts.append(
+            f"pp{i + 1} AS (SELECT"
+            f" coalesce(a.seed, b.seed) AS seed, coalesce(a.vkey, b.vkey) AS vkey,"
+            f" coalesce(CASE WHEN a.act THEN a.p + 0.15 * a.r ELSE a.p END, 0.0) AS p,"
+            f" coalesce(CASE WHEN a.act THEN 0.0 ELSE a.r END, 0.0) + coalesce(b.dr, 0.0) AS r"
+            f" FROM st{i} a FULL JOIN sp{i} b ON a.seed = b.seed AND a.vkey = b.vkey)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT seed AS seed_key, vkey AS skey,"
+        f" CAST(round(p * 1e6) AS BIGINT) AS score_ppm FROM pp{PPR_ROUNDS}"
+        f" WHERE CAST(round(p * 1e6) AS BIGINT) > 0"
+    )
+
+
+def _hits_sql() -> str:
+    parts = [_PRELUDE, "h0 AS (SELECT vkey, 1.0 AS auth, 1.0 AS hub FROM verts)"]
+    for i in range(HITS_ROUNDS):
+        parts.append(
+            f"ar{i} AS (SELECT v.vkey, coalesce(x.a, 0.0) AS a, v.hub FROM h{i} v LEFT JOIN ("
+            f"  SELECT e.dst, sum(h.hub) AS a FROM edges_k e JOIN h{i} h ON h.vkey = e.src"
+            f"  GROUP BY e.dst) x ON x.dst = v.vkey)"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT v.vkey, v.a, coalesce(y.h, 0.0) AS h FROM ar{i} v LEFT JOIN ("
+            f"  SELECT e.src, sum(s.a) AS h FROM edges_k e JOIN ar{i} s ON s.vkey = e.dst"
+            f"  GROUP BY e.src) y ON y.src = v.vkey)"
+        )
+        parts.append(
+            f"n{i} AS (SELECT sqrt(sum(a * a)) AS na, sqrt(sum(h * h)) AS nh FROM hr{i})"
+        )
+        parts.append(
+            f"h{i + 1} AS (SELECT v.vkey,"
+            f" CASE WHEN n.na > 0 THEN v.a / n.na ELSE 0.0 END AS auth,"
+            f" CASE WHEN n.nh > 0 THEN v.h / n.nh ELSE 0.0 END AS hub"
+            f" FROM hr{i} v CROSS JOIN n{i} n)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT vkey AS skey,"
+        f" CAST(round(auth * 1e6) AS BIGINT) AS auth_ppm,"
+        f" CAST(round(hub * 1e6) AS BIGINT) AS hub_ppm FROM h{HITS_ROUNDS}"
+    )
+
+
 _TRI_BODY = """
 und AS (SELECT src, dst FROM sym WHERE src < dst),
 tri AS (
@@ -363,6 +655,18 @@ def oracle_sql() -> dict[str, str]:
     sql["pagerank"] = _pagerank_sql()
     sql["connected_components"] = _cc_sql()
     sql["label_propagation"] = _lp_sql()
+    sql["bfs_hops"] = _bfs_sql()
+    sql["sssp_md5w"] = _sssp_sql()
+    sql["ppr_push"] = _ppr_sql()
+    sql["hits_norm"] = _hits_sql()
+    sql["spmv_keylen"] = (
+        f"WITH {_PRELUDE} SELECT e.src AS skey, CAST(sum(length(e.dst)) AS DOUBLE) AS y"
+        " FROM edges_k e GROUP BY e.src"
+    )
+    sql["spgemm_square"] = (
+        f"WITH {_PRELUDE} SELECT a.src AS src_key, b.dst AS dst_key, count(*) AS paths"
+        " FROM edges_k a JOIN edges_k b ON a.dst = b.src GROUP BY a.src, b.dst"
+    )
 
     sql["triangle_count"] = (
         f"WITH {_PRELUDE_M}, {_TRI_BODY}"

@@ -106,15 +106,67 @@ def run_suite(spark, sf_dir: str | None, synthetic_convs: int | None, pr_iters: 
     }
 
 
+def synth_vectors(spark, n: int, dim: int = 64):
+    """Deterministic synthetic embeddings (hash-derived floats)."""
+    from pyspark.sql import functions as F
+
+    comps = F.array(
+        *[
+            ((F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(1000)) - 500) / 500.0).cast("float")
+            for i in range(dim)
+        ]
+    )
+    return spark.range(n).select(F.col("id").alias("vec_id"), comps.alias("embedding"))
+
+
+def run_ann_probe(spark, n_candidates: int = 200_000, n_queries: int = 256, dim: int = 64) -> dict:
+    """Compute-bound scaling probe: brute-force cosine top-k.
+
+    ~n_q x n_c x dim x 2 FLOPs of fully data-parallel work with one
+    broadcast and no candidate shuffle — isolates the engine's parallel
+    fraction from the per-superstep driver/shuffle fixed costs that
+    dominate the tiny-scale graph suite locally.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from essentials_spark.ann.cosine import brute_force_topk
+
+    cand = synth_vectors(spark, n_candidates, dim).repartition(spark.sparkContext.defaultParallelism)
+    cand = cand.persist()
+    cand.count()
+    q = synth_vectors(spark, n_queries, dim)
+    t0 = _t.perf_counter()
+    brute_force_topk(q, cand, k=10).count()
+    dt = _t.perf_counter() - t0
+    flops = 2.0 * n_candidates * n_queries * dim
+    return {"ann_sec": round(dt, 3), "ann_gflops": round(flops / dt / 1e9, 3)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--synthetic", type=int, default=None, help="n_convs for synthetic input")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--lo", type=int, default=8, help="scaling mode: N cores")
+    ap.add_argument("--hi", type=int, default=32, help="scaling mode: 4N cores")
+    ap.add_argument("--probe", choices=["ann"], default=None, help="compute-bound scaling probe")
     args = ap.parse_args()
 
     if args.scaling:
         return scaling_mode(args)
+
+    if args.probe == "ann":
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from essentials_spark.session import get_spark
+
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-ann", shuffle_partitions=cpus)
+        res = run_ann_probe(spark)
+        print(json.dumps({"metric": "ann_probe", "cpus": cpus, **res}))
+        spark.stop()
+        return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -140,7 +192,7 @@ def main() -> None:
 
 def scaling_mode(args) -> None:
     """Same job, same input, two parallelism levels -> efficiency."""
-    lo, hi = 8, 32
+    lo, hi = args.lo, args.hi
     results = {}
     for cpus in (lo, hi):
         cmd = [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus)]

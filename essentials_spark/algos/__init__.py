@@ -9,3 +9,12 @@ from essentials_spark.algos.pagerank import pagerank  # noqa: F401
 from essentials_spark.algos.cc import connected_components  # noqa: F401
 from essentials_spark.algos.lp import label_propagation  # noqa: F401
 from essentials_spark.algos.tc import triangle_count  # noqa: F401
+from essentials_spark.algos.traversal import bfs, sssp  # noqa: F401
+from essentials_spark.algos.hits import hits  # noqa: F401
+from essentials_spark.algos.kcore import kcore  # noqa: F401
+from essentials_spark.algos.color import color  # noqa: F401
+from essentials_spark.algos.ppr import ppr  # noqa: F401
+from essentials_spark.algos.spmv import spmv, spgemm  # noqa: F401
+from essentials_spark.algos.bc import betweenness_centrality  # noqa: F401
+from essentials_spark.algos.mst import mst  # noqa: F401
+from essentials_spark.algos.geo import geolocate  # noqa: F401

@@ -1,0 +1,73 @@
+"""HITS — hub/authority iteration with L2 normalization + ranking.
+
+Reference: include/gunrock/algorithms/hits.hxx:244-282 — per
+iteration: auth(v) = sum of hub over in-edges, hub(v) = sum of auth
+over out-edges, L2-normalize both; final ranking by score (the
+reference sorts with thrust::stable_sort_by_key, hits.hxx:52-66 — we
+use a window row_number, SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.graph.derive import Graph
+
+
+def hits(
+    graph: Graph,
+    max_iter: int = 20,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Returns (vid, auth, hub, auth_rank, hub_rank)."""
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "hits")
+    edges = truncate_plan(graph.edges.select("src", "dst").repartition("src"))
+    state = truncate_plan(
+        graph.vertices.select("vid", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
+    ).persist()
+
+    for it in range(1, max_iter + 1):
+        # auth(v) = sum hub(u) over u->v ; then hub(u) = sum auth(v) over u->v
+        auth = (
+            edges.join(state.select(F.col("vid").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth_raw"))
+            .withColumnRenamed("dst", "vid")
+        )
+        s1 = state.select("vid", "hub").join(auth, "vid", "left").select(
+            "vid", F.coalesce(F.col("auth_raw"), F.lit(0.0)).alias("auth_raw"), "hub"
+        )
+        hub = (
+            edges.join(s1.select(F.col("vid").alias("dst"), "auth_raw"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth_raw").alias("hub_raw"))
+            .withColumnRenamed("src", "vid")
+        )
+        s2 = s1.join(hub, "vid", "left").select(
+            "vid", "auth_raw", F.coalesce(F.col("hub_raw"), F.lit(0.0)).alias("hub_raw")
+        )
+        norms = s2.agg(
+            F.sqrt(F.sum(F.col("auth_raw") ** 2)).alias("na"),
+            F.sqrt(F.sum(F.col("hub_raw") ** 2)).alias("nh"),
+        )
+        new_state = s2.crossJoin(F.broadcast(norms)).select(
+            "vid",
+            F.when(F.col("na") > 0, F.col("auth_raw") / F.col("na")).otherwise(0.0).alias("auth"),
+            F.when(F.col("nh") > 0, F.col("hub_raw") / F.col("nh")).otherwise(0.0).alias("hub"),
+        )
+        new_state = runner.materialize(new_state, it).persist()
+        runner.log(it)
+        state.unpersist()
+        state = new_state
+
+    ranked = state.withColumns(
+        {
+            "auth_rank": F.row_number().over(Window.orderBy(F.desc("auth"), "vid")),
+            "hub_rank": F.row_number().over(Window.orderBy(F.desc("hub"), "vid")),
+        }
+    )
+    runner.finalize()
+    return ranked

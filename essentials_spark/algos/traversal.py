@@ -1,0 +1,107 @@
+"""BFS and SSSP — frontier-based traversal supersteps.
+
+Reference:
+- BFS: include/gunrock/algorithms/bfs.hxx:80-132 — advance with
+  atomic-min depth relax; depth = iteration at discovery.
+- SSSP: include/gunrock/algorithms/sssp.hxx:98-151 — advance with
+  atomic-min distance + visited-dedup bypass filter.
+
+Spark shape: the frontier is a DataFrame; advance = frontier x edges
+equi-join (ops/advance.py); the atomic-min scatter becomes
+groupBy(dst).min (Catalyst partial aggregation replaces atomics);
+the visited filter is a left-anti join / conditional update.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.graph.derive import Graph
+
+
+def bfs(
+    graph: Graph,
+    source: int,
+    max_iter: int = 10_000,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Hop distances from ``source``; unreachable vertices omitted.
+
+    Returns (vid: long, dist: int).
+    """
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "bfs")
+    edges = truncate_plan(graph.edges.select("src", "dst").repartition("src"))
+
+    dist = truncate_plan(
+        spark.createDataFrame([(int(source), 0)], "vid long, dist int")
+    ).persist()
+    frontier = dist.select("vid")
+    depth = 0
+
+    while depth < max_iter:
+        nxt = (
+            edges.join(frontier.withColumnRenamed("vid", "src"), "src")
+            .select(F.col("dst").alias("vid"))
+            .dropDuplicates(["vid"])  # uniquify (operators/uniquify)
+            .join(dist.select("vid"), "vid", "left_anti")  # visited filter
+        )
+        depth += 1
+        new = truncate_plan(nxt.withColumn("dist", F.lit(depth).cast("int")))
+        n_new = new.count()
+        runner.log(depth, frontier_size=n_new)
+        if n_new == 0:
+            break
+        dist = truncate_plan(dist.unionByName(new)).persist()
+        frontier = new.select("vid")
+
+    runner.finalize()
+    return dist
+
+
+def sssp(
+    graph: Graph,
+    source: int,
+    max_iter: int = 10_000,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Single-source shortest paths (non-negative weights), Bellman-Ford
+    frontier relaxation. Returns (vid: long, dist: double); unreachable
+    vertices omitted.
+    """
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "sssp")
+    edges = truncate_plan(graph.edges.repartition("src"))
+
+    dist = truncate_plan(
+        spark.createDataFrame([(int(source), 0.0)], "vid long, dist double")
+    ).persist()
+    frontier = dist
+    iteration = 0
+
+    while iteration < max_iter:
+        cand = (
+            edges.join(frontier.select(F.col("vid").alias("src"), "dist"), "src")
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+            .withColumnRenamed("dst", "vid")
+        )
+        merged = dist.join(cand, "vid", "full").select(
+            "vid",
+            F.least(F.col("dist"), F.col("cand")).alias("dist"),
+            (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+        )
+        merged = truncate_plan(merged)
+        improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
+        n_improved = improved.count()
+        iteration += 1
+        runner.log(iteration, improved=n_improved)
+        dist = merged.select("vid", "dist").persist()
+        frontier = improved.select("vid", "dist")
+        if n_improved == 0:
+            break
+
+    runner.finalize()
+    return dist

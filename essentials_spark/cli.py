@@ -1,0 +1,98 @@
+"""spark-submit entry points.
+
+Cluster usage (north rule: spark-submit --py-files on multi-executor
+clusters):
+
+    zip -r essentials_spark.zip essentials_spark
+    spark-submit --py-files essentials_spark.zip \\
+        -m essentials_spark.cli pagerank \\
+        --input iceberg_catalog.db.transcripts --output /out/ranks \\
+        --checkpoint-dir /ckpt --resume
+
+Local smoke:  python -m essentials_spark.cli pagerank --synthetic 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from essentials_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="essentials_spark")
+    ap.add_argument("algo", choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp", "hits"])
+    ap.add_argument("--input", help="transcripts table: parquet path or iceberg table name")
+    ap.add_argument("--synthetic", type=int, default=None, help="generate N synthetic conversations instead")
+    ap.add_argument("--output", default=None, help="write result here (parquet/iceberg)")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=5)
+    ap.add_argument("--alpha", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--source", type=int, default=0, help="bfs/sssp source vid")
+    ap.add_argument("--kernel", default="dataframe", choices=["dataframe", "csr"])
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name=f"essentials-{args.algo}")
+    from essentials_spark.engine.superstep import SuperstepRunner
+    from essentials_spark.graph.keyed import keyed_graph_from_transcripts
+    from essentials_spark.io.transcripts import synth_transcripts
+
+    if args.synthetic:
+        transcripts = synth_transcripts(spark, n_convs=args.synthetic)
+    elif args.input and args.input.endswith((".parquet", "/")) or (args.input or "").startswith("/"):
+        transcripts = spark.read.parquet(args.input)
+    elif args.input:
+        transcripts = spark.read.table(args.input)  # Iceberg/catalog table
+    else:
+        ap.error("one of --input / --synthetic is required")
+
+    kg = keyed_graph_from_transcripts(transcripts)
+    runner = SuperstepRunner(
+        spark, args.algo, checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every
+    )
+
+    if args.algo == "pagerank":
+        from essentials_spark.algos import pagerank
+
+        out = pagerank(kg.graph, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
+                       runner=runner, kernel=args.kernel)
+    elif args.algo == "cc":
+        from essentials_spark.algos import connected_components
+
+        out = connected_components(kg.graph, max_iter=args.max_iter, runner=runner)
+    elif args.algo == "lp":
+        from essentials_spark.algos import label_propagation
+
+        out = label_propagation(kg.graph, max_iter=args.max_iter, runner=runner)
+    elif args.algo == "tc":
+        from essentials_spark.algos import triangle_count
+
+        out, total = triangle_count(kg.graph)
+        print(f"tc_total={total}")
+    elif args.algo == "bfs":
+        from essentials_spark.algos import bfs as _bfs
+
+        out = _bfs(kg.graph, source=args.source, runner=runner)
+    elif args.algo == "sssp":
+        from essentials_spark.algos import sssp as _sssp
+
+        out = _sssp(kg.graph, source=args.source, runner=runner)
+    else:
+        from essentials_spark.algos import hits as _hits
+
+        out = _hits(kg.graph, max_iter=args.max_iter, runner=runner)
+
+    out = out.join(kg.vkeys, "vid")
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        out.show(20, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

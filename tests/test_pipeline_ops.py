@@ -1,0 +1,139 @@
+"""Training-data pipeline operators: dedup, ANN, text, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different content about spark clusters and shuffles here now"),
+        (4, "completely different content about spark clusters and shuffle here now"),  # near dup of 3
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from essentials_spark.text.analysis import exact_dedup
+
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2 and 1 not in out  # 0 kept, 1 dropped
+    assert out[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from essentials_spark.dedup.minhash import minhash_lsh_pairs
+
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, shingle_k=3, min_sim=0.4).collect()}
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs or (3, 4) in pairs  # near dups found
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_minhash_dedup_clusters(spark, docs):
+    from essentials_spark.dedup.minhash import minhash_dedup
+
+    out = {r["id"]: (r["cluster"], r["keep"]) for r in minhash_dedup(docs, shingle_k=3, min_sim=0.4).collect()}
+    assert out[0][0] == out[1][0]  # same cluster
+    assert out[0][1] is True and out[1][1] is False
+    assert out[5][1] is True  # singleton kept
+
+
+def test_simhash_pairs(spark, docs):
+    from essentials_spark.dedup.simhash import simhash_pairs
+
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0  # identical => hamming 0
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    from essentials_spark.dedup.jaccard import ngram_jaccard_verify
+
+    cand = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "a long, b long")
+    out = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_verify(cand, docs, n=3).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.0 < out[(0, 2)] < 1.0
+    assert out[(0, 3)] < 0.1
+
+
+def test_ann_brute_force_vs_numpy(spark):
+    from essentials_spark.ann.cosine import brute_force_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    out = brute_force_topk(df.filter(F.col("vec_id") < 3), df, k=5).collect()
+    v64 = vecs.astype(np.float64)  # engine computes in float64
+    norm = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        order = [i for i in np.argsort(-np.round(sims[q], 6), kind="stable") if i != q][:5]
+        got = [r["neighbor_id"] for r in sorted((x for x in out if x["query_id"] == q), key=lambda r: r["rank"])]
+        exp_sims = sorted(np.round(sims[q][order], 4), reverse=True)
+        got_sims = sorted((round(r["sim"], 4) for x in out if x["query_id"] == q for r in [x]), reverse=True)
+        assert got_sims == [float(s) for s in exp_sims]
+        assert set(got) == set(int(i) for i in order) or got_sims == [float(s) for s in exp_sims]
+
+
+def test_ann_lsh_recall(spark):
+    from essentials_spark.ann.cosine import brute_force_topk, lsh_topk
+
+    rng = np.random.RandomState(1)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    # plant obvious near-neighbors for the first 3 queries
+    for q in range(3):
+        base[q + 20] = base[q] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(q, df, k=1).collect()
+    }
+    approx = lsh_topk(q, df, k=1, bits=8, tables=6, dim=16).collect()
+    hits = sum(1 for r in approx if exact.get(r["query_id"]) == r["neighbor_id"])
+    assert hits >= 2  # high recall on planted neighbors
+
+
+def test_language_id(spark):
+    from essentials_spark.text.analysis import language_id
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of a house"),
+            (1, "el perro de la casa que ladra y come"),
+            (2, "der hund und die katze in das haus ein"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out[0] == "en" and out[1] == "es" and out[2] == "de" and out[3] == "und"
+
+
+def test_multimodal_decode_plumbing(spark):
+    from essentials_spark.multimodal.media import decode_images, sample_video_frames, synth_media
+
+    media = synth_media(spark, n=30)
+    feats = decode_images(media).collect()
+    assert len(feats) == media.filter("kind = 'image'").count()
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+    # deterministic
+    feats2 = decode_images(synth_media(spark, n=30)).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    frames = sample_video_frames(media, every_ms=5000)
+    assert frames.count() > 0
+    assert frames.columns == ["media_id", "payload", "width", "height", "ts_ms"]
