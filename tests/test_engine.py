@@ -1,0 +1,82 @@
+"""Superstep runner: checkpoint/resume/metrics; ops primitives; skew."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from essentials_spark.algos import pagerank
+from essentials_spark.engine.skew import salted_join
+from essentials_spark.engine.superstep import SuperstepRunner
+from essentials_spark.ops import advance, batch_execute, filter_frontier, neighbor_reduce, uniquify
+from tests.conftest import graph_from_edges
+
+
+def test_resume_after_convergence_is_identical(spark, tmp_path):
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 0), (0, 3)], directed=True, n_vertices=4)
+    ck = str(tmp_path / "ck")
+    r1 = SuperstepRunner(spark, "pr", checkpoint_dir=ck, checkpoint_every=2)
+    a = np.array([r["rank"] for r in pagerank(g, runner=r1).orderBy("vid").collect()])
+    r2 = SuperstepRunner(spark, "pr", checkpoint_dir=ck, checkpoint_every=2)
+    it, _df, meta = r2.latest()
+    assert meta.get("converged") is True
+    b = np.array([r["rank"] for r in pagerank(g, runner=r2).orderBy("vid").collect()])
+    assert np.array_equal(a, b)
+
+
+def test_resume_mid_run_reproduces(spark, tmp_path):
+    import glob
+    import shutil
+
+    g = graph_from_edges(spark, [(i, (i * 3 + 1) % 30) for i in range(30)], n_vertices=30)
+    ck = str(tmp_path / "ck2")
+    r1 = SuperstepRunner(spark, "pr", checkpoint_dir=ck, checkpoint_every=3)
+    a = np.array([r["rank"] for r in pagerank(g, runner=r1).orderBy("vid").collect()])
+    # simulate a kill: drop everything after the first durable checkpoint
+    iters = sorted(glob.glob(ck + "/pr/iter=*"))
+    for d in iters[1:]:
+        shutil.rmtree(d)
+    r2 = SuperstepRunner(spark, "pr", checkpoint_dir=ck, checkpoint_every=3)
+    b = np.array([r["rank"] for r in pagerank(g, runner=r2).orderBy("vid").collect()])
+    assert np.allclose(a, b, atol=1e-12)
+
+
+def test_metrics_written(spark, tmp_path):
+    g = graph_from_edges(spark, [(0, 1), (1, 2)], n_vertices=3)
+    ck = str(tmp_path / "ck3")
+    runner = SuperstepRunner(spark, "pr", checkpoint_dir=ck, checkpoint_every=1, log_partition_lineage=True)
+    pagerank(g, runner=runner, max_iter=3, tol=0.0)
+    m = spark.read.parquet(ck + "/pr/metrics")
+    rows = m.collect()
+    assert {r["iteration"] for r in rows} >= {1, 2, 3}
+    assert any(r["linf_err"] is not None for r in rows)
+
+
+def test_salted_join_equals_plain(spark):
+    edges = spark.range(2000).select(
+        (F.col("id") % 7).alias("src"), (F.col("id") % 97).alias("dst"), F.lit(1.0).alias("weight")
+    )
+    fr = spark.range(5).select(F.col("id").alias("src"))
+    plain = edges.join(fr, "src").groupBy("src").count().collect()
+    salted = salted_join(fr, edges, "src", n_salts=4).groupBy("src").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_ops_primitives(spark):
+    g = graph_from_edges(spark, [(0, 1), (0, 2), (1, 2)], n_vertices=3)
+    frontier = spark.createDataFrame([(0,)], "vid long")
+    out = advance(g.edges, frontier)
+    assert {r["vid"] for r in out.collect()} == {1, 2}
+    # whole-graph advance (io_type graph) == full edge scan
+    assert advance(g.edges, None, output="edges").count() == g.edges.count()
+    # filter + uniquify
+    f = filter_frontier(out, F.col("vid") > 1)
+    assert {r["vid"] for r in f.collect()} == {2}
+    dup = out.unionByName(out)
+    assert uniquify(dup, ["vid"]).count() == 2
+    assert uniquify(dup, ["vid"], best_effort=True).count() >= 2  # per-partition dedup
+    # neighbor_reduce: pull sum of neighbor values
+    vals = spark.createDataFrame([(0, 1.0), (1, 10.0), (2, 100.0)], "vid long, value double")
+    nr = {r["vid"]: r["value"] for r in neighbor_reduce(g.edges, vals, direction="pull").collect()}
+    assert nr[0] == 110.0 and nr[1] == 101.0 and nr[2] == 11.0
+    # batch: concurrent actions
+    results, elapsed = batch_execute([lambda: g.edges.count(), lambda: vals.count()])
+    assert results == [6, 3] and elapsed > 0
