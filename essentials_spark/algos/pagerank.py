@@ -45,7 +45,10 @@ def pagerank(
     kernel='dataframe': rank spread as join + groupBy (plain path,
     correctness oracle). kernel='csr': spread as vectorized NumPy
     SpMV over packed per-bucket CSR blocks (graph/csr_blocks.py) —
-    the performance path required by the north rule.
+    the vectorized path required by the north rule.
+    kernel='bucketed': edge table persisted as a src-bucketed table so
+    the static side never re-shuffles across supersteps (the cluster
+    configuration at 10^12 edges).
     """
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "pagerank")
@@ -73,6 +76,21 @@ def pagerank(
         n_buckets = n_buckets or spark.sparkContext.defaultParallelism
         blocks = truncate_plan(build_csr_blocks(edges_w, n_buckets))
         blocks.count()
+    elif kernel == "bucketed":
+        # persist the static edge side as a src-bucketed table: the
+        # bucketed scan reports HashPartitioning, so the per-superstep
+        # join re-shuffles ONLY the (small) rank state — the edge table
+        # never crosses the wire again. This is the configuration for
+        # real clusters at 10^12 edges (plain cached DataFrames lose
+        # partitioning knowledge at the LogicalRDD boundary and re-
+        # exchange the edges every superstep).
+        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+        table = f"es_edges_w_{runner.name}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        edges_w.write.bucketBy(n_buckets, "src").sortBy("src").mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(table)
+        edges_w = spark.table(table)
 
     # vertex state: rank + dangling flag (no out-edges)
     state = (

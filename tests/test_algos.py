@@ -138,6 +138,9 @@ def test_pagerank_csr_kernel_matches_dataframe_path(spark):
     # fused supersteps (k per Spark job) must not change the arithmetic
     c = _collect_by_vid(pagerank(g, tol=0.0, max_iter=8, fused_iters=4), "rank")
     assert np.allclose(a, c, atol=1e-12)
+    # bucketed-edge-table path (zero edge re-shuffle) — same arithmetic
+    d = _collect_by_vid(pagerank(g, tol=0.0, max_iter=8, kernel="bucketed", n_buckets=4), "rank")
+    assert np.allclose(a, d, atol=1e-12)
 
 
 def test_tc_random_graph_vs_oracle(spark):
