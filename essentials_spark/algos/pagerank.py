@@ -87,6 +87,13 @@ def pagerank(
         n_buckets = n_buckets or spark.sparkContext.defaultParallelism
         table = f"es_edges_w_{runner.name}"
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # a stale managed-table directory (e.g. from a previous session
+        # whose metastore is gone) blocks CREATE with LOCATION_ALREADY_EXISTS
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
         edges_w.write.bucketBy(n_buckets, "src").sortBy("src").mode("overwrite").format(
             "parquet"
         ).saveAsTable(table)
