@@ -1,0 +1,56 @@
+"""Plan-shape regression guards (Catalyst interaction)."""
+
+from pyspark.sql import functions as F
+
+from essentials_spark.plans.inspect import count_exchanges, explain_str, scan_info
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") > 10)
+        .select("event_id", "user_id")
+    )
+    scans = scan_info(df)
+    assert scans and "user_id" in scans[0]["pushed_filters"]
+    # column pruning: only the two projected columns reach the scan
+    assert "props" not in scans[0]["read_schema"]
+    assert "event_id" in scans[0]["read_schema"]
+
+
+def test_bucketed_scan_eliminates_edge_exchange(spark, tmp_path):
+    import shutil
+    from urllib.parse import urlparse
+
+    edges = spark.range(1000).select(
+        (F.col("id") % 50).alias("src"), (F.col("id") % 97).alias("dst"), F.lit(0.1).alias("coef")
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    spark.sql("DROP TABLE IF EXISTS t_bucket_plan")
+    shutil.rmtree(f"{wh}/t_bucket_plan", ignore_errors=True)
+    edges.write.bucketBy(4, "src").sortBy("src").mode("overwrite").saveAsTable("t_bucket_plan")
+    bucketed = spark.table("t_bucket_plan")
+    ranks = spark.range(50).select(F.col("id").alias("src"), F.lit(1.0).alias("rank"))
+    joined = bucketed.join(ranks, "src").groupBy("dst").agg(F.sum(F.col("rank") * F.col("coef")))
+    scans = scan_info(joined)
+    assert any(s["bucketed"] for s in scans)
+    plain = edges.join(ranks, "src").groupBy("dst").agg(F.sum(F.col("rank") * F.col("coef")))
+    # model the real iterative case (vertex state too large to
+    # broadcast): with broadcast off, the bucketed plan must shuffle
+    # strictly less — the static edge side never exchanges
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert count_exchanges(joined) < count_exchanges(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pagerank_superstep_uses_partial_aggregation(spark):
+    edges_w = spark.range(200).select(
+        (F.col("id") % 20).alias("src"), (F.col("id") % 13).alias("dst"), F.lit(0.1).alias("coef")
+    )
+    ranks = spark.range(20).select(F.col("id").alias("src"), F.lit(1.0).alias("rank"))
+    msgs = edges_w.join(ranks, "src").groupBy("dst").agg(F.sum(F.col("rank") * F.col("coef")))
+    plan = explain_str(msgs)
+    assert "partial_sum" in plan  # map-side combine (≙ reference atomics)
