@@ -28,6 +28,7 @@ BFS_ROUNDS = 90  # >= hop eccentricity of the source at sf<=0.01
 SSSP_ROUNDS = 90
 PPR_ROUNDS = 8
 HITS_ROUNDS = 10
+GEO_ROUNDS = 90
 
 _graph_cache: dict = {}
 
@@ -328,6 +329,23 @@ def q_mst_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(float(total),)], "mst_total double")
 
 
+def q_geolocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from essentials_spark.algos import geolocate
+
+    kg, g = _sym_graph(spark, sf_dir)
+    # anchors: tool vertices with ASCII-derived coordinates (first two
+    # chars after 'tool|'), reproducible in ANSI SQL
+    known = kg.vkeys.filter(F.col("skey").startswith("tool|")).select(
+        "vid",
+        (F.ascii(F.substring("skey", 6, 1)) % 90).cast("double").alias("lat"),
+        (F.ascii(F.substring("skey", 7, 1)) % 180).cast("double").alias("lon"),
+    )
+    out = geolocate(g, known, max_iter=GEO_ROUNDS)
+    return out.join(kg.vkeys, "vid").select(
+        "skey", F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon")
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.dedup.minhash import minhash_dedup
 
@@ -363,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_decomposition": q_kcore,
         "betweenness_3src": q_bc,
         "mst_total_weight": q_mst_total,
+        "geolocate_spread": q_geolocate,
         "minhash_dedup": q_minhash_dedup,
         "simhash_signatures": q_simhash,
         "ann_lsh_topk": q_lsh_topk,
@@ -612,6 +631,30 @@ def _hits_sql() -> str:
     )
 
 
+def _geo_sql() -> str:
+    parts = [
+        _PRELUDE,
+        "g0 AS (SELECT vkey,"
+        " CAST(ascii(substr(vkey, 6, 1)) % 90 AS DOUBLE) AS lat,"
+        " CAST(ascii(substr(vkey, 7, 1)) % 180 AS DOUBLE) AS lon"
+        " FROM verts WHERE vkey LIKE 'tool|%')",
+    ]
+    for i in range(GEO_ROUNDS):
+        parts.append(
+            f"g{i + 1} AS (SELECT vkey, lat, lon FROM g{i}"
+            f" UNION ALL"
+            f" SELECT e.dst AS vkey, avg(p.lat) AS lat, avg(p.lon) AS lon"
+            f" FROM sym e JOIN g{i} p ON p.vkey = e.src"
+            f" LEFT JOIN g{i} q ON q.vkey = e.dst"
+            f" WHERE q.vkey IS NULL GROUP BY e.dst)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT vkey AS skey, round(lat, 6) AS lat, round(lon, 6) AS lon"
+        f" FROM g{GEO_ROUNDS}"
+    )
+
+
 _TRI_BODY = """
 und AS (SELECT src, dst FROM sym WHERE src < dst),
 tri AS (
@@ -663,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_PRELUDE} SELECT e.src AS skey, CAST(sum(length(e.dst)) AS DOUBLE) AS y"
         " FROM edges_k e GROUP BY e.src"
     )
+    sql["geolocate_spread"] = _geo_sql()
     sql["spgemm_square"] = (
         f"WITH {_PRELUDE} SELECT a.src AS src_key, b.dst AS dst_key, count(*) AS paths"
         " FROM edges_k a JOIN edges_k b ON a.dst = b.src GROUP BY a.src, b.dst"
