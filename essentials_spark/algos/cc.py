@@ -18,8 +18,14 @@ conversations; with hooking: O(log n)).
 
 Delta frontier: only vertices whose label changed last round push
 hash-min messages (the reference's bypass-filter semantics,
-operators/filter/bypass.hxx) — converged when nothing changes. Final
-labels are exact: min vid per component (canonical).
+operators/filter/bypass.hxx) — converged when nothing changes.
+
+Scale shape: the symmetrized edge table is persisted ONCE as a
+src-bucketed table (engine/static_table.py), so each superstep
+shuffles only the vertex-state side; ``fused_iters`` folds k rounds
+into one Spark action (the convergence count runs at block
+granularity), cutting per-superstep job overhead. Final labels are
+exact: min vid per component (canonical).
 """
 
 from __future__ import annotations
@@ -27,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from essentials_spark.engine.static_table import prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
@@ -36,6 +43,8 @@ def connected_components(
     max_iter: int = 200,
     runner: SuperstepRunner | None = None,
     pre_symmetrized: bool = False,
+    edges_mode: str = "bucketed",
+    fused_iters: int = 1,
 ) -> DataFrame:
     """Returns (vid: long, label: long) — label = min vid in component."""
     spark = graph.edges.sparkSession
@@ -44,13 +53,14 @@ def connected_components(
     edges = graph.edges if pre_symmetrized else canonicalize_edges(
         graph.edges, symmetrize=True, dedup=True, drop_self_loops=True
     )
-    # localCheckpoint truncates the derivation lineage so each
-    # superstep replans a constant-depth tree (see pagerank.py note)
-    edges = truncate_plan(edges.select("src", "dst").repartition("src"))
+    edges = prepare_static_edges(edges.select("src", "dst"), runner, keys="src", mode=edges_mode, name_hint="cc")
     m = edges.count()
 
     labels = truncate_plan(graph.vertices.select("vid", F.col("vid").alias("label")))
+    n = labels.count()
 
+    if runner.fingerprint is None:
+        runner.fingerprint = f"cc:n={n}:m={m}"
     iteration = 0
     converged = False
     resumed = runner.latest()
@@ -63,15 +73,16 @@ def connected_components(
     # hash-min messages are >= the receiver's label, a no-op)
     frontier = labels.select("vid", "label")
 
-    while not converged and iteration < max_iter:
-        # hash-min advance from the changed set only
+    def one_round(cur: DataFrame, front: DataFrame) -> DataFrame:
+        """One hash-min + hook + jump round as pure dataflow.
+        Returns (vid, label, old)."""
         msgs = (
-            edges.join(frontier.select(F.col("vid").alias("src"), "label"), "src")
+            edges.join(front.select(F.col("vid").alias("src"), "label"), "src")
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("dst", "vid")
         )
-        cand = labels.join(msgs, "vid", "left").select(
+        cand = cur.join(msgs, "vid", "left").select(
             "vid", F.least(F.col("label"), F.col("nbr_min")).alias("cand"), F.col("label").alias("old")
         )
         # root hooking: each pointer-tree root absorbs the min candidate
@@ -85,8 +96,8 @@ def connected_components(
         # values), then a pointer-doubling jump label[cand] — hooking
         # alone degenerates to 1 hop/round on pure chains, doubling
         # alone crawls when a smaller label enters a formed tree
-        lookup = labels.select(F.col("vid").alias("cand"), F.col("label").alias("jump"))
-        jumped = (
+        lookup = cur.select(F.col("vid").alias("cand"), F.col("label").alias("jump"))
+        return (
             cand.join(hook.withColumnRenamed("root", "old"), "old", "left")
             .select("vid", "old", F.least(F.col("cand"), F.col("hmin")).alias("cand"))
             .join(hook.withColumnRenamed("root", "cand").withColumnRenamed("hmin", "hmin2"), "cand", "left")
@@ -94,11 +105,28 @@ def connected_components(
             .join(lookup, "cand", "left")
             .select("vid", F.least(F.col("cand"), F.col("jump")).alias("label"), "old")
         )
-        new_labels = runner.materialize(jumped, iteration + 1)
+
+    while not converged and iteration < max_iter:
+        k = min(max(1, fused_iters), max_iter - iteration)
+        cur, front = labels, frontier
+        intermediates = []
+        for _ in range(k):
+            cur = one_round(cur.select("vid", "label"), front)
+            # each fused round references its predecessor several times
+            # (messages, hook, jump lookup) — persist keeps the block a
+            # single action while deduplicating the shared subplans
+            cur = cur.persist()
+            intermediates.append(cur)
+            front = cur.filter(F.col("label") != F.col("old")).select("vid", "label")
+        new_labels = runner.materialize(cur, iteration + k)
+        # convergence at block granularity: did the LAST fused round
+        # change anything? (earlier no-op rounds are idempotent)
         changed = new_labels.filter(F.col("label") != F.col("old")).select("vid", "label")
         n_changed = changed.count()
-        iteration += 1
-        runner.log(iteration, changed=n_changed, edges_processed=m)
+        for df in intermediates:
+            df.unpersist()
+        iteration += k
+        runner.log(iteration, changed=n_changed, edges_processed=m * k)
         labels.unpersist()
         labels = new_labels.drop("old").persist()
         frontier = changed

@@ -28,13 +28,17 @@ def geolocate(
     known: DataFrame,
     max_iter: int = 50,
     runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
 ) -> DataFrame:
     """known: (vid, lat, lon). Returns (vid, lat, lon) for every vertex
     that is connected to at least one located vertex."""
+    from essentials_spark.engine.static_table import prepare_static_edges
+
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "geo")
-    edges = truncate_plan(
-        canonicalize_edges(graph.edges, symmetrize=True, dedup=True, drop_self_loops=True).select("src", "dst")
+    edges = prepare_static_edges(
+        canonicalize_edges(graph.edges, symmetrize=True, dedup=True, drop_self_loops=True).select("src", "dst"),
+        runner, keys="src", mode=edges_mode, name_hint="geo",
     )
     located = truncate_plan(known.select("vid", "lat", "lon")).persist()
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from essentials_spark.engine.static_table import prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph
 
@@ -20,11 +21,21 @@ def hits(
     graph: Graph,
     max_iter: int = 20,
     runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
 ) -> DataFrame:
     """Returns (vid, auth, hub, auth_rank, hub_rank)."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "hits")
-    edges = truncate_plan(graph.edges.select("src", "dst").repartition("src"))
+    # push (src->dst) and pull (dst->src) both run every iteration:
+    # persist the edge table bucketed in BOTH orientations so neither
+    # direction ever re-shuffles the static side (CSR + CSC views,
+    # reference include/gunrock/graph/{csr,csc}.hxx)
+    e = graph.edges.select("src", "dst")
+    edges = prepare_static_edges(e, runner, keys="src", mode=edges_mode, name_hint="hits_fwd")
+    edges_rev = prepare_static_edges(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        runner, keys="src", mode=edges_mode, name_hint="hits_rev",
+    )
     state = truncate_plan(
         graph.vertices.select("vid", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
     ).persist()
@@ -40,11 +51,13 @@ def hits(
         s1 = state.select("vid", "hub").join(auth, "vid", "left").select(
             "vid", F.coalesce(F.col("auth_raw"), F.lit(0.0)).alias("auth_raw"), "hub"
         )
+        # hub step on the transposed table: join keyed on its src
+        # (= original dst), so the bucketed scan's partitioning applies
         hub = (
-            edges.join(s1.select(F.col("vid").alias("dst"), "auth_raw"), "dst")
-            .groupBy("src")
+            edges_rev.join(s1.select(F.col("vid").alias("src"), "auth_raw"), "src")
+            .groupBy("dst")
             .agg(F.sum("auth_raw").alias("hub_raw"))
-            .withColumnRenamed("src", "vid")
+            .withColumnRenamed("dst", "vid")
         )
         s2 = s1.join(hub, "vid", "left").select(
             "vid", "auth_raw", F.coalesce(F.col("hub_raw"), F.lit(0.0)).alias("hub_raw")

@@ -14,7 +14,9 @@ structure, so max_iter is part of the spec and oracles pin it).
 
 Spark plan per superstep: groupBy(dst, label).count() then a
 max_by-style struct-max per dst — two shuffle aggregates, both with
-map-side partials.
+map-side partials. The edge table is persisted once as a src-bucketed
+table (engine/static_table.py) so supersteps shuffle only label state;
+``fused_iters`` folds k rounds into one Spark action.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from essentials_spark.engine.static_table import prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
@@ -31,6 +34,8 @@ def label_propagation(
     max_iter: int = 20,
     runner: SuperstepRunner | None = None,
     pre_symmetrized: bool = False,
+    edges_mode: str = "bucketed",
+    fused_iters: int = 1,
 ) -> DataFrame:
     """Returns (vid: long, label: long). Labels init to vid."""
     spark = graph.edges.sparkSession
@@ -39,13 +44,14 @@ def label_propagation(
     edges = graph.edges if pre_symmetrized else canonicalize_edges(
         graph.edges, symmetrize=True, dedup=True, drop_self_loops=True
     )
-    # localCheckpoint truncates the derivation lineage so each
-    # superstep replans a constant-depth tree (see pagerank.py note)
-    edges = truncate_plan(edges.select("src", "dst").repartition("src"))
+    edges = prepare_static_edges(edges.select("src", "dst"), runner, keys="src", mode=edges_mode, name_hint="lp")
     m = edges.count()
 
     labels = truncate_plan(graph.vertices.select("vid", F.col("vid").alias("label")))
+    n = labels.count()
 
+    if runner.fingerprint is None:
+        runner.fingerprint = f"lp:n={n}:m={m}:max_iter={max_iter}"
     iteration = 0
     converged = False
     resumed = runner.latest()
@@ -54,9 +60,10 @@ def label_propagation(
         converged = bool(meta.get("converged"))
     labels = labels.persist()
 
-    while not converged and iteration < max_iter:
+    def one_round(cur: DataFrame) -> DataFrame:
+        """One mode-of-neighbors round. Returns (vid, label, old)."""
         counts = (
-            edges.join(labels.select(F.col("vid").alias("src"), "label"), "src")
+            edges.join(cur.select(F.col("vid").alias("src"), "label"), "src")
             .groupBy("dst", "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -66,15 +73,26 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
             .select(F.col("dst").alias("vid"), (-F.col("top.neg")).alias("new_label"))
         )
-        new_labels = labels.join(best, "vid", "left").select(
+        return cur.join(best, "vid", "left").select(
             "vid",
             F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             F.col("label").alias("old"),
         )
-        new_labels = runner.materialize(new_labels, iteration + 1)
+
+    while not converged and iteration < max_iter:
+        k = min(max(1, fused_iters), max_iter - iteration)
+        cur = labels
+        intermediates = []
+        for _ in range(k):
+            cur = one_round(cur.select("vid", "label"))
+            cur = cur.persist()
+            intermediates.append(cur)
+        new_labels = runner.materialize(cur, iteration + k)
         n_changed = new_labels.filter(F.col("label") != F.col("old")).count()
-        iteration += 1
-        runner.log(iteration, changed=n_changed, edges_processed=m)
+        for df in intermediates:
+            df.unpersist()
+        iteration += k
+        runner.log(iteration, changed=n_changed, edges_processed=m * k)
         labels.unpersist()
         labels = new_labels.drop("old").persist()
         if n_changed == 0:

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from essentials_spark.engine.static_table import prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph
 
@@ -36,19 +37,20 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 1000,
     runner: SuperstepRunner | None = None,
-    kernel: str = "dataframe",
+    kernel: str = "bucketed",
     n_buckets: int | None = None,
     fused_iters: int = 1,
 ) -> DataFrame:
     """Returns (vid: long, rank: double).
 
-    kernel='dataframe': rank spread as join + groupBy (plain path,
-    correctness oracle). kernel='csr': spread as vectorized NumPy
-    SpMV over packed per-bucket CSR blocks (graph/csr_blocks.py) —
-    the vectorized path required by the north rule.
-    kernel='bucketed': edge table persisted as a src-bucketed table so
-    the static side never re-shuffles across supersteps (the cluster
-    configuration at 10^12 edges).
+    kernel='bucketed' (default): edge table persisted as a src-bucketed
+    table so the static side never re-shuffles across supersteps — only
+    the vertex state moves per iteration (the cluster configuration at
+    10^12 edges; see engine/static_table.py).
+    kernel='dataframe': rank spread as join + groupBy (plain path, A/B
+    correctness oracle). kernel='csr': spread as vectorized NumPy SpMV
+    over packed per-bucket CSR blocks (graph/csr_blocks.py) — the
+    vectorized path required by the north rule.
     """
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "pagerank")
@@ -74,30 +76,12 @@ def pagerank(
         from essentials_spark.graph.csr_blocks import build_csr_blocks, spmv_push
 
         n_buckets = n_buckets or spark.sparkContext.defaultParallelism
-        blocks = truncate_plan(build_csr_blocks(edges_w, n_buckets))
-        blocks.count()
+        blocks = prepare_static_edges(
+            build_csr_blocks(edges_w, n_buckets), runner, keys="bucket",
+            n_buckets=n_buckets, name_hint="pr_blocks",
+        )
     elif kernel == "bucketed":
-        # persist the static edge side as a src-bucketed table: the
-        # bucketed scan reports HashPartitioning, so the per-superstep
-        # join re-shuffles ONLY the (small) rank state — the edge table
-        # never crosses the wire again. This is the configuration for
-        # real clusters at 10^12 edges (plain cached DataFrames lose
-        # partitioning knowledge at the LogicalRDD boundary and re-
-        # exchange the edges every superstep).
-        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
-        table = f"es_edges_w_{runner.name}"
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        # a stale managed-table directory (e.g. from a previous session
-        # whose metastore is gone) blocks CREATE with LOCATION_ALREADY_EXISTS
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
-        edges_w.write.bucketBy(n_buckets, "src").sortBy("src").mode("overwrite").format(
-            "parquet"
-        ).saveAsTable(table)
-        edges_w = spark.table(table)
+        edges_w = prepare_static_edges(edges_w, runner, keys="src", n_buckets=n_buckets, name_hint="pr")
 
     # vertex state: rank + dangling flag (no out-edges)
     state = (
@@ -109,6 +93,8 @@ def pagerank(
     init_rank = 1.0 / n
     ranks = state.withColumn("rank", F.lit(init_rank))
 
+    if runner.fingerprint is None:
+        runner.fingerprint = f"pagerank:n={n}:m={m}:alpha={alpha}:tol={tol}"
     resumed = runner.latest()
     iteration = 0
     converged = False

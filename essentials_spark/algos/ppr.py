@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from essentials_spark.engine.static_table import prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph
 
@@ -29,6 +30,7 @@ def ppr(
     eps: float = 1e-6,
     max_iter: int = 100,
     runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
 ) -> DataFrame:
     """Returns (seed: long, vid: long, score: double), rows with
     score > 0 only. ``alpha`` is the teleport/absorb probability."""
@@ -36,7 +38,10 @@ def ppr(
     runner = runner or SuperstepRunner(spark, "ppr")
 
     deg = graph.edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges = truncate_plan(graph.edges.select("src", "dst").join(deg, "src").repartition("src"))
+    edges = prepare_static_edges(
+        graph.edges.select("src", "dst").join(deg, "src"),
+        runner, keys="src", mode=edges_mode, name_hint="ppr",
+    )
 
     seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "seed long")
     # state: (seed, vid, p, r)

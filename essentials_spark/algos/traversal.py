@@ -9,7 +9,9 @@ Reference:
 Spark shape: the frontier is a DataFrame; advance = frontier x edges
 equi-join (ops/advance.py); the atomic-min scatter becomes
 groupBy(dst).min (Catalyst partial aggregation replaces atomics);
-the visited filter is a left-anti join / conditional update.
+the visited filter is a left-anti join / conditional update. The edge
+table is persisted once as a src-bucketed table so each superstep
+shuffles only the (small) frontier (engine/static_table.py).
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from essentials_spark.engine.static_table import prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph
 
@@ -26,6 +29,7 @@ def bfs(
     source: int,
     max_iter: int = 10_000,
     runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
 ) -> DataFrame:
     """Hop distances from ``source``; unreachable vertices omitted.
 
@@ -33,7 +37,9 @@ def bfs(
     """
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "bfs")
-    edges = truncate_plan(graph.edges.select("src", "dst").repartition("src"))
+    edges = prepare_static_edges(
+        graph.edges.select("src", "dst"), runner, keys="src", mode=edges_mode, name_hint="bfs"
+    )
 
     dist = truncate_plan(
         spark.createDataFrame([(int(source), 0)], "vid long, dist int")
@@ -66,6 +72,7 @@ def sssp(
     source: int,
     max_iter: int = 10_000,
     runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
 ) -> DataFrame:
     """Single-source shortest paths (non-negative weights), Bellman-Ford
     frontier relaxation. Returns (vid: long, dist: double); unreachable
@@ -73,7 +80,7 @@ def sssp(
     """
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "sssp")
-    edges = truncate_plan(graph.edges.repartition("src"))
+    edges = prepare_static_edges(graph.edges, runner, keys="src", mode=edges_mode, name_hint="sssp")
 
     dist = truncate_plan(
         spark.createDataFrame([(int(source), 0.0)], "vid long, dist double")

@@ -1,0 +1,99 @@
+"""Bucketed persistence for static DataFrames in iterative loops.
+
+The scale problem (found in round 1 for PageRank, BENCH/BASELINE.md
+§3d, now shared by every iterative algorithm): a cached or
+localCheckpointed edge DataFrame loses its partitioning knowledge at
+the LogicalRDD boundary, so each superstep's ``state ⋈ edges`` join
+re-exchanges the *graph* instead of the *vertex state*. At 10^12 edges
+the static side re-crossing the wire per iteration is the dominant
+cost — the whole point of the reference's preprocessed load-balancer
+layouts (operators/advance/merge_path.hxx:28-114) is that static-graph
+work happens once.
+
+Fix: persist the static side as a bucketed table. The bucketed scan
+reports HashPartitioning(keys, n) to Catalyst, so every subsequent
+equi-join on those keys shuffles ONLY the other (vertex-state) side.
+
+Lifecycle is cluster-safe: table names are unique per call (no
+cross-run collisions, no warehouse-path rmtree hacks — two concurrent
+runs on a shared metastore never collide) and dropped via the catalog
+(``DROP TABLE``), which purges managed-table storage on object stores
+as well as local disk.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class StaticTable:
+    """Handle for a bucketed static table: ``df`` to join against,
+    ``drop()`` when the run finishes."""
+
+    spark: SparkSession
+    table: str
+    df: DataFrame
+
+    def drop(self) -> None:
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        except Exception:
+            pass
+
+
+def persist_bucketed(
+    df: DataFrame,
+    keys: list[str] | str,
+    n_buckets: int | None = None,
+    name_hint: str = "static",
+) -> StaticTable:
+    """Write ``df`` as a parquet table bucketed (and sorted) by ``keys``.
+
+    One full pass over the data up front buys shuffle-free joins on
+    ``keys`` for every later superstep. ``n_buckets`` should track the
+    cluster's shuffle parallelism (thousands at 100 TB, each bucket
+    sized to fit executor memory).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    spark = df.sparkSession
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+    table = f"es_{name_hint}_{uuid.uuid4().hex[:10]}"
+    (
+        df.write.bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .mode("errorifexists")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return StaticTable(spark, table, spark.table(table))
+
+
+def prepare_static_edges(
+    edges: DataFrame,
+    runner,
+    keys: list[str] | str = "src",
+    mode: str = "bucketed",
+    n_buckets: int | None = None,
+    name_hint: str = "edges",
+) -> DataFrame:
+    """Standard static-edge prep for a superstep loop.
+
+    mode='bucketed' (default, the at-scale configuration): persist as a
+    bucketed table registered for cleanup on ``runner.finalize()``.
+    mode='shuffle': plain repartition + lineage truncation (the round-1
+    shape; kept for A/B tests and for one-shot algorithms where a
+    table write cannot amortize).
+    """
+    from essentials_spark.engine.superstep import truncate_plan
+
+    if mode == "bucketed":
+        st = persist_bucketed(edges, keys, n_buckets=n_buckets, name_hint=name_hint)
+        if runner is not None:
+            runner.defer(st.drop)
+        return st.df
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return truncate_plan(edges.repartition(*keys))

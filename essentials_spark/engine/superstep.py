@@ -72,14 +72,21 @@ class SuperstepRunner:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
         log_partition_lineage: bool = False,
+        fingerprint: str | None = None,
     ) -> None:
         self.spark = spark
         self.name = name
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = max(1, checkpoint_every)
         self.log_partition_lineage = log_partition_lineage
+        # input/params fingerprint: stamped into every durable
+        # checkpoint's _meta.json and REQUIRED to match on resume —
+        # rerunning with the same checkpoint_dir/name but a different
+        # graph or parameters must not silently restore stale state
+        self.fingerprint = fingerprint
         self.metrics: list[dict[str, Any]] = []
         self._persisted: list[DataFrame] = []
+        self._cleanups: list = []
         self._last_durable_iter = -1
         self._since_gc = 0
         self.gc_every = 8
@@ -110,7 +117,10 @@ class SuperstepRunner:
                 df.write.mode("overwrite").parquet(path)
                 self._last_durable_iter = iteration
             with open(os.path.join(path, "_meta.json"), "w") as fh:
-                json.dump({"iteration": iteration, **(meta or {})}, fh)
+                json.dump(
+                    {"iteration": iteration, "fingerprint": self.fingerprint, **(meta or {})},
+                    fh,
+                )
             out = self.spark.read.parquet(path)
         elif iteration % self.truncate_every == 0:
             out = truncate_plan(df, eager=eager)
@@ -158,6 +168,11 @@ class SuperstepRunner:
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
                 meta = json.load(fh)
+        if self.fingerprint is not None and meta.get("fingerprint") != self.fingerprint:
+            # same checkpoint_dir + runner name but a different graph /
+            # parameters: resuming would return wrong results as if
+            # converged — refuse and start fresh
+            return None
         return it, self.spark.read.parquet(self._ckpt_path(it)), meta
 
     def _retire_persisted(self) -> None:
@@ -195,6 +210,17 @@ class SuperstepRunner:
         df = self.spark.read.json(self.spark.sparkContext.parallelize(rows, 1))
         df.write.mode("append").parquet(path)
 
+    def defer(self, fn) -> None:
+        """Register a cleanup (e.g. dropping a bucketed static table)
+        to run on finalize()."""
+        self._cleanups.append(fn)
+
     def finalize(self) -> None:
         self._retire_persisted()
+        for fn in self._cleanups:
+            try:
+                fn()
+            except Exception:
+                pass
+        self._cleanups = []
         self.write_metrics()
