@@ -3,13 +3,20 @@
 Reference: include/gunrock/algorithms/bc.hxx:104-213 — forward BFS
 advances keeping per-depth frontiers and shortest-path counts (sigma),
 then a backward pass accumulates dependencies
-delta(v) = sum over successors w of sigma_v/sigma_w * (1 + delta_w);
-multi-source via the batch operator (bc.hxx:253-271).
+delta(v) = sum over successors w of sigma_v/sigma_w * (1 + delta_w),
+with the returned bc_values accumulating **0.5 x** each update
+(bc.hxx:168 'scaled output' — the undirected each-pair-once
+convention); multi-source via the batch operator (bc.hxx:253-271).
 
 Spark shape: the source/batch dimension is folded into the state
 DataFrame as a ``seed`` column (vectorized batching, SURVEY §2.1), so
 one pair of forward/backward loops serves all sources; per-depth
-frontiers are rows filtered by the ``depth`` column.
+frontiers are rows filtered by the ``depth`` column. The edge table is
+persisted bucketed in both orientations (forward joins on src,
+backward on dst), so neither loop re-shuffles the graph. Sources must
+be explicit or sampled (``n_sample``): collecting every vertex id to
+the driver and cross-producting it through the state is a scale-killer
+at web scale.
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from essentials_spark.engine.static_table import prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph
 
@@ -26,15 +34,27 @@ def betweenness_centrality(
     sources: list[int] | None = None,
     max_iter: int = 10_000,
     runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+    n_sample: int = 32,
 ) -> DataFrame:
-    """Returns (vid: long, bc: double) — unnormalized, summed over the
-    given sources (all vertices if None and the graph is small)."""
+    """Returns (vid: long, bc: double) — reference-scaled (0.5x per
+    dependency update), summed over the given sources.
+
+    ``sources=None`` uses the ``n_sample`` smallest vertex ids
+    (deterministic, bounded — a capped approximation, standard for BC
+    at scale; pass explicit sources for exact multi-source runs)."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "bc")
-    edges = truncate_plan(graph.edges.select("src", "dst").repartition("src"))
+    e = graph.edges.select("src", "dst")
+    edges = prepare_static_edges(e, runner, keys="src", mode=edges_mode, name_hint="bc_fwd")
+    edges_rev = prepare_static_edges(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        runner, keys="src", mode=edges_mode, name_hint="bc_rev",
+    )
 
     if sources is None:
-        sources = [r["vid"] for r in graph.vertices.select("vid").collect()]
+        # bounded deterministic sample — never a full-vertex collect
+        sources = [r["vid"] for r in graph.vertices.select("vid").orderBy("vid").limit(n_sample).collect()]
     seeds = spark.createDataFrame([(int(s),) for s in sources], "seed long")
 
     # ---- forward: multi-source BFS with sigma accumulation ----
@@ -65,15 +85,17 @@ def betweenness_centrality(
     deltas = truncate_plan(state.select("seed", "vid", "depth", "sigma", F.lit(0.0).alias("delta"))).persist()
     for d in range(max_depth, 0, -1):
         succ = deltas.filter(F.col("depth") == d).select(
-            "seed", F.col("vid").alias("dst"), F.col("sigma").alias("wsigma"), F.col("delta").alias("wdelta")
+            "seed", F.col("vid").alias("src"), F.col("sigma").alias("wsigma"), F.col("delta").alias("wdelta")
         )
+        # walk predecessors on the transposed table (join keyed on its
+        # bucketed src = the successor endpoint)
         contrib = (
-            edges.join(succ, "dst")
+            edges_rev.join(succ, "src")
             .join(
-                deltas.filter(F.col("depth") == d - 1).select("seed", F.col("vid").alias("src"), F.col("sigma").alias("vsigma")),
-                ["seed", "src"],
+                deltas.filter(F.col("depth") == d - 1).select("seed", F.col("vid").alias("dst"), F.col("sigma").alias("vsigma")),
+                ["seed", "dst"],
             )
-            .groupBy("seed", F.col("src").alias("vid"))
+            .groupBy("seed", F.col("dst").alias("vid"))
             .agg(F.sum((F.col("vsigma") / F.col("wsigma")) * (1.0 + F.col("wdelta"))).alias("dd"))
         )
         deltas = truncate_plan(
@@ -85,7 +107,7 @@ def betweenness_centrality(
     out = (
         deltas.filter(F.col("vid") != F.col("seed"))
         .groupBy("vid")
-        .agg(F.sum("delta").alias("bc"))
+        .agg((F.lit(0.5) * F.sum("delta")).alias("bc"))
         .join(graph.vertices.select("vid"), "vid", "right")
         .select("vid", F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc"))
     )

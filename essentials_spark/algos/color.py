@@ -7,6 +7,11 @@ minimal takes 2*iter+1 (2 colors per iteration). Priorities are
 index-seeded deterministic pseudo-randoms
 (algorithms/generate/random.hxx:20-34, color.hxx:64-65) — here
 xxhash64(vid, seed), so runs are reproducible (SURVEY §7.3 risk 4).
+
+Scale shape: the symmetrized edge table is persisted once as a
+src-bucketed table; each round pushes uncolored priorities along it
+(one state shuffle + one aggregate), instead of round-1's double
+edge-side join that re-shuffled the graph twice per round.
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from essentials_spark.engine.static_table import prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
@@ -24,6 +30,7 @@ def color(
     seed: int = 42,
     runner: SuperstepRunner | None = None,
     pre_symmetrized: bool = False,
+    edges_mode: str = "bucketed",
 ) -> DataFrame:
     """Returns (vid: long, color: int); valid coloring (no edge joins
     two equal colors). Isolated vertices get color 0."""
@@ -32,7 +39,7 @@ def color(
     edges = graph.edges if pre_symmetrized else canonicalize_edges(
         graph.edges, symmetrize=True, dedup=True, drop_self_loops=True
     )
-    edges = truncate_plan(edges.select("src", "dst"))
+    edges = prepare_static_edges(edges.select("src", "dst"), runner, keys="src", mode=edges_mode, name_hint="color")
 
     # deterministic priority per vertex; ties impossible via (hash, vid)
     prio = F.xxhash64(F.col("vid"), F.lit(seed))
@@ -44,26 +51,27 @@ def color(
         n_left = uncolored.count()
         if n_left == 0:
             break
-        # neighbor priorities restricted to uncolored vertices
-        u_edges = (
-            edges.join(uncolored.select(F.col("vid").alias("src"), F.col("prio").alias("sprio")), "src")
-            .join(uncolored.select(F.col("vid").alias("dst"), F.col("prio").alias("dprio")), "dst")
+        # push uncolored priorities along edges (u uncolored, u->v):
+        # per v, the max/min (prio, vid) among its uncolored neighbors.
+        # Edges to already-colored v are aggregated too and discarded by
+        # the state join — cheaper than a second edge-side filter join.
+        msgs = (
+            edges.join(
+                uncolored.select(F.col("vid").alias("src"), F.col("prio").alias("p")), "src"
+            )
+            .groupBy("dst")
+            .agg(
+                F.max(F.struct(F.col("p"), F.col("src").alias("v"))).alias("mx"),
+                F.min(F.struct(F.col("p"), F.col("src").alias("v"))).alias("mn"),
+            )
+            .withColumnRenamed("dst", "vid")
         )
-        nbr = u_edges.groupBy("src").agg(
-            F.max(F.struct("dprio", "dst")).alias("mx"),
-            F.min(F.struct("dprio", "dst")).alias("mn"),
-        ).withColumnRenamed("src", "vid")
-        decide = uncolored.join(nbr, "vid", "left").select(
+        me = F.struct(F.col("prio").alias("p"), F.col("vid").alias("v"))
+        decide = uncolored.join(msgs, "vid", "left").select(
             "vid",
             "prio",
-            F.when(
-                F.col("mx").isNull() | (F.struct(F.col("prio").alias("dprio"), F.col("vid").alias("dst")) > F.col("mx")),
-                F.lit(2 * it),
-            )
-            .when(
-                F.struct(F.col("prio").alias("dprio"), F.col("vid").alias("dst")) < F.col("mn"),
-                F.lit(2 * it + 1),
-            )
+            F.when(F.col("mx").isNull() | (me > F.col("mx")), F.lit(2 * it))
+            .when(me < F.col("mn"), F.lit(2 * it + 1))
             .cast("int")
             .alias("color"),
         )

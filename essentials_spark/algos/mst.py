@@ -1,4 +1,4 @@
-"""Minimum spanning forest — Borůvka supersteps.
+"""Minimum spanning forest — Borůvka supersteps with edge contraction.
 
 Reference: include/gunrock/algorithms/mst.hxx:105-261 — per round:
 remove-filter picks each component's minimum outgoing edge (:119-145),
@@ -9,6 +9,13 @@ per round -> O(log n) rounds.
 Deterministic tiebreak on (weight, src, dst) — the reference notes its
 own atomics admit ties broken by arrival order (mst.hxx:196-199); we
 pin a total order instead so results are reproducible.
+
+Scale shape: the edge table is CONTRACTED each round (endpoints
+relabeled to component ids, intra-component edges dropped,
+multi-edges collapsed to their min representative), so round r works
+on the shrinking cross-component edge set — round-1's version joined
+the full original edge table against the vertex→component map every
+round, which re-shuffles the whole graph O(log n) times.
 """
 
 from __future__ import annotations
@@ -40,36 +47,38 @@ def mst(
         .groupBy("src", "dst")
         .agg(F.min("weight").alias("weight"))
     )
-    und = truncate_plan(und).persist()
-
-    comp = truncate_plan(graph.vertices.select("vid", F.col("vid").alias("comp"))).persist()
-    chosen = spark.createDataFrame([], "src long, dst long, weight double")
+    # active cross-component edges; original endpoints ride along so the
+    # chosen set reports input edges, not contracted ids
+    active = truncate_plan(
+        und.select(
+            F.col("src").alias("csrc"), F.col("dst").alias("cdst"), "weight", "src", "dst"
+        )
+    ).persist()
+    chosen_frags: list[DataFrame] = []
 
     it = 0
     while it < max_iter:
         it += 1
-        lab = comp.withColumnRenamed("vid", "src").withColumnRenamed("comp", "csrc")
-        lab2 = comp.withColumnRenamed("vid", "dst").withColumnRenamed("comp", "cdst")
-        cross = truncate_plan(
-            und.join(lab, "src").join(lab2, "dst").filter(F.col("csrc") != F.col("cdst"))
-        )
-        n_cross = cross.count()
-        runner.log(it, cross_edges=n_cross)
-        if n_cross == 0:
+        n_active = active.count()
+        runner.log(it, cross_edges=n_active)
+        if n_active == 0:
             break
         # min outgoing edge per component, deterministic tiebreak
-        sym_cross = cross.select(F.col("csrc").alias("c"), "src", "dst", "weight", F.col("cdst").alias("tgt")).unionByName(
-            cross.select(F.col("cdst").alias("c"), "src", "dst", "weight", F.col("csrc").alias("tgt"))
+        sym_active = active.select(
+            F.col("csrc").alias("c"), "weight", "src", "dst", F.col("cdst").alias("tgt")
+        ).unionByName(
+            active.select(F.col("cdst").alias("c"), "weight", "src", "dst", F.col("csrc").alias("tgt"))
         )
         hooks = (
-            sym_cross.groupBy("c")
+            sym_active.groupBy("c")
             .agg(F.min(F.struct("weight", "src", "dst", "tgt")).alias("e"))
             .select("c", F.col("e.src").alias("src"), F.col("e.dst").alias("dst"),
                     F.col("e.weight").alias("weight"), F.col("e.tgt").alias("tgt"))
         )
-        chosen = truncate_plan(
-            chosen.unionByName(hooks.select("src", "dst", "weight")).dropDuplicates(["src", "dst"])
-        ).persist()
+        hooks = truncate_plan(hooks).persist()
+        chosen_frags.append(
+            truncate_plan(hooks.select("src", "dst", "weight").dropDuplicates(["src", "dst"]))
+        )
         # contract the hook forest (mst.hxx:173-205 analogue). Root
         # rule breaks the 2-cycles mutual min-edges create:
         #   p(c) = c    if hooks are mutual and c < tgt (c becomes root)
@@ -86,7 +95,7 @@ def mst(
             )
         )
         parent = truncate_plan(parent).persist()
-        # pointer-jump to roots (forest depth is small after 2-cycle break)
+        # pointer-jump to roots (doubling: depth halves per step)
         for _ in range(20):
             lookup = parent.select(F.col("c").alias("p"), F.col("p").alias("pp"))
             nxt = parent.join(lookup, "p", "left").select(
@@ -97,11 +106,39 @@ def mst(
                 parent = nxt
                 break
             parent = nxt
-        comp = truncate_plan(
-            comp.join(parent.withColumnRenamed("c", "comp").withColumnRenamed("p", "newc"), "comp", "left")
-            .select("vid", F.coalesce(F.col("newc"), F.col("comp")).alias("comp"))
-        ).persist()
+        # relabel the active edge set through the contraction map, drop
+        # the (now intra-component) merged edges, and collapse
+        # multi-edges between the same component pair to the min
+        # representative — only the min edge can ever be chosen later
+        pm_src = parent.select(F.col("c").alias("csrc"), F.col("p").alias("nsrc"))
+        pm_dst = parent.select(F.col("c").alias("cdst"), F.col("p").alias("ndst"))
+        relabeled = (
+            active.join(pm_src, "csrc", "left")
+            .join(pm_dst, "cdst", "left")
+            .select(
+                F.coalesce(F.col("nsrc"), F.col("csrc")).alias("a"),
+                F.coalesce(F.col("ndst"), F.col("cdst")).alias("b"),
+                "weight", "src", "dst",
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("csrc"), F.greatest("a", "b").alias("cdst"),
+                "weight", "src", "dst",
+            )
+            .groupBy("csrc", "cdst")
+            .agg(F.min(F.struct("weight", "src", "dst")).alias("e"))
+            .select("csrc", "cdst", F.col("e.weight").alias("weight"),
+                    F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+        new_active = truncate_plan(relabeled).persist()
+        active.unpersist()
+        hooks.unpersist()
+        active = new_active
 
+    chosen = spark.createDataFrame([], "src long, dst long, weight double")
+    for frag in chosen_frags:
+        chosen = chosen.unionByName(frag)
+    chosen = chosen.dropDuplicates(["src", "dst"]).persist()
     total = chosen.agg(F.sum("weight")).collect()[0][0] or 0.0
     runner.finalize()
     return chosen, float(total)

@@ -162,10 +162,19 @@ def test_spgemm_squares_adjacency(spark):
 def test_bc_brandes(spark):
     # path 0-1-2-3: bc(1)=bc(2)=... brandes on undirected path
     g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3)], n_vertices=4)
-    got = {r["vid"]: r["bc"] for r in betweenness_centrality(g).collect()}
-    # exact: vertex 1 lies on shortest paths 0-2,0-3,2-0,3-0... unnormalized
-    # directed-counts convention: bc(1) = |{(0,2),(0,3),(2,0)... }| = 4
-    assert got == {0: 0.0, 1: 4.0, 2: 4.0, 3: 0.0}
+    got = {r["vid"]: r["bc"] for r in betweenness_centrality(g, sources=[0, 1, 2, 3]).collect()}
+    # reference 0.5x-scaled convention (bc.hxx:168): vertex 1 lies on
+    # pair paths {0-2, 0-3, 2-0, 3-0} -> raw delta sum 4, scaled 2
+    assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+
+
+def test_bc_default_sources_bounded(spark):
+    # sources=None must sample a bounded set, never collect all vids
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3)], n_vertices=4)
+    got_sampled = {r["vid"]: r["bc"] for r in betweenness_centrality(g, n_sample=2).collect()}
+    # seeds {0,1}: paths from 0: (0,2)@1 (0,3)@1,2; from 1: (1,3)@2 ->
+    # deltas: v1 gets 2 (from seed 0), v2 gets 1+1=2 -> scaled x0.5
+    assert got_sampled == {0: 0.0, 1: 1.0, 2: 1.0, 3: 0.0}
 
 
 def test_mst_total_weight(spark):
