@@ -29,6 +29,9 @@ SSSP_ROUNDS = 90
 PPR_ROUNDS = 8
 HITS_ROUNDS = 10
 GEO_ROUNDS = 90
+KCORE_ROUNDS = 48  # h-index fixpoint rounds: >= longest chain/2 (64-turn convs)
+BC_ROUNDS = 90  # Brandes forward/backward unroll depth (>= eccentricity)
+MST_CC_ROUNDS = 40  # per-threshold CC rounds inside the MSF weight-class oracle
 
 _graph_cache: dict = {}
 
@@ -290,8 +293,8 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- rows-only entries (non-SQL-expressible: xxhash64 signatures,
-# iterative peeling, Brandes accumulation) ----
+# ---- kcore / bc / mst: oracled via structurally-independent SQL
+# (h-index fixpoint, unrolled Brandes, MSF weight-class counting) ----
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,8 +328,51 @@ def q_mst_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(k.select(F.col("vid").alias("dst"), F.col("skey").alias("dk")), "dst")
         .select("src", "dst", _md5_weight(F.col("sk"), F.col("dk")).alias("weight"))
     )
-    _edges, total = mst(Graph(vertices=kg.graph.vertices, edges=keyed))
-    return spark.createDataFrame([(float(total),)], "mst_total double")
+    edges, total = mst(Graph(vertices=kg.graph.vertices, edges=keyed))
+    # oracle-checkable MSF invariants: the weight multiset of a minimum
+    # spanning forest is unique (classic exchange-argument result), so
+    # total weight and edge count are algorithm-independent
+    return spark.createDataFrame(
+        [(int(edges.count()), float(total))], "n_chosen bigint, mst_total double"
+    )
+
+
+def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg / stddev degree over ALL vertices incl. isolated
+    # (reference include/gunrock/graph/graph.hxx:326-356)
+    from essentials_spark.graph.derive import canonicalize_edges
+
+    kg = _keyed_graph(spark, sf_dir)
+    sym = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+    deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "vid")
+    full = kg.graph.vertices.select("vid").join(deg, "vid", "left").select(
+        F.coalesce(F.col("d"), F.lit(0)).cast("double").alias("d")
+    )
+    return full.agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.avg("d") * 1e6).cast("long").alias("avg_deg_e6"),
+        F.round(F.stddev_pop("d") * 1e6).cast("long").alias("stddev_deg_e6"),
+    )
+
+
+def q_color_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coloring is hash-seeded (exact colors aren't SQL-reproducible);
+    the oracle-checkable contract is validity: every vertex colored, no
+    monochromatic edge. The oracle emits the invariant constants."""
+    from essentials_spark.algos import color
+
+    kg, g = _sym_graph(spark, sf_dir)
+    col = color(g, pre_symmetrized=True)
+    mono = (
+        g.edges.select("src", "dst")
+        .join(col.select(F.col("vid").alias("src"), F.col("color").alias("c1")), "src")
+        .join(col.select(F.col("vid").alias("dst"), F.col("color").alias("c2")), "dst")
+        .filter(F.col("c1") == F.col("c2"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(col.count()), int(mono))], "n_colored bigint, mono_edges bigint"
+    )
 
 
 def q_geolocate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_decomposition": q_kcore,
         "betweenness_3src": q_bc,
         "mst_total_weight": q_mst_total,
+        "degree_stats": q_degree_stats,
+        "color_validity": q_color_validity,
         "geolocate_spread": q_geolocate,
         "minhash_dedup": q_minhash_dedup,
         "simhash_signatures": q_simhash,
@@ -655,6 +703,121 @@ def _geo_sql() -> str:
     )
 
 
+def _kcore_sql() -> str:
+    """Core numbers via the iterated neighbor h-index fixpoint
+    (Lü et al. 2016): c_0 = degree; c_{t+1}(v) = H({c_t(u): u~v})
+    converges to the coreness — an oracle computable with a window
+    row_number per round, structurally independent of the engine's
+    peel-by-k algorithm (a real cross-check, not self-consistency)."""
+    parts = [
+        _PRELUDE,
+        "kc0 AS (SELECT v.vkey, CAST(coalesce(d.c, 0) AS BIGINT) AS c FROM verts v"
+        " LEFT JOIN (SELECT src, count(*) AS c FROM sym GROUP BY src) d ON d.src = v.vkey)",
+    ]
+    for i in range(KCORE_ROUNDS):
+        parts.append(
+            f"kc{i + 1} AS (SELECT v.vkey, CAST(coalesce(h.h, 0) AS BIGINT) AS c"
+            f" FROM kc{i} v LEFT JOIN ("
+            f"  SELECT dst, max(least(rn, c)) AS h FROM ("
+            f"    SELECT e.dst, p.c, row_number() OVER (PARTITION BY e.dst ORDER BY p.c DESC) AS rn"
+            f"    FROM sym e JOIN kc{i} p ON p.vkey = e.src)"
+            f"  GROUP BY dst) h ON h.dst = v.vkey)"
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT vkey AS skey, c AS core FROM kc{KCORE_ROUNDS}"
+
+
+def _bc_sql() -> str:
+    """Unrolled Brandes for the 3 min turn-key seeds: forward BFS with
+    sigma path counts, then backward dependency accumulation from the
+    deepest level, 0.5x-scaled (reference bc.hxx:168)."""
+    parts = [
+        _PRELUDE,
+        "bcs AS (SELECT vkey FROM verts WHERE vkey LIKE 'turn|%' ORDER BY vkey LIMIT 3)",
+        "f0 AS (SELECT vkey AS seed, vkey, 0 AS depth, CAST(1.0 AS DOUBLE) AS sigma FROM bcs)",
+    ]
+    for i in range(BC_ROUNDS):
+        parts.append(
+            f"f{i + 1} AS ("
+            f" SELECT seed, vkey, depth, sigma FROM f{i}"
+            f" UNION ALL"
+            f" SELECT nd.seed, nd.vkey, {i + 1} AS depth, nd.sigma FROM ("
+            f"   SELECT p.seed, e.dst AS vkey, sum(p.sigma) AS sigma"
+            f"   FROM sym e JOIN f{i} p ON p.vkey = e.src AND p.depth = {i}"
+            f"   GROUP BY p.seed, e.dst) nd"
+            f" LEFT JOIN f{i} q ON q.seed = nd.seed AND q.vkey = nd.vkey"
+            f" WHERE q.vkey IS NULL)"
+        )
+    parts.append(
+        f"g0 AS (SELECT seed, vkey, depth, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f{BC_ROUNDS})"
+    )
+    for j, d in enumerate(range(BC_ROUNDS, 0, -1)):
+        parts.append(
+            f"g{j + 1} AS (SELECT a.seed, a.vkey, a.depth, a.sigma,"
+            f" a.delta + coalesce(c.dd, 0.0) AS delta"
+            f" FROM g{j} a LEFT JOIN ("
+            f"   SELECT w.seed, e.src AS vkey,"
+            f"     sum(v.sigma / w.sigma * (1.0 + w.delta)) AS dd"
+            f"   FROM sym e"
+            f"   JOIN g{j} w ON w.vkey = e.dst AND w.depth = {d}"
+            f"   JOIN g{j} v ON v.seed = w.seed AND v.vkey = e.src AND v.depth = {d - 1}"
+            f"   GROUP BY w.seed, e.src) c"
+            f" ON c.seed = a.seed AND c.vkey = a.vkey)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT v.vkey AS skey, round(coalesce(x.b, 0.0), 6) AS bc"
+        f" FROM verts v LEFT JOIN ("
+        f"   SELECT vkey, 0.5 * sum(delta) AS b FROM g{BC_ROUNDS} WHERE vkey <> seed GROUP BY vkey"
+        f" ) x ON x.vkey = v.vkey"
+    )
+
+
+def _mst_sql() -> str:
+    """MSF total weight + edge count WITHOUT computing a spanning tree:
+    the weight multiset of any minimum spanning forest is unique, and
+    for each weight class w the MSF uses exactly
+    ncomp(edges < w) - ncomp(edges <= w) edges of weight w. With 8
+    integer md5 weight classes this reduces to connected components at
+    8 thresholds — folded into ONE unrolled CC over (threshold, vertex)
+    keys. Structurally independent of the engine's Boruvka."""
+    wexpr = "CAST(1.0 + (ascii(substr(md5(src || '>' || dst), 1, 1)) % 8) AS DOUBLE)"
+    parts = [
+        _PRELUDE,
+        # canonical undirected weight = min over directed orientations
+        f"undw AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, min({wexpr}) AS w"
+        f" FROM edges_k WHERE src <> dst GROUP BY 1, 2)",
+        "tsym AS (SELECT a AS src, b AS dst, w FROM undw UNION ALL SELECT b, a, w FROM undw)",
+        "tlev AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) lv(t))",
+        "te AS (SELECT lv.t, e.src, e.dst FROM tsym e JOIN tlev lv ON e.w <= lv.t)",
+        "mc0 AS (SELECT lv.t, v.vkey, v.vkey AS lab FROM verts v CROSS JOIN tlev lv)",
+    ]
+    for i in range(MST_CC_ROUNDS):
+        parts.append(
+            f"mc{i + 1} AS (SELECT l.t, l.vkey,"
+            f" least(l.lab, coalesce(nm.m, l.lab), coalesce(j.lab, l.lab)) AS lab"
+            f" FROM mc{i} l"
+            f" LEFT JOIN (SELECT e.t, e.dst, min(p.lab) AS m FROM te e"
+            f"   JOIN mc{i} p ON p.t = e.t AND p.vkey = e.src GROUP BY e.t, e.dst) nm"
+            f"   ON nm.t = l.t AND nm.dst = l.vkey"
+            f" LEFT JOIN mc{i} j ON j.t = l.t AND j.vkey = l.lab)"
+        )
+    parts.append(
+        f"nc AS (SELECT t, count(DISTINCT lab) AS ncomp FROM mc{MST_CC_ROUNDS} GROUP BY t)"
+    )
+    parts.append("nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts)")
+    parts.append(
+        "lvl AS (SELECT t, ncomp,"
+        " coalesce(lag(ncomp, 1) OVER (ORDER BY t), (SELECT n FROM nv)) AS prevc FROM nc)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT"
+        f" (SELECT n FROM nv) - (SELECT CAST(ncomp AS BIGINT) FROM nc WHERE t = 8) AS n_chosen,"
+        f" (SELECT CAST(sum(t * (prevc - ncomp)) AS DOUBLE) FROM lvl) AS mst_total"
+    )
+
+
 _TRI_BODY = """
 und AS (SELECT src, dst FROM sym WHERE src < dst),
 tri AS (
@@ -693,6 +856,26 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_PRELUDE}, deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)"
         " SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket, count(*) AS n_vertices"
         " FROM deg GROUP BY 1"
+    )
+
+    sql["kcore_decomposition"] = _kcore_sql()
+    sql["betweenness_3src"] = _bc_sql()
+    sql["mst_total_weight"] = _mst_sql()
+
+    sql["degree_stats"] = (
+        f"WITH {_PRELUDE},"
+        " dd AS (SELECT v.vkey, CAST(coalesce(d.c, 0) AS DOUBLE) AS d FROM verts v"
+        " LEFT JOIN (SELECT src, count(*) AS c FROM sym GROUP BY src) d ON d.src = v.vkey)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_vertices,"
+        " CAST(round(avg(d) * 1e6) AS BIGINT) AS avg_deg_e6,"
+        " CAST(round(stddev_pop(d) * 1e6) AS BIGINT) AS stddev_deg_e6 FROM dd"
+    )
+
+    # coloring validity invariants (colors are hash-seeded; the
+    # contract is: every vertex colored, zero monochromatic edges)
+    sql["color_validity"] = (
+        f"WITH {_PRELUDE} SELECT CAST(count(*) AS BIGINT) AS n_colored,"
+        " CAST(0 AS BIGINT) AS mono_edges FROM verts"
     )
 
     sql["pagerank"] = _pagerank_sql()

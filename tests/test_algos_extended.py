@@ -191,3 +191,81 @@ def test_geolocate_spreads(spark):
     known = spark.createDataFrame([(0, 10.0, 20.0)], "vid long, lat double, lon double")
     got = {r["vid"]: (r["lat"], r["lon"]) for r in geolocate(g, known).collect()}
     assert got == {0: (10.0, 20.0), 1: (10.0, 20.0), 2: (10.0, 20.0)}
+
+
+def _np_midpoint(p1, p2):
+    """NumPy oracle for the reference spherical midpoint (geo.hxx:92-123)."""
+    la1, lo1 = np.radians(p1)
+    la2, lo2 = np.radians(p2)
+    bx = np.cos(la2) * np.cos(lo2 - lo1)
+    by = np.cos(la2) * np.sin(lo2 - lo1)
+    lat = np.arctan2(np.sin(la1) + np.sin(la2), np.sqrt((np.cos(la1) + bx) ** 2 + by**2))
+    lon = lo1 + np.arctan2(by, np.cos(la1) + bx)
+    return np.degrees(lat), np.degrees(lon)
+
+
+def _np_weiszfeld(points, iters=8, eps=1e-3, radius=6371.0):
+    """NumPy oracle for the reference spatial median (geo.hxx:130-259):
+    mean init, haversine 1/d weights, Vardi-Zhang zero handling."""
+    pts = np.asarray(points, dtype=np.float64)
+    y = pts.mean(axis=0)
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(np.radians, (p[0], p[1], q[0], q[1]))
+        a = np.sin((la2 - la1) / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
+        return 2 * radius * np.arcsin(np.sqrt(a))
+
+    for _ in range(iters):
+        d = np.array([hav(p, y) for p in pts])
+        dinv = np.where(d == 0, 0.0, 1.0 / np.where(d == 0, 1.0, d))
+        nz = int((d == 0).sum())
+        if nz == len(pts):
+            return tuple(y)
+        t = (dinv[:, None] * pts).sum(axis=0) / dinv.sum()
+        if nz == 0:
+            y1 = t
+        else:
+            r_vec = (t - y) * dinv.sum()
+            r = np.sqrt((r_vec**2).sum())
+            rinv = 0.0 if r == 0 else nz / r
+            y1 = max(0.0, 1 - rinv) * t + min(1.0, rinv) * y
+        if np.sqrt(((y - y1) ** 2).sum()) < eps:
+            return tuple(y1)
+        y = y1
+    return tuple(y)
+
+
+def test_geolocate_reference_semantics(spark):
+    """method='reference' parity with the reference's per-count rules:
+    1 neighbor copies, 2 take the spherical midpoint, >2 the Weiszfeld
+    spatial median — each checked against an independent NumPy oracle."""
+    # anchors 0..3 located; 4 sees one (0), 5 sees two (0,1), 6 sees four
+    pairs = [(0, 5), (1, 5), (0, 4), (0, 6), (1, 6), (2, 6), (3, 6)]
+    anchors = [(0, 10.0, 20.0), (1, 12.0, 26.0), (2, 40.0, 30.0), (3, 11.0, 21.0)]
+    g = graph_from_edges(spark, pairs, n_vertices=7)
+    known = spark.createDataFrame(anchors, "vid long, lat double, lon double")
+    got = {
+        r["vid"]: (r["lat"], r["lon"])
+        for r in geolocate(g, known, method="reference", max_iter=1).collect()
+    }
+    assert got[4] == (10.0, 20.0)  # single neighbor: copy
+    exp5 = _np_midpoint((10.0, 20.0), (12.0, 26.0))
+    assert got[5] == pytest.approx(exp5, abs=1e-9)
+    exp6 = _np_weiszfeld([(10.0, 20.0), (12.0, 26.0), (40.0, 30.0), (11.0, 21.0)])
+    assert got[6] == pytest.approx(exp6, abs=1e-9)
+
+
+def test_geolocate_weiszfeld_coincident_point(spark):
+    """Vardi-Zhang guard: the mean init coinciding with an input point
+    must not divide by zero and must still move toward the median."""
+    # 3 collinear lats, mean == middle point
+    pairs = [(0, 4), (1, 4), (2, 4)]
+    anchors = [(0, 10.0, 20.0), (1, 20.0, 20.0), (2, 30.0, 20.0)]
+    g = graph_from_edges(spark, pairs, n_vertices=5)
+    known = spark.createDataFrame(anchors, "vid long, lat double, lon double")
+    got = {
+        r["vid"]: (r["lat"], r["lon"])
+        for r in geolocate(g, known, method="reference", max_iter=1).collect()
+    }
+    exp = _np_weiszfeld([(10.0, 20.0), (20.0, 20.0), (30.0, 20.0)])
+    assert got[4] == pytest.approx(exp, abs=1e-9)
