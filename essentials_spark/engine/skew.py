@@ -30,8 +30,16 @@ def salted_join(
 
     ``big`` rows get a deterministic salt derived from their non-key
     columns (so a hub key's rows spread uniformly); ``small`` is
-    exploded n_salts ways. Output equals the unsalted join.
+    exploded n_salts ways. Output equals the unsalted join for the
+    supported modes. Right/full outer joins are rejected: the exploded
+    small side would emit each unmatched small-side row n_salts times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} (got {how!r}): outer modes would "
+            "duplicate unmatched small-side rows once per salt"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt_src = big_salt_cols or [c for c in big.columns if c not in keys]
     big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts)).cast("int"))

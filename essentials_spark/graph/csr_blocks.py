@@ -109,8 +109,14 @@ def spmv_push(blocks: DataFrame, values: DataFrame, n_buckets: int, value_col: s
         vv = vals_pdf["vid"].to_numpy()
         xs = vals_pdf["val"].to_numpy()
         vorder = np.argsort(vv)
-        pos = np.searchsorted(vv[vorder], srcs)
-        rank_per_src = xs[vorder][pos]
+        vv_sorted = vv[vorder]
+        pos = np.clip(np.searchsorted(vv_sorted, srcs), 0, len(vv_sorted) - 1)
+        # a block src absent from the values partition is a zero-valued
+        # gather (same semantics as the 'dataframe' kernel's inner
+        # join), NOT a blind index — unmasked, pos==len IndexErrors and
+        # a near-miss silently gathers the wrong vertex's value
+        found = vv_sorted[pos] == srcs
+        rank_per_src = np.where(found, xs[vorder][pos], 0.0)
 
         degrees = np.diff(offsets)
         per_edge = np.repeat(rank_per_src, degrees) * coefs

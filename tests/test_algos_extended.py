@@ -159,6 +159,23 @@ def test_spgemm_squares_adjacency(spark):
     assert c == {(0, 2): 1.0}  # only path 0->1->2
 
 
+def test_spmv_push_partial_values_masked_gather(spark):
+    """Vertices missing from the values side are zero-valued gathers
+    (same as the dataframe kernel's inner join), never a blind
+    searchsorted index (ADVICE r1)."""
+    from essentials_spark.graph.csr_blocks import build_csr_blocks, spmv_push
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (5, 1, 1.0), (7, 2, 2.0), (3, 2, 1.0)], "src long, dst long, coef double"
+    )
+    blocks = build_csr_blocks(edges, n_buckets=2)
+    # values cover only vids {5, 3}: src 0 would searchsorted to 3's
+    # slot and src 7 to pos==len without masking
+    vals = spark.createDataFrame([(5, 10.0), (3, 4.0)], "vid long, rank double")
+    got = {r["dst"]: r["contrib"] for r in spmv_push(blocks, vals, n_buckets=2).collect()}
+    assert got == {1: 10.0, 2: 4.0}
+
+
 def test_bc_brandes(spark):
     # path 0-1-2-3: bc(1)=bc(2)=... brandes on undirected path
     g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3)], n_vertices=4)

@@ -60,6 +60,29 @@ def test_salted_join_equals_plain(spark):
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    # right/full would emit each unmatched small-side row n_salts times
+    import pytest as _pytest
+
+    edges = spark.range(10).select((F.col("id") % 3).alias("src"), F.col("id").alias("dst"))
+    fr = spark.range(5).select(F.col("id").alias("src"))
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(fr, edges, "src", how=how)
+
+
+def test_runner_resume_refuses_fingerprint_mismatch(spark, tmp_path):
+    runner = SuperstepRunner(spark, "fp", checkpoint_dir=str(tmp_path), fingerprint="graph-A")
+    df = spark.range(5).select(F.col("id").alias("vid"))
+    runner.materialize(df, 5, force=True)
+    assert runner.latest() is not None
+    # same checkpoint dir + name, different input: must refuse stale state
+    other = SuperstepRunner(spark, "fp", checkpoint_dir=str(tmp_path), fingerprint="graph-B")
+    assert other.latest() is None
+    same = SuperstepRunner(spark, "fp", checkpoint_dir=str(tmp_path), fingerprint="graph-A")
+    assert same.latest() is not None
+
+
 def test_ops_primitives(spark):
     g = graph_from_edges(spark, [(0, 1), (0, 2), (1, 2)], n_vertices=3)
     frontier = spark.createDataFrame([(0,)], "vid long")
