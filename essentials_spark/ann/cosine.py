@@ -64,23 +64,26 @@ def brute_force_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _rh_signature(vec, planes, bits: int):
-    """b-bit random-hyperplane signature: sign bits of <v, h_i> with
-    deterministic per-(plane, dim) pseudo-random hyperplanes derived
-    from hash — reference-style index-seeded randomness
-    (algorithms/generate/random.hxx)."""
+def _plane_component(t: int, b: int):
+    """Deterministic pseudo-random hyperplane component for (table t,
+    bit b, dimension i): hash-derived uniform in [-1, 1] — the
+    reference's index-seeded randomness (algorithms/generate/
+    random.hxx) instead of literal plane arrays, which bloat the plan
+    at 1-4k dims and force a driver-side dim probe."""
+    seed = t * 1024 + b
+    return lambda x, i: x * (
+        (F.pmod(F.xxhash64(F.lit(seed), i), F.lit(2001)) - F.lit(1000)).cast("double") / 1000.0
+    )
+
+
+def _rh_signature(vec, t: int, bits: int):
+    """b-bit random-hyperplane signature: sign bits of <v, h_i>."""
     sig = F.lit(0).cast("long")
-    for i in range(bits):
+    for b in range(bits):
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                planes[i],
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            F.transform(vec, _plane_component(t, b)), F.lit(0.0), lambda acc, x: acc + x
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return sig
 
 
@@ -99,23 +102,18 @@ def lsh_topk(
 
     Each vector gets ``tables`` signatures of ``bits`` bits; query and
     candidate meet when any table's signature matches — a bucketed
-    equi-join on (table, signature) instead of a cross join.
+    equi-join on (table, signature) instead of a cross join. ``dim``
+    is accepted for API compatibility and ignored (hyperplanes are
+    hash-derived per dimension index — any dim works).
     """
-    if dim is None:
-        dim = len(candidates.select(vec_col).first()[0])
-
-    import numpy as np
-
-    rng = np.random.RandomState(42)
-    planes = rng.standard_normal((tables, bits, dim))
 
     def with_sigs(df, idc):
         v = _as_double(F.col(vec_col))
         rows = df.select(F.col(id_col).alias(idc), v.alias("v")).withColumn("n", _norm(F.col("v")))
-        sigs = []
-        for t in range(tables):
-            plane_cols = [F.array(*[F.lit(float(x)) for x in planes[t][b]]) for b in range(bits)]
-            sigs.append(F.struct(F.lit(t).alias("tbl"), _rh_signature(F.col("v"), plane_cols, bits).alias("sig")))
+        sigs = [
+            F.struct(F.lit(t).alias("tbl"), _rh_signature(F.col("v"), t, bits).alias("sig"))
+            for t in range(tables)
+        ]
         return rows.withColumn("sig", F.explode(F.array(*sigs))).select(
             idc, "v", "n", F.col("sig.tbl").alias("tbl"), F.col("sig.sig").alias("sig")
         )
@@ -136,3 +134,39 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_pairs(
+    vectors: DataFrame,
+    min_sim: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 10,
+    tables: int = 6,
+    bucket_cap: int = 64,
+    chain_width: int = 2,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Self-join near-neighbor pairs (a, b, sim), a < b, sim >= min_sim.
+
+    Threshold-first (no top-k window over an unbounded candidate set —
+    the dedup use-case wants *all* pairs above min_sim); LSH buckets
+    above ``bucket_cap`` fall back to bounded chain pairing (see
+    dedup/minhash.capped_bucket_pairs) so a degenerate bucket of
+    near-identical vectors cannot go quadratic."""
+    from essentials_spark.dedup.minhash import capped_bucket_pairs
+
+    v = _as_double(F.col(vec_col))
+    rows = vectors.select(F.col(id_col).alias("id"), v.alias("v")).withColumn("n", _norm(F.col("v")))
+    sigs = [
+        F.struct(F.lit(t).alias("tbl"), _rh_signature(F.col("v"), t, bits).alias("sig"))
+        for t in range(tables)
+    ]
+    bucketed = rows.withColumn("s", F.explode(F.array(*sigs))).select(
+        "id", "v", "n", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig")
+    )
+    cand = capped_bucket_pairs(
+        bucketed, ["tbl", "sig"], ["v", "n"], bucket_cap=bucket_cap, chain_width=chain_width
+    )
+    sim = F.round(_dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), sim_decimals)
+    return cand.select("a", "b", sim.alias("sim")).filter(F.col("sim") >= min_sim)

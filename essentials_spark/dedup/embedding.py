@@ -10,7 +10,6 @@ ann.brute_force_topk.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def embedding_cosine_pairs(
@@ -20,15 +19,15 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     bits: int = 10,
     tables: int = 6,
+    bucket_cap: int = 64,
 ) -> DataFrame:
-    """Returns (a, b, sim) with a < b and sim >= min_sim."""
-    from essentials_spark.ann.cosine import lsh_topk
+    """Returns (a, b, sim) with a < b and sim >= min_sim.
 
-    # lsh_topk already dedups pairs and computes exact cosine; reuse it
-    # with k large enough to keep all above-threshold matches
-    topk = lsh_topk(vectors, vectors, k=1_000_000, id_col=id_col, vec_col=vec_col, bits=bits, tables=tables)
-    return (
-        topk.filter(F.col("sim") >= min_sim)
-        .filter(F.col("query_id") < F.col("neighbor_id"))
-        .select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"), "sim")
+    Threshold-first pair generation (ann.cosine.lsh_pairs) — no giant-k
+    ranking window; degenerate LSH buckets are capped."""
+    from essentials_spark.ann.cosine import lsh_pairs
+
+    return lsh_pairs(
+        vectors, min_sim, id_col=id_col, vec_col=vec_col, bits=bits, tables=tables,
+        bucket_cap=bucket_cap,
     )

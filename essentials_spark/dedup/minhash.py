@@ -14,11 +14,20 @@ path): shingle -> minhash signature -> band -> bucket-join.
 At 100 TB the only shuffles are the bucket groupBy and the candidate
 dedup — no cross join ever materializes; band width / count tune the
 similarity threshold s ≈ (1/bands)^(1/rows).
+
+Degenerate-bucket cap: boilerplate-heavy corpora put thousands of
+near-identical docs in one band bucket, and all-pairs within a bucket
+is quadratic. Buckets larger than ``bucket_cap`` switch to CHAIN
+pairing (each doc pairs with its next ``chain_width`` successors in id
+order — a lead() window, zero joins): pair generation becomes
+O(bucket x chain_width), and transitive clusters stay connected for
+the dedup use-case because downstream keep/drop runs connected
+components over the pair graph.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,6 +60,47 @@ def minhash_signatures(
     )
 
 
+def capped_bucket_pairs(
+    items: DataFrame,
+    bucket_cols: list[str],
+    payload_cols: list[str],
+    bucket_cap: int = 64,
+    chain_width: int = 2,
+) -> DataFrame:
+    """All-pairs within small buckets; chain pairs within large ones.
+
+    ``items``: one row per (bucket, member); returns columns
+    (a, b, a_<payload>, b_<payload>) with a < b, deduplicated.
+    Buckets with more than ``bucket_cap`` members generate only
+    (member, next-j-in-id-order) pairs for j = 1..chain_width — bounded
+    output, and connected-components downstream still unions the
+    transitive cluster.
+    """
+    sizes = items.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
+    tagged = items.join(sizes, bucket_cols)
+
+    def pick(side: str):
+        return [F.col("id").alias(side)] + [F.col(c).alias(f"{side}_{c}") for c in payload_cols]
+
+    out_cols = ["a", "b"] + [f"a_{c}" for c in payload_cols] + [f"b_{c}" for c in payload_cols]
+    small_l = tagged.filter(F.col("_bn") <= bucket_cap).select(*bucket_cols, *pick("a"))
+    small_r = tagged.filter(F.col("_bn") <= bucket_cap).select(*bucket_cols, *pick("b"))
+    small = small_l.join(small_r, bucket_cols).filter(F.col("a") < F.col("b")).select(*out_cols)
+
+    w = Window.partitionBy(*bucket_cols).orderBy("id")
+    big = tagged.filter(F.col("_bn") > bucket_cap)
+    out = small
+    for j in range(1, chain_width + 1):
+        nxt = F.lead(F.struct("id", *payload_cols), j).over(w)
+        ch = big.select(
+            *pick("a"),
+            nxt["id"].alias("b"),
+            *[nxt[c].alias(f"b_{c}") for c in payload_cols],
+        ).filter(F.col("b").isNotNull())
+        out = out.unionByName(ch.select(*out_cols))
+    return out.dropDuplicates(["a", "b"])
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -59,9 +109,12 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     min_sim: float = 0.5,
+    bucket_cap: int = 64,
+    chain_width: int = 2,
 ) -> DataFrame:
     """Candidate near-dup pairs (a, b, sig_sim), a < b, verified by
-    full-signature agreement >= min_sim."""
+    full-signature agreement >= min_sim. Band buckets larger than
+    ``bucket_cap`` use chain pairing (module docstring)."""
     rows = num_perm // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k)
     banded = sigs.select(
@@ -80,14 +133,10 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    left = banded.select("band", "bucket", F.col("id").alias("a"), F.col("sig").alias("siga"))
-    right = banded.select("band", "bucket", F.col("id").alias("b"), F.col("sig").alias("sigb"))
-    cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
+    cand = capped_bucket_pairs(
+        banded, ["band", "bucket"], ["sig"], bucket_cap=bucket_cap, chain_width=chain_width
     )
-    sim = F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda v: v)) / F.size("siga")
+    sim = F.size(F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda v: v)) / F.size("a_sig")
     return cand.select("a", "b", F.round(sim, 6).alias("sig_sim")).filter(F.col("sig_sim") >= min_sim)
 
 

@@ -49,10 +49,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    bucket_cap: int = 64,
+    chain_width: int = 2,
 ) -> DataFrame:
     """Candidate pairs (a, b, hamming) with hamming <= max_hamming.
 
-    ``blocks`` must be > max_hamming for exact recall (pigeonhole)."""
+    ``blocks`` must be > max_hamming for exact recall (pigeonhole).
+    Chunk buckets larger than ``bucket_cap`` switch to bounded chain
+    pairing (see dedup/minhash.py docstring) — the hub-bucket
+    quadratic-blowup guard for boilerplate-heavy corpora."""
+    from essentials_spark.dedup.minhash import capped_bucket_pairs
+
     sigs = simhash(docs, text_col, id_col)
     width = 64 // blocks
     mask = (1 << width) - 1
@@ -72,8 +79,8 @@ def simhash_pairs(
         ).alias("c"),
     ).select("id", "simhash", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"))
 
-    left = chunked.select("blk", "chunk", F.col("id").alias("a"), F.col("simhash").alias("sa"))
-    right = chunked.select("blk", "chunk", F.col("id").alias("b"), F.col("simhash").alias("sb"))
-    cand = left.join(right, ["blk", "chunk"]).filter(F.col("a") < F.col("b")).dropDuplicates(["a", "b"])
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    cand = capped_bucket_pairs(
+        chunked, ["blk", "chunk"], ["simhash"], bucket_cap=bucket_cap, chain_width=chain_width
+    )
+    hamming = F.bit_count(F.col("a_simhash").bitwiseXOR(F.col("b_simhash")))
     return cand.select("a", "b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)

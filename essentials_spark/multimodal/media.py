@@ -70,24 +70,47 @@ def decode_images(media: DataFrame, batch_features: int = 8) -> DataFrame:
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = batch_features
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = []
-            for _, row in pdf.iterrows():
-                px = _decode_payload(row["payload"], int(row["width"]), int(row["height"]))
-                splits = np.array_split(px.astype(np.float32).ravel(), batch_features)
-                feat = np.array([s.mean() for s in splits], dtype=np.float32)
-                out.append(
-                    (
-                        int(row["media_id"]),
-                        row["kind"],
-                        int(len(row["payload"])),
-                        float(np.mean(np.frombuffer(row["payload"], dtype=np.uint8))),
-                        feat,
-                    )
-                )
-            yield pd.DataFrame(out, columns=["media_id", "kind", "n_bytes", "mean_byte", "feature"])
+            n = len(pdf)
+            payloads = pdf["payload"].tolist()
+            # --- byte stats: one reduceat over the whole Arrow batch ---
+            n_bytes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.float64)
+            starts = np.concatenate(([0], np.cumsum(n_bytes)[:-1]))
+            mean_byte = np.add.reduceat(flat, starts) / n_bytes
+            # --- decode (per item: the codec bound — PIL/ffmpeg are
+            # inherently per-object) then a single vectorized feature
+            # pass over all decoded pixels in the batch ---
+            widths = pdf["width"].to_numpy(np.int64)
+            heights = pdf["height"].to_numpy(np.int64)
+            pix = np.concatenate(
+                [
+                    _decode_payload(p, int(w), int(h)).ravel()
+                    for p, w, h in zip(payloads, widths, heights)
+                ]
+            ).astype(np.float64)
+            sizes = widths * heights
+            # np.array_split chunk lengths: mod chunks of div+1, rest div
+            div, mod = np.divmod(sizes, k)
+            chunk_len = div[:, None] + (np.arange(k)[None, :] < mod[:, None])
+            flat_len = chunk_len.ravel()
+            ends = np.cumsum(flat_len)
+            cstarts = np.concatenate(([0], ends[:-1]))
+            sums = np.add.reduceat(pix, np.minimum(cstarts, len(pix) - 1))
+            feat = np.where(flat_len > 0, sums / np.maximum(flat_len, 1), 0.0)
+            feat = feat.reshape(n, k).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": n_bytes,
+                    "mean_byte": mean_byte,
+                    "feature": list(feat),
+                }
+            )
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -53,6 +53,55 @@ def test_simhash_pairs(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_lsh_bucket_cap_bounds_pathological_bucket(spark):
+    """1k identical docs = one degenerate band bucket. All-pairs would
+    be ~500k candidates; the cap must bound generation to
+    O(bucket x chain_width) while keeping the duplicate cluster
+    connected for CC-based dedup."""
+    from essentials_spark.dedup.minhash import minhash_dedup, minhash_lsh_pairs
+
+    n = 1000
+    rows = [(i, "boilerplate header lorem ipsum repeated body text exactly the same") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, shingle_k=3, min_sim=0.5, bucket_cap=64, chain_width=2)
+    n_pairs = pairs.count()
+    # chain pairing: <= bands-deduped n*chain_width (vs ~499500 all-pairs)
+    assert 0 < n_pairs <= n * 2
+    out = minhash_dedup(docs, shingle_k=3, min_sim=0.5, bucket_cap=64, chain_width=2)
+    clusters = out.select("cluster").distinct().count()
+    kept = out.filter(F.col("keep")).count()
+    assert clusters == 1 and kept == 1  # transitive cluster intact
+
+
+def test_simhash_bucket_cap(spark):
+    from essentials_spark.dedup.simhash import simhash_pairs
+
+    n = 300
+    rows = [(i, "identical text for every single row here") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(docs, max_hamming=3, bucket_cap=32, chain_width=2)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs <= n * 2
+    # chain connectivity: the pair graph must span all n docs
+    ids = {r["a"] for r in pairs.collect()} | {r["b"] for r in pairs.collect()}
+    assert len(ids) == n
+
+
+def test_embedding_cosine_pairs_capped(spark):
+    from essentials_spark.dedup.embedding import embedding_cosine_pairs
+
+    rng = np.random.RandomState(3)
+    v = rng.standard_normal(16).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i in range(200)]  # 200 identical vectors
+    rows += [(500 + i, [float(x) for x in rng.standard_normal(16)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_cosine_pairs(df, min_sim=0.99, bucket_cap=32)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs <= 200 * 2 * 2  # bounded, not ~19900 all-pairs
+    got = pairs.collect()
+    assert all(r["sim"] >= 0.99 for r in got)
+
+
 def test_ngram_jaccard(spark, docs):
     from essentials_spark.dedup.jaccard import ngram_jaccard_verify
 
