@@ -100,8 +100,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kg = _keyed_graph(spark, sf_dir)
     # tol=0.0 -> exactly PR_ITERS supersteps (err < 0.0 is never true),
-    # matching the SQL oracle's unrolled iteration count
-    ranks = pagerank(kg.graph, alpha=ALPHA, tol=0.0, max_iter=PR_ITERS)
+    # matching the SQL oracle's unrolled iteration count; fused blocks
+    # only change action granularity, not the iterate sequence
+    ranks = pagerank(kg.graph, alpha=ALPHA, tol=0.0, max_iter=PR_ITERS, fused_iters=5)
     return ranks.join(kg.vkeys, "vid").select(
         "skey", F.round(F.col("rank") * 1e6).cast("long").alias("score_ppm")
     )
@@ -111,7 +112,9 @@ def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import connected_components
 
     kg = _keyed_graph(spark, sf_dir)
-    labels = connected_components(kg.graph)
+    # fused blocks: convergence checked every 3 rounds; extra rounds
+    # past the fixpoint are no-ops, so the labels are identical
+    labels = connected_components(kg.graph, fused_iters=3)
     # component label -> canonical string key (min vid == min skey by
     # construction: vids are the global rank of skey)
     lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("component"))
@@ -122,7 +125,7 @@ def q_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import label_propagation
 
     kg = _keyed_graph(spark, sf_dir)
-    labels = label_propagation(kg.graph, max_iter=LP_ROUNDS)
+    labels = label_propagation(kg.graph, max_iter=LP_ROUNDS, fused_iters=LP_ROUNDS)
     lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("lp_label"))
     return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "lp_label")
 

@@ -72,6 +72,9 @@ def run_suite(spark, sf_dir: str | None, synthetic_convs: int | None, pr_iters: 
     queries: dict[str, float] = {}
     eps: dict[str, float] = {}
 
+    # bucketed static-edge kernels are the defaults (engine/static_table
+    # .py): the edge table is written once per run and supersteps
+    # shuffle only vertex state; fused blocks cut Spark actions
     t0 = time.perf_counter()
     pagerank(kg.graph, tol=0.0, max_iter=pr_iters, fused_iters=5).count()
     queries["pagerank"] = time.perf_counter() - t0
@@ -79,13 +82,13 @@ def run_suite(spark, sf_dir: str | None, synthetic_convs: int | None, pr_iters: 
 
     runner = SuperstepRunner(spark, "bench_cc")
     t0 = time.perf_counter()
-    connected_components(g_sym, runner=runner, pre_symmetrized=True).count()
+    connected_components(g_sym, runner=runner, pre_symmetrized=True, fused_iters=4).count()
     queries["cc"] = time.perf_counter() - t0
     cc_iters = max((r["iteration"] for r in runner.metrics), default=1)
     eps["cc"] = m_sym * cc_iters / queries["cc"]
 
     t0 = time.perf_counter()
-    label_propagation(g_sym, max_iter=5, pre_symmetrized=True).count()
+    label_propagation(g_sym, max_iter=5, pre_symmetrized=True, fused_iters=5).count()
     queries["lp"] = time.perf_counter() - t0
     eps["lp"] = m_sym * 5 / queries["lp"]
 

@@ -102,6 +102,34 @@ def test_embedding_cosine_pairs_capped(spark):
     assert all(r["sim"] >= 0.99 for r in got)
 
 
+def test_multimodal_large_payload_contract(spark):
+    """Schema/Arrow-batching contract: a payload row in the tens of MB
+    must flow through decode_images without driver collection or
+    per-row Python, producing the same feature shape."""
+    import pandas as pd
+
+    from essentials_spark.multimodal.media import FEATURE_SCHEMA, decode_images
+
+    big = bytes(range(256)) * (64 * 1024 * 4)  # 64 MiB deterministic payload
+    pdf = pd.DataFrame(
+        {
+            "media_id": [7],
+            "kind": ["image"],
+            "payload": [big],
+            "mime": ["application/octet-stream"],
+            "width": [512],
+            "height": [512],
+            "duration_ms": [0],
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    out = decode_images(media, batch_features=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_bytes"] == len(big) and len(r["feature"]) == 8
+    assert r["mean_byte"] == pytest.approx(127.5)
+
+
 def test_ngram_jaccard(spark, docs):
     from essentials_spark.dedup.jaccard import ngram_jaccard_verify
 
