@@ -112,9 +112,7 @@ def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import connected_components
 
     kg = _keyed_graph(spark, sf_dir)
-    # fused blocks: convergence checked every 3 rounds; extra rounds
-    # past the fixpoint are no-ops, so the labels are identical
-    labels = connected_components(kg.graph, fused_iters=3)
+    labels = connected_components(kg.graph)
     # component label -> canonical string key (min vid == min skey by
     # construction: vids are the global rank of skey)
     lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("component"))

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.static_table import prepare_static_edges
+from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
@@ -76,8 +76,13 @@ def connected_components(
     def one_round(cur: DataFrame, front: DataFrame) -> DataFrame:
         """One hash-min + hook + jump round as pure dataflow.
         Returns (vid, label, old)."""
+        # adaptive state-join hint (engine/static_table.py): small
+        # frontier broadcasts (zero-shuffle round), vertex-scale
+        # frontier is shuffled-hash into the bucketed edge layout —
+        # never a size-estimate-driven broadcast that OOMs at millions
+        # of vertices, never an edge-side sort
         msgs = (
-            edges.join(front.select(F.col("vid").alias("src"), "label"), "src")
+            edges.join(hint_state_join(front.select(F.col("vid").alias("src"), "label"), n), "src")
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("dst", "vid")

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.static_table import prepare_static_edges
+from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph
 
@@ -39,11 +39,15 @@ def hits(
     state = truncate_plan(
         graph.vertices.select("vid", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
     ).persist()
+    n = state.count()
 
     for it in range(1, max_iter + 1):
         # auth(v) = sum hub(u) over u->v ; then hub(u) = sum auth(v) over u->v
+        # adaptive state-join hints (engine/static_table.py): hub/auth
+        # state is vertex-scale forever — broadcast only when small,
+        # else shuffle_hash (no large-state broadcast, no edge sorts)
         auth = (
-            edges.join(state.select(F.col("vid").alias("src"), "hub"), "src")
+            edges.join(hint_state_join(state.select(F.col("vid").alias("src"), "hub"), n), "src")
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth_raw"))
             .withColumnRenamed("dst", "vid")
@@ -54,7 +58,7 @@ def hits(
         # hub step on the transposed table: join keyed on its src
         # (= original dst), so the bucketed scan's partitioning applies
         hub = (
-            edges_rev.join(s1.select(F.col("vid").alias("src"), "auth_raw"), "src")
+            edges_rev.join(hint_state_join(s1.select(F.col("vid").alias("src"), "auth_raw"), n), "src")
             .groupBy("dst")
             .agg(F.sum("auth_raw").alias("hub_raw"))
             .withColumnRenamed("dst", "vid")

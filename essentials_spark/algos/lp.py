@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.static_table import prepare_static_edges
+from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
@@ -62,8 +62,11 @@ def label_propagation(
 
     def one_round(cur: DataFrame) -> DataFrame:
         """One mode-of-neighbors round. Returns (vid, label, old)."""
+        # adaptive state-join hint (see engine/static_table.py): label
+        # state is vertex-scale forever — broadcast only when the
+        # vertex count is genuinely small, else shuffle_hash
         counts = (
-            edges.join(cur.select(F.col("vid").alias("src"), "label"), "src")
+            edges.join(hint_state_join(cur.select(F.col("vid").alias("src"), "label"), n), "src")
             .groupBy("dst", "label")
             .agg(F.count("*").alias("cnt"))
         )

@@ -27,6 +27,31 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Vertex-state rows up to this count broadcast to the static side's
+# layout (zero-shuffle superstep, the fast path while state fits in
+# every executor); above it the state is shuffled-hash into the
+# bucketed edge layout instead. Catalyst's own size estimate of a
+# persisted iterate is unreliable (carried stats, see
+# superstep.truncate_plan), so the decision is made on the KNOWN row
+# count, not the estimate: an unhinted multi-million-row persisted
+# state was observed to broadcast ~60MB-estimated plans that
+# deserialize to several hundred MB per task and OOM the executor.
+STATE_BROADCAST_MAX_ROWS = 500_000
+
+
+def hint_state_join(state: DataFrame, n_rows: int | None) -> DataFrame:
+    """Hint the vertex-state side of a ``static_edges ⋈ state`` join.
+
+    ``n_rows``: known upper bound on the state's row count (vertex
+    count); None means unknown → assume large. Small → broadcast (the
+    static side never moves, no shuffle at all); large → shuffle_hash
+    (only the state moves into the bucketed layout, and neither side is
+    sorted — a merge hint would re-sort the edge table every round)."""
+    if n_rows is not None and n_rows <= STATE_BROADCAST_MAX_ROWS:
+        return F.broadcast(state)
+    return state.hint("shuffle_hash")
 
 
 @dataclass
@@ -40,6 +65,10 @@ class StaticTable:
 
     def drop(self) -> None:
         try:
+            self.df.unpersist()
+        except Exception:
+            pass
+        try:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
         except Exception:
             pass
@@ -50,6 +79,7 @@ def persist_bucketed(
     keys: list[str] | str,
     n_buckets: int | None = None,
     name_hint: str = "static",
+    cache: bool = True,
 ) -> StaticTable:
     """Write ``df`` as a parquet table bucketed (and sorted) by ``keys``.
 
@@ -57,6 +87,13 @@ def persist_bucketed(
     ``keys`` for every later superstep. ``n_buckets`` should track the
     cluster's shuffle parallelism (thousands at 100 TB, each bucket
     sized to fit executor memory).
+
+    ``cache`` (default): the bucketed scan is additionally persisted —
+    InMemoryTableScan preserves the scan's HashPartitioning (verified
+    by plan test), so supersteps keep the no-edge-exchange property
+    while reading from memory instead of re-scanning parquet every
+    round; eviction falls back to the parquet table (recompute = scan,
+    never a shuffle).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     spark = df.sparkSession
@@ -69,7 +106,10 @@ def persist_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
-    return StaticTable(spark, table, spark.table(table))
+    out = spark.table(table)
+    if cache:
+        out = out.persist()
+    return StaticTable(spark, table, out)
 
 
 def prepare_static_edges(
@@ -87,9 +127,17 @@ def prepare_static_edges(
     mode='shuffle': plain repartition + lineage truncation (the round-1
     shape; kept for A/B tests and for one-shot algorithms where a
     table write cannot amortize).
+    mode='prepared': the caller already persisted this DataFrame with a
+    stable ``keys`` partitioning (e.g. one ``persist_bucketed`` shared
+    by several algorithms over the same graph — CC and LP both consume
+    the symmetrized table, so writing it once in the graph-build phase
+    halves the static-side preprocessing); used as-is, caller owns the
+    lifecycle.
     """
     from essentials_spark.engine.superstep import truncate_plan
 
+    if mode == "prepared":
+        return edges
     if mode == "bucketed":
         st = persist_bucketed(edges, keys, n_buckets=n_buckets, name_hint=name_hint)
         if runner is not None:

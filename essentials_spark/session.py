@@ -46,7 +46,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_BYTES", str(64 * 1024 * 1024)),
+        )
         # iterative workloads leak localCheckpoint blocks + shuffle files
         # until a driver GC lets ContextCleaner reap them; default
         # periodicGC is 30min — far too lazy for superstep loops
