@@ -394,9 +394,14 @@ def q_geolocate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable mode: md5-derived hashing (functions/portable_hash.py)
+    # reproduced verbatim by _minhash_sql(), so the ENTIRE pipeline —
+    # shingles, 64 affine minhash perms, 16-band LSH, capped bucket
+    # pairing, signature-similarity verify, CC clustering — is
+    # value-checked against DuckDB, not just row-counted
     from essentials_spark.dedup.minhash import minhash_dedup
 
-    return minhash_dedup(_docs(spark, sf_dir), shingle_k=3, min_sim=0.5).select(
+    return minhash_dedup(_docs(spark, sf_dir), shingle_k=3, min_sim=0.5, portable=True).select(
         "id", "cluster", "keep"
     )
 
@@ -404,14 +409,17 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.dedup.simhash import simhash
 
-    return simhash(_docs(spark, sf_dir)).select("id", "simhash")
+    return simhash(_docs(spark, sf_dir), portable=True).select("id", "simhash")
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.ann.cosine import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = lsh_topk(emb.filter(F.col("vec_id") < ANN_NQ), emb, k=ANN_K, bits=10, tables=6, dim=64)
+    out = lsh_topk(
+        emb.filter(F.col("vec_id") < ANN_NQ), emb, k=ANN_K, bits=10, tables=6, dim=64,
+        portable=True,
+    )
     return out.select(
         "query_id", "neighbor_id", F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6"), "rank"
     )
@@ -833,6 +841,110 @@ corners AS (
 """
 
 
+def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3, cap: int = 64,
+                 chain_width: int = 2, min_sim: float = 0.5, cc_rounds: int = 12) -> str:
+    """DuckDB twin of q_minhash_dedup: md5/affine minhash + banded LSH +
+    capped bucket pairing + sig-similarity verify + unrolled hash-min-
+    with-pointer-jump CC (constants shared via functions/portable_hash)."""
+    from essentials_spark.functions.portable_hash import H30, MERSENNE31, PERM_A, PERM_B
+
+    rows = num_perm // bands
+    perms = ", ".join(
+        f"min(({PERM_A[i]} * h + {PERM_B[i]}) % {MERSENNE31}) AS s{i}" for i in range(num_perm)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, ({key}) AS bucket FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(f"s{b * rows + r}::VARCHAR" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    chain_selects = " UNION ALL ".join(
+        f"SELECT id AS a, lead(id, {j}) OVER (PARTITION BY band, bucket ORDER BY id) AS b"
+        f" FROM tagged WHERE bn > {cap}"
+        for j in range(1, chain_width + 1)
+    )
+    cc = []
+    for t in range(cc_rounds):
+        cc.append(
+            f"l{t + 1} AS (SELECT v.id, least(v.label, coalesce(m.nm, v.label), j.label) AS label"
+            f" FROM l{t} v"
+            f" LEFT JOIN (SELECT e.dst AS id, min(lv.label) AS nm FROM eddir e"
+            f" JOIN l{t} lv ON lv.id = e.src GROUP BY e.dst) m ON m.id = v.id"
+            f" JOIN l{t} j ON j.id = v.label)"
+        )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+sh AS (SELECT id, (('0x' || substr(md5(array_to_string(list_slice(t, i+1, i+{k}), ' ')), 1, 15))::BIGINT) % {H30} AS h
+  FROM toks, unnest(range(0, greatest(len(t)-{k}, 0)+1)) AS u(i) WHERE len(t) > 0),
+sig AS (SELECT id, {perms} FROM sh GROUP BY id),
+banded AS ({band_selects}),
+sizes AS (SELECT band, bucket, count(*) AS bn FROM banded GROUP BY band, bucket),
+tagged AS (SELECT x.id, x.band, x.bucket, s.bn FROM banded x JOIN sizes s ON s.band = x.band AND s.bucket = x.bucket),
+smallp AS (SELECT l.id AS a, r.id AS b FROM tagged l JOIN tagged r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id WHERE l.bn <= {cap}),
+chainp AS ({chain_selects}),
+cand AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM smallp UNION ALL SELECT a, b FROM chainp WHERE b IS NOT NULL)),
+pairs AS (SELECT c.a, c.b FROM cand c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b
+  WHERE round(({eq_terms}) / {float(num_perm)}, 6) >= {min_sim}),
+eddir AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs),
+l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+{', '.join(cc)}
+SELECT id, label AS cluster, (id = label) AS keep FROM l{cc_rounds}
+"""
+
+
+def _simhash_sql(nbits: int = 32) -> str:
+    """DuckDB twin of q_simhash (portable 32-bit signature)."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+    return f"""
+WITH toksu AS (SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
+h AS (SELECT id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) % {1 << 32} AS h FROM toksu)
+SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM h GROUP BY id
+"""
+
+
+def _annlsh_sql(bits: int = 10, tables: int = 6, dim: int = 64) -> str:
+    """DuckDB twin of q_lsh_topk: the literal hyperplane components are
+    the same plane_components() values inlined into the Spark plan."""
+    from essentials_spark.functions.portable_hash import plane_components
+
+    planes = plane_components(tables, bits, dim)
+
+    def sig_expr(t: int) -> str:
+        terms = []
+        for b in range(bits):
+            arr = "[" + ", ".join(repr(c) for c in planes[t][b]) + "]::DOUBLE[]"
+            terms.append(f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << b} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {sig_expr(t)} AS sig FROM e" for t in range(tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS ({unions}),
+p AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+  FROM s q JOIN s c ON q.tbl = c.tbl AND q.sig = c.sig AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {ANN_NQ}),
+r AS (SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM p)
+SELECT query_id, neighbor_id, CAST(round(sim * 1e6) AS BIGINT) AS sim_e6,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {ANN_K}
+"""
+
+
 def _materialize_ctes(sql: str) -> str:
     """Force DuckDB to materialize every CTE: the unrolled iterative
     oracles reference each previous iteration 2-3 times, and default
@@ -878,6 +990,12 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_PRELUDE} SELECT CAST(count(*) AS BIGINT) AS n_colored,"
         " CAST(0 AS BIGINT) AS mono_edges FROM verts"
     )
+
+    # portable-hash dedup/ANN pipelines (md5-based, value-checkable end
+    # to end — see functions/portable_hash.py)
+    sql["minhash_dedup"] = _minhash_sql()
+    sql["simhash_signatures"] = _simhash_sql()
+    sql["ann_lsh_topk"] = _annlsh_sql()
 
     sql["pagerank"] = _pagerank_sql()
     sql["connected_components"] = _cc_sql()

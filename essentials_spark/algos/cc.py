@@ -73,16 +73,19 @@ def connected_components(
     # hash-min messages are >= the receiver's label, a no-op)
     frontier = labels.select("vid", "label")
 
-    def one_round(cur: DataFrame, front: DataFrame) -> DataFrame:
+    def one_round(cur: DataFrame, front: DataFrame, front_rows: int | None) -> DataFrame:
         """One hash-min + hook + jump round as pure dataflow.
         Returns (vid, label, old)."""
         # adaptive state-join hint (engine/static_table.py): small
         # frontier broadcasts (zero-shuffle round), vertex-scale
         # frontier is shuffled-hash into the bucketed edge layout —
         # never a size-estimate-driven broadcast that OOMs at millions
-        # of vertices, never an edge-side sort
+        # of vertices, never an edge-side sort. front_rows is the
+        # KNOWN frontier size (previous round's change count — the
+        # delta frontier shrinks fast, so late rounds broadcast a tiny
+        # frontier even on billion-vertex graphs).
         msgs = (
-            edges.join(hint_state_join(front.select(F.col("vid").alias("src"), "label"), n), "src")
+            edges.join(hint_state_join(front.select(F.col("vid").alias("src"), "label"), front_rows), "src")
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("dst", "vid")
@@ -111,12 +114,16 @@ def connected_components(
             .select("vid", F.least(F.col("cand"), F.col("jump")).alias("label"), "old")
         )
 
+    front_rows = n
     while not converged and iteration < max_iter:
         k = min(max(1, fused_iters), max_iter - iteration)
         cur, front = labels, frontier
         intermediates = []
         for _ in range(k):
-            cur = one_round(cur.select("vid", "label"), front)
+            # fused sub-rounds reuse the last KNOWN frontier count as a
+            # loose bound — the hint only picks broadcast vs
+            # shuffle_hash, so a stale-but-same-magnitude bound is fine
+            cur = one_round(cur.select("vid", "label"), front, front_rows)
             # each fused round references its predecessor several times
             # (messages, hook, jump lookup) — persist keeps the block a
             # single action while deduplicating the shared subplans
@@ -135,6 +142,7 @@ def connected_components(
         labels.unpersist()
         labels = new_labels.drop("old").persist()
         frontier = changed
+        front_rows = n_changed
         if n_changed == 0:
             labels = runner.materialize(labels, iteration, force=True, meta={"converged": True}).persist()
             break

@@ -87,6 +87,22 @@ def _rh_signature(vec, t: int, bits: int):
     return sig
 
 
+def _rh_signature_literal(vec, planes_t: list[list[float]]):
+    """Signature against literal plane arrays (portable mode): the same
+    component values are inlined into the oracle SQL (functions/
+    portable_hash.plane_components), so buckets are value-checkable in
+    DuckDB. Fine at O(100) dims; the hash-derived variant above is the
+    scale path for 1-4k dims."""
+    sig = F.lit(0).cast("long")
+    for b, comps in enumerate(planes_t):
+        arr = F.array(*[F.lit(c) for c in comps])
+        proj = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -97,21 +113,37 @@ def lsh_topk(
     tables: int = 4,
     dim: int | None = None,
     sim_decimals: int = 6,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing.
 
     Each vector gets ``tables`` signatures of ``bits`` bits; query and
     candidate meet when any table's signature matches — a bucketed
     equi-join on (table, signature) instead of a cross join. ``dim``
-    is accepted for API compatibility and ignored (hyperplanes are
-    hash-derived per dimension index — any dim works).
+    is required only in ``portable`` mode (literal plane arrays shared
+    with the oracle SQL); otherwise hyperplanes are hash-derived per
+    dimension index and any dim works.
     """
+    planes = None
+    if portable:
+        from essentials_spark.functions.portable_hash import plane_components
+
+        if dim is None:
+            raise ValueError("portable lsh_topk requires dim")
+        planes = plane_components(tables, bits, dim)
 
     def with_sigs(df, idc):
         v = _as_double(F.col(vec_col))
         rows = df.select(F.col(id_col).alias(idc), v.alias("v")).withColumn("n", _norm(F.col("v")))
         sigs = [
-            F.struct(F.lit(t).alias("tbl"), _rh_signature(F.col("v"), t, bits).alias("sig"))
+            F.struct(
+                F.lit(t).alias("tbl"),
+                (
+                    _rh_signature_literal(F.col("v"), planes[t])
+                    if portable
+                    else _rh_signature(F.col("v"), t, bits)
+                ).alias("sig"),
+            )
             for t in range(tables)
         ]
         return rows.withColumn("sig", F.explode(F.array(*sigs))).select(

@@ -31,10 +31,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _shingles(text_col, k: int = 5):
+def _shingles(text_col, k: int = 5, portable: bool = False):
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    if portable:
+        from essentials_spark.functions.portable_hash import H30, md5_int60
+
+        return F.transform(
+            idx, lambda i: md5_int60(F.concat_ws(" ", F.slice(toks, i + 1, k))) % F.lit(H30)
+        )
     return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
 
 
@@ -44,14 +50,27 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 64,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_perm])."""
-    def perm(i: int):
-        # closure factory — `lambda s, i=i` would make PySpark treat the
-        # lambda as binary and bind the ARRAY INDEX to i (see simhash.py)
-        return lambda s: F.xxhash64(s, F.lit(i))
+    """(id, sig: array<long>[num_perm]).
 
-    sh = _shingles(F.col(text_col), shingle_k)
+    ``portable``: use the md5-derived 30-bit shingle hash + affine
+    permutations from functions/portable_hash.py instead of xxhash64 —
+    bit-identical to the generated ANSI-SQL oracle, so the whole
+    pipeline is value-checkable against DuckDB. xxhash64 (default)
+    stays the fast path."""
+    if portable:
+        from essentials_spark.functions.portable_hash import perm_hash
+
+        def perm(i: int):
+            return lambda s: perm_hash(s, i)
+    else:
+        def perm(i: int):
+            # closure factory — `lambda s, i=i` would make PySpark treat the
+            # lambda as binary and bind the ARRAY INDEX to i (see simhash.py)
+            return lambda s: F.xxhash64(s, F.lit(i))
+
+    sh = _shingles(F.col(text_col), shingle_k, portable=portable)
     sig = F.array(*[F.array_min(F.transform(F.col("_sh"), perm(i))) for i in range(num_perm)])
     return (
         docs.select(F.col(id_col).alias("id"), sh.alias("_sh"))
@@ -111,22 +130,29 @@ def minhash_lsh_pairs(
     min_sim: float = 0.5,
     bucket_cap: int = 64,
     chain_width: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (a, b, sig_sim), a < b, verified by
     full-signature agreement >= min_sim. Band buckets larger than
-    ``bucket_cap`` use chain pairing (module docstring)."""
+    ``bucket_cap`` use chain pairing (module docstring). ``portable``:
+    SQL-reproducible hashing (see minhash_signatures); the band bucket
+    key becomes the joined row values instead of their xxhash64."""
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k)
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k, portable=portable)
+
+    def bucket_key(b: int):
+        joined = F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])
+        # portable mode joins on the exact row values (a string key —
+        # reproducible in SQL); default hashes them to a long
+        return joined if portable else F.xxhash64(joined)
+
     banded = sigs.select(
         "id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_key(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )

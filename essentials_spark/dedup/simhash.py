@@ -25,10 +25,25 @@ def _bit_value(i: int) -> int:
     return -(2**63) if i == 63 else (1 << i)
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: long) — 64-bit signature (bit 63 via sign)."""
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False
+) -> DataFrame:
+    """(id, simhash: long) — 64-bit signature (bit 63 via sign).
+
+    ``portable``: 32-bit signature over the md5-derived token hash from
+    functions/portable_hash.py — bit-identical to the generated
+    ANSI-SQL oracle (xxhash64 is not reproducible in DuckDB), so the
+    correctness gate can value-check signatures, not just row counts."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if portable:
+        from essentials_spark.functions.portable_hash import md5_int60
+
+        nbits = 32
+        hashes = F.transform(toks, lambda t: md5_int60(t) % F.lit(1 << 32))
+    else:
+        nbits = 64
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
     def merge_for(i: int):
         # closure factory, NOT `lambda acc, h, i=i`: PySpark derives the
         # higher-order function's arity from the Python signature, so a
@@ -37,7 +52,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         return lambda acc, h: acc + F.when(_bit_set(h, i), 1).otherwise(-1)
 
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         vote = F.aggregate(hashes, F.lit(0), merge_for(i))
         sig = sig + F.when(vote > 0, F.lit(_bit_value(i)).cast("long")).otherwise(F.lit(0).cast("long"))
     return docs.select(F.col(id_col).alias("id"), sig.alias("simhash"))
@@ -51,6 +66,7 @@ def simhash_pairs(
     blocks: int = 4,
     bucket_cap: int = 64,
     chain_width: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate pairs (a, b, hamming) with hamming <= max_hamming.
 
@@ -60,8 +76,8 @@ def simhash_pairs(
     quadratic-blowup guard for boilerplate-heavy corpora."""
     from essentials_spark.dedup.minhash import capped_bucket_pairs
 
-    sigs = simhash(docs, text_col, id_col)
-    width = 64 // blocks
+    sigs = simhash(docs, text_col, id_col, portable=portable)
+    width = (32 if portable else 64) // blocks
     mask = (1 << width) - 1
     chunked = sigs.select(
         "id",

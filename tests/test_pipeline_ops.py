@@ -45,6 +45,50 @@ def test_minhash_dedup_clusters(spark, docs):
     assert out[5][1] is True  # singleton kept
 
 
+def test_portable_hash_matches_hashlib(spark):
+    """The md5-int primitive (functions/portable_hash.py) must equal
+    hashlib's — the single source of truth both Spark and the DuckDB
+    oracle SQL reduce to."""
+    import hashlib
+
+    from essentials_spark.functions.portable_hash import md5_int60, sql_md5_int60
+
+    import duckdb
+
+    samples = ["aa bb cc", "", "tok", "Ünïcode test"]
+    expected = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in samples]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r["h"] for r in df.select(md5_int60(F.col("s")).alias("h")).collect()]
+    assert got == expected
+    con = duckdb.connect()
+    for s, e in zip(samples, expected):
+        assert con.execute(f"SELECT {sql_md5_int60('?')}", [s]).fetchone()[0] == e
+
+
+def test_minhash_portable_finds_same_dups(spark, docs):
+    """Portable (md5/affine) mode is a different hash family but must
+    find the same planted duplicate structure."""
+    from essentials_spark.dedup.minhash import minhash_dedup
+
+    out = {
+        r["id"]: (r["cluster"], r["keep"])
+        for r in minhash_dedup(docs, shingle_k=3, min_sim=0.4, portable=True).collect()
+    }
+    assert out[0][0] == out[1][0]
+    assert out[0][1] is True and out[1][1] is False
+    assert out[5][1] is True
+
+
+def test_simhash_portable(spark, docs):
+    from essentials_spark.dedup.simhash import simhash, simhash_pairs
+
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs, portable=True).collect()}
+    assert sigs[0] == sigs[1]  # identical docs -> identical signature
+    assert all(0 <= v < (1 << 32) for v in sigs.values())  # 32-bit portable sigs
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=8, portable=True).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
 def test_simhash_pairs(spark, docs):
     from essentials_spark.dedup.simhash import simhash_pairs
 
