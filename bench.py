@@ -43,35 +43,31 @@ def build_graph(spark, sf_dir: str | None, synthetic_convs: int | None):
 
 
 def run_suite(spark, sf_dir: str | None, synthetic_convs: int | None, pr_iters: int = 10) -> dict:
-    from essentials_spark.algos import connected_components, label_propagation, pagerank, triangle_count
+    from essentials_spark.algos import triangle_count
     from essentials_spark.engine.superstep import SuperstepRunner
 
-    from essentials_spark.engine.static_table import persist_bucketed
     from essentials_spark.engine.superstep import truncate_plan
     from essentials_spark.graph.derive import Graph, canonicalize_edges
+    from essentials_spark.graph.prepared import prepare_graph
 
     # build phase (≙ reference io + graph::build, which includes the
-    # load-balancer layout preprocessing): derivation AND the
-    # symmetrized src-bucketed static table CC/LP share — written ONCE
-    # per graph, exactly like the reference preprocesses its frontier
-    # layouts outside enact(). The timed loops are pure supersteps.
+    # load-balancer layout preprocessing): derivation AND the shared
+    # bucketed static tables (one symmetrized table for CC+LP, one
+    # weighted spread table for PR) — written ONCE per graph, exactly
+    # like the reference preprocesses its frontier layouts outside
+    # enact(). The timed loops are pure supersteps.
     t0 = time.perf_counter()
     kg, kg_m = build_graph(spark, sf_dir, synthetic_convs)
     n = kg.graph.vertices.count()
     m = kg.graph.edges.count()
     m_m = kg_m.graph.edges.count()
-    from essentials_spark.algos.pagerank import weighted_pagerank_edges
-
-    sym = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
-    sym_st = persist_bucketed(sym.select("src", "dst"), "src", name_hint="bench_sym")
-    prw_st = persist_bucketed(weighted_pagerank_edges(kg.graph), "src", name_hint="bench_prw")
-    prw_st.df.count()
+    pg = prepare_graph(kg.graph)
+    pg.pr_st.df.count()
     sym_m = truncate_plan(
         canonicalize_edges(kg_m.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
     )
-    m_sym = sym_st.df.count()
+    m_sym = pg.sym_st.df.count()
     m_sym_m = sym_m.count()
-    g_sym = Graph(vertices=kg.graph.vertices, edges=sym_st.df)
     g_sym_m = Graph(vertices=kg_m.graph.vertices, edges=sym_m)
     build_sec = time.perf_counter() - t0
 
@@ -82,7 +78,7 @@ def run_suite(spark, sf_dir: str | None, synthetic_convs: int | None, pr_iters: 
     # .py): the edge table is written once per run and supersteps
     # shuffle only vertex state; fused blocks cut Spark actions
     t0 = time.perf_counter()
-    pagerank(kg.graph, tol=0.0, max_iter=pr_iters, fused_iters=5, static_edges_w=prw_st.df).count()
+    pg.pagerank(tol=0.0, max_iter=pr_iters, fused_iters=5).count()
     queries["pagerank"] = time.perf_counter() - t0
     eps["pagerank"] = m * pr_iters / queries["pagerank"]
 
@@ -91,17 +87,13 @@ def run_suite(spark, sf_dir: str | None, synthetic_convs: int | None, pr_iters: 
     # 3x/round — measured 4x slower at sf0.1 than one action per round
     runner = SuperstepRunner(spark, "bench_cc")
     t0 = time.perf_counter()
-    connected_components(
-        g_sym, runner=runner, pre_symmetrized=True, edges_mode="prepared"
-    ).count()
+    pg.connected_components(runner=runner).count()
     queries["cc"] = time.perf_counter() - t0
     cc_iters = max((r["iteration"] for r in runner.metrics), default=1)
     eps["cc"] = m_sym * cc_iters / queries["cc"]
 
     t0 = time.perf_counter()
-    label_propagation(
-        g_sym, max_iter=5, pre_symmetrized=True, edges_mode="prepared", fused_iters=5
-    ).count()
+    pg.label_propagation(max_iter=5, fused_iters=5).count()
     queries["lp"] = time.perf_counter() - t0
     eps["lp"] = m_sym * 5 / queries["lp"]
 
@@ -110,8 +102,7 @@ def run_suite(spark, sf_dir: str | None, synthetic_convs: int | None, pr_iters: 
     queries["tc"] = time.perf_counter() - t0
     eps["tc"] = m_sym_m / queries["tc"]
 
-    sym_st.drop()
-    prw_st.drop()
+    pg.close()
 
     return {
         "n_vertices": n,

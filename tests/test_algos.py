@@ -153,3 +153,21 @@ def test_tc_random_graph_vs_oracle(spark):
     exp, exp_total = tc_oracle(n, pairs)
     assert got.tolist() == exp.tolist()
     assert total == exp_total
+
+
+def test_prepared_graph_matches_standalone(spark, golden_tc_graph):
+    """PreparedGraph (shared build-once static tables) must return the
+    exact same results as the standalone algorithm entry points."""
+    from essentials_spark.graph.prepared import prepare_graph
+    from essentials_spark.algos import connected_components, pagerank
+
+    small_graph = golden_tc_graph
+    with prepare_graph(small_graph) as pg:
+        pr1 = {r["vid"]: r["rank"] for r in pg.pagerank(max_iter=5, tol=0.0).collect()}
+        cc1 = {r["vid"]: r["label"] for r in pg.connected_components().collect()}
+        _pv, tc_total = pg.triangle_count()
+    pr2 = {r["vid"]: r["rank"] for r in pagerank(small_graph, max_iter=5, tol=0.0).collect()}
+    cc2 = {r["vid"]: r["label"] for r in connected_components(small_graph).collect()}
+    assert cc1 == cc2
+    assert set(pr1) == set(pr2) and all(abs(pr1[k] - pr2[k]) < 1e-12 for k in pr1)
+    assert tc_total >= 0

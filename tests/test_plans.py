@@ -116,3 +116,27 @@ def test_pagerank_superstep_uses_partial_aggregation(spark):
     msgs = edges_w.join(ranks, "src").groupBy("dst").agg(F.sum(F.col("rank") * F.col("coef")))
     plan = explain_str(msgs)
     assert "partial_sum" in plan  # map-side combine (≙ reference atomics)
+
+
+def test_hint_state_join_adaptive(spark):
+    """hint_state_join: state joins BROADCAST below the known row-count
+    bound (zero-shuffle superstep) and SHUFFLE-HASH above it (no
+    mis-estimated large-state broadcast, no edge-side sort) — the
+    decision must come from the KNOWN count, not Catalyst's estimate."""
+    from essentials_spark.engine.static_table import (
+        STATE_BROADCAST_MAX_ROWS,
+        hint_state_join,
+    )
+
+    edges = spark.range(500).select(
+        (F.col("id") % 40).alias("src"), (F.col("id") % 31).alias("dst")
+    )
+    state = spark.range(40).select(F.col("id").alias("src"), F.lit(1.0).alias("rank"))
+
+    small = edges.join(hint_state_join(state, 40), "src")
+    assert "BroadcastHashJoin" in explain_str(small)
+
+    big = edges.join(hint_state_join(state, STATE_BROADCAST_MAX_ROWS + 1), "src")
+    plan = explain_str(big)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # never an edge-side sort
