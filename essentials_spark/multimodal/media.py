@@ -1,16 +1,24 @@
 """Multimodal (image/audio/video) columns as opaque binary + metadata.
 
 The Spark-side plumbing — schema, partition-sized Arrow batching,
-mapInPandas signatures, feature-column contracts — is real and tested;
-the actual codec step is STUBBED behind ``_decode_payload`` (the
-image/audio libraries are not in this container): it produces a
-deterministic fake pixel buffer from the payload bytes, clearly marked.
-Swapping in PIL/ffmpeg changes one function, not the pipeline.
+mapInPandas signatures, feature-column contracts — is real and tested,
+and so are the codecs for UNCOMPRESSED container formats, implemented
+in pure NumPy (no external media libraries in this container):
+
+- PPM (P6)            -> (h, w, 3) uint8 pixels
+- BMP (24-bit, BI_RGB) -> (h, w, 3) uint8 pixels (bottom-up + BGR handled)
+- WAV (PCM 8/16-bit)   -> float64 mono samples + sample rate
+
+Compressed formats (JPEG/PNG/MP3/H.264...) still raise
+``NotImplementedError`` — swapping in PIL/ffmpeg changes one dispatch
+branch, not the pipeline. The synthetic octet-stream payloads used by
+the contract tests keep a clearly-marked deterministic fake.
 
 Design for 100 TB: binaries stay in their parquet row groups until the
-mapInPandas stage; decode/resize/feature-extract run per Arrow batch
+mapInPandas stage; decode/feature-extract run per Arrow batch
 (spark.sql.execution.arrow.maxRecordsPerBatch caps batch memory);
-nothing is collected to the driver.
+per-object decode is the codec bound, every feature pass is one
+vectorized sweep over the whole batch; nothing reaches the driver.
 """
 
 from __future__ import annotations
@@ -26,6 +34,10 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, mean_byte double, feature array<float>"
+
+AUDIO_SCHEMA = (
+    "media_id long, n_samples long, sample_rate int, rms double, feature array<float>"
+)
 
 
 def synth_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
@@ -45,27 +57,146 @@ def synth_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
     )
 
 
-def _decode_payload(payload: bytes, width: int, height: int):
-    """STUB decoder — deterministic fake pixel buffer.
+# --------------------------------------------------------------- real codecs
 
-    Real deployment: replace with PIL.Image.open / soundfile / pyav.
-    Raises NotImplementedError for real media mime types so misuse is
-    loud, and fakes only the synthetic octet-stream payloads.
-    """
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6): header 'P6 <w> <h> <maxval>' + raw RGB bytes.
+    Returns (h, w, 3) uint8. Comments (#...) in the header are handled."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: 3 integers after the magic, skipping comments
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP (BI_RGB). Returns (h, w, 3) uint8 in RGB
+    order, top-down (bottom-up storage and row padding handled)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is supported without PIL")
+    stride = (w * 3 + 3) // 4 * 4  # rows pad to 4 bytes
+    rows = abs(h)
+    arr = (
+        np.frombuffer(payload, dtype=np.uint8, count=stride * rows, offset=off)
+        .reshape(rows, stride)[:, : w * 3]
+        .reshape(rows, w, 3)
+    )
+    if h > 0:  # positive height = bottom-up storage
+        arr = arr[::-1]
+    return arr[..., ::-1]  # BGR -> RGB
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM (8- or 16-bit). Returns (float64 mono samples in
+    [-1, 1], sample_rate). Multi-channel is averaged to mono."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError("compressed WAV requires ffmpeg (not in this container)")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return samples, sample_rate
+
+
+def _decode_payload(payload: bytes, width: int, height: int):
+    """Decode an image payload to a 2-D grayscale float buffer.
+
+    Real codecs for uncompressed formats (PPM/BMP, magic-sniffed);
+    compressed mime types raise loudly (PIL not in this container);
+    synthetic octet-stream payloads keep the deterministic fake so the
+    batching/plumbing contract tests run without fixture files."""
     import numpy as np
 
     if payload is None:
         raise NotImplementedError("real media decoding requires PIL/ffmpeg (not in this container)")
+    if payload[:2] == b"P6":
+        return decode_ppm(payload).mean(axis=2)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload).mean(axis=2)
+    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1"):
+        raise NotImplementedError("compressed image decoding requires PIL (not in this container)")
+    # deterministic fake for synthetic octet-stream payloads (declared stub)
     raw = np.frombuffer(payload, dtype=np.uint8)
     reps = int(np.ceil(width * height / len(raw))) if len(raw) else 1
     return np.tile(raw, reps)[: width * height].reshape(height, width)
+
+
+def _chunk_means(pix, sizes, k: int):
+    """Per-item k-chunk means over a concatenated value buffer — one
+    vectorized reduceat across the whole Arrow batch (no per-row loop).
+    ``sizes``: per-item value counts; returns (n, k) float32."""
+    import numpy as np
+
+    n = len(sizes)
+    div, mod = np.divmod(sizes, k)
+    chunk_len = div[:, None] + (np.arange(k)[None, :] < mod[:, None])
+    flat_len = chunk_len.ravel()
+    ends = np.cumsum(flat_len)
+    cstarts = np.concatenate(([0], ends[:-1]))
+    sums = np.add.reduceat(pix, np.minimum(cstarts, max(len(pix) - 1, 0)))
+    feat = np.where(flat_len > 0, sums / np.maximum(flat_len, 1), 0.0)
+    return feat.reshape(n, k).astype(np.float32)
 
 
 def decode_images(media: DataFrame, batch_features: int = 8) -> DataFrame:
     """mapInPandas decode + feature extraction over image rows.
 
     Output: FEATURE_SCHEMA — byte stats + a fixed-size feature vector
-    (row-mean downsample of the decoded buffer)."""
+    (k-chunk mean downsample of the decoded grayscale buffer; chunking
+    follows the DECODED size, so real codecs with their own dimensions
+    and the metadata-sized fake both work)."""
     import numpy as np
     import pandas as pd
 
@@ -81,27 +212,18 @@ def decode_images(media: DataFrame, batch_features: int = 8) -> DataFrame:
             flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.float64)
             starts = np.concatenate(([0], np.cumsum(n_bytes)[:-1]))
             mean_byte = np.add.reduceat(flat, starts) / n_bytes
-            # --- decode (per item: the codec bound — PIL/ffmpeg are
+            # --- decode (per item: the codec bound — codecs are
             # inherently per-object) then a single vectorized feature
             # pass over all decoded pixels in the batch ---
             widths = pdf["width"].to_numpy(np.int64)
             heights = pdf["height"].to_numpy(np.int64)
-            pix = np.concatenate(
-                [
-                    _decode_payload(p, int(w), int(h)).ravel()
-                    for p, w, h in zip(payloads, widths, heights)
-                ]
-            ).astype(np.float64)
-            sizes = widths * heights
-            # np.array_split chunk lengths: mod chunks of div+1, rest div
-            div, mod = np.divmod(sizes, k)
-            chunk_len = div[:, None] + (np.arange(k)[None, :] < mod[:, None])
-            flat_len = chunk_len.ravel()
-            ends = np.cumsum(flat_len)
-            cstarts = np.concatenate(([0], ends[:-1]))
-            sums = np.add.reduceat(pix, np.minimum(cstarts, len(pix) - 1))
-            feat = np.where(flat_len > 0, sums / np.maximum(flat_len, 1), 0.0)
-            feat = feat.reshape(n, k).astype(np.float32)
+            decoded = [
+                _decode_payload(p, int(w), int(h)).ravel()
+                for p, w, h in zip(payloads, widths, heights)
+            ]
+            pix = np.concatenate(decoded).astype(np.float64)
+            sizes = np.fromiter((d.size for d in decoded), dtype=np.int64, count=n)
+            feat = _chunk_means(pix, sizes, k)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(np.int64),
@@ -113,6 +235,42 @@ def decode_images(media: DataFrame, batch_features: int = 8) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def decode_audio(media: DataFrame, batch_features: int = 8) -> DataFrame:
+    """mapInPandas WAV-PCM decode + audio features over audio rows.
+
+    Output: AUDIO_SCHEMA — sample count/rate, RMS amplitude, and a
+    k-chunk mean-amplitude envelope (the audio analogue of the image
+    downsample feature)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = batch_features
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            decoded = [decode_wav(p) for p in pdf["payload"].tolist()]
+            rates = np.fromiter((r for _, r in decoded), dtype=np.int32, count=n)
+            sizes = np.fromiter((s.size for s, _ in decoded), dtype=np.int64, count=n)
+            samples = np.concatenate([s for s, _ in decoded])
+            starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            sq = np.add.reduceat(samples**2, np.minimum(starts, max(len(samples) - 1, 0)))
+            rms = np.sqrt(np.where(sizes > 0, sq / np.maximum(sizes, 1), 0.0))
+            feat = _chunk_means(np.abs(samples), sizes, k)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "n_samples": sizes,
+                    "sample_rate": rates,
+                    "rms": rms,
+                    "feature": list(feat),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 def extract_image_features(media: DataFrame, dim: int = 8) -> DataFrame:

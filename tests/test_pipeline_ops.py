@@ -258,3 +258,101 @@ def test_multimodal_decode_plumbing(spark):
     frames = sample_video_frames(media, every_ms=5000)
     assert frames.count() > 0
     assert frames.columns == ["media_id", "payload", "width", "height", "ts_ms"]
+
+
+def _make_ppm(w, h, value_fn):
+    import numpy as np
+
+    arr = np.fromfunction(lambda y, x, c: value_fn(y, x, c), (h, w, 3)).astype(np.uint8)
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + arr.tobytes(), arr
+
+
+def _make_bmp(w, h, value_fn):
+    """Minimal uncompressed 24-bit BMP (bottom-up, padded rows)."""
+    import numpy as np
+
+    rgb = np.fromfunction(lambda y, x, c: value_fn(y, x, c), (h, w, 3)).astype(np.uint8)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM" + (off + len(data)).to_bytes(4, "little") + b"\0\0\0\0" + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return header + data, rgb
+
+
+def _make_wav(samples16, rate=8000, channels=1):
+    data = samples16.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little") + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little") + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def test_real_codecs_roundtrip():
+    """The pure-NumPy codecs must decode bytes they didn't produce
+    themselves back to the exact pixel/sample values."""
+    import numpy as np
+
+    from essentials_spark.multimodal.media import decode_bmp, decode_ppm, decode_wav
+
+    ppm_bytes, arr = _make_ppm(5, 3, lambda y, x, c: (y * 50 + x * 10 + c) % 256)
+    assert np.array_equal(decode_ppm(ppm_bytes), arr)
+
+    bmp_bytes, rgb = _make_bmp(5, 3, lambda y, x, c: (y * 40 + x * 7 + c * 3) % 256)
+    assert np.array_equal(decode_bmp(bmp_bytes), rgb)
+
+    s = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
+    samples, rate = decode_wav(_make_wav(s, rate=16000))
+    assert rate == 16000 and len(samples) == 400
+    assert np.allclose(samples, s / 32768.0)
+    # stereo averages to mono
+    stereo = np.stack([s, -s], axis=1).ravel()
+    mono, _ = decode_wav(_make_wav(stereo, channels=2))
+    assert np.allclose(mono, 0.0)
+
+
+def test_real_codecs_through_spark_pipeline(spark):
+    """Real PPM/WAV payloads through the mapInPandas decode stages:
+    features must reflect the DECODED content, not byte stats."""
+    import numpy as np
+
+    from essentials_spark.multimodal.media import decode_audio, decode_images
+
+    ppm_bytes, arr = _make_ppm(8, 4, lambda y, x, c: (x * 30) % 256)
+    s = (np.ones(1000) * 16384).astype(np.int16)
+    wav_bytes = _make_wav(s, rate=8000)
+    rows = [
+        (1, "image", bytearray(ppm_bytes), "image/x-portable-pixmap", 8, 4, 0),
+        (2, "audio", bytearray(wav_bytes), "audio/wav", 0, 0, 125),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, width int, height int, duration_ms int"
+    )
+    img = decode_images(media, batch_features=4).collect()
+    assert len(img) == 1 and img[0]["media_id"] == 1
+    # grayscale mean of the decoded image == mean over constructed pixels
+    expected_mean = arr.mean(axis=2).mean()
+    assert abs(float(np.mean(img[0]["feature"])) - expected_mean) < 1.0
+
+    aud = decode_audio(media, batch_features=4).collect()
+    assert len(aud) == 1 and aud[0]["n_samples"] == 1000 and aud[0]["sample_rate"] == 8000
+    assert abs(aud[0]["rms"] - 0.5) < 1e-3  # constant half-scale signal
+
+
+def test_compressed_media_raises_loudly():
+    from essentials_spark.multimodal.media import _decode_payload
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _decode_payload(b"\x89PNG\r\n\x1a\n" + b"\0" * 100, 8, 8)
