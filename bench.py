@@ -161,7 +161,12 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--lo", type=int, default=8, help="scaling mode: N cores")
     ap.add_argument("--hi", type=int, default=32, help="scaling mode: 4N cores")
-    ap.add_argument("--probe", choices=["ann"], default=None, help="compute-bound scaling probe")
+    ap.add_argument(
+        "--probe", choices=["ann", "csr"], default=None,
+        help="compute-bound scaling probes: ann = brute-force cosine; "
+        "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
+        "Arrow/pandas SpMV superstep path)",
+    )
     args = ap.parse_args()
 
     if args.scaling:
@@ -175,6 +180,29 @@ def main() -> None:
         spark = get_spark(master=f"local[{cpus}]", app_name="bench-ann", shuffle_partitions=cpus)
         res = run_ann_probe(spark)
         print(json.dumps({"metric": "ann_probe", "cpus": cpus, **res}))
+        spark.stop()
+        return
+
+    if args.probe == "csr":
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from essentials_spark.session import get_spark
+
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-csr", shuffle_partitions=cpus)
+        from essentials_spark.algos import pagerank
+        from essentials_spark.graph.keyed import keyed_graph_from_transcripts
+        from essentials_spark.io.transcripts import synth_transcripts
+
+        n_convs = args.synthetic or 200_000
+        kg = keyed_graph_from_transcripts(synth_transcripts(spark, n_convs=n_convs, seed=42))
+        m = kg.graph.edges.count()
+        t0 = time.perf_counter()
+        pagerank(kg.graph, tol=0.0, max_iter=10, kernel="csr", fused_iters=5).count()
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "csr_pagerank_probe", "cpus": cpus, "sec": round(dt, 3),
+            "n_edges": m, "edges_per_sec": round(m * 10 / dt),
+        }))
         spark.stop()
         return
 

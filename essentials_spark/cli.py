@@ -22,7 +22,7 @@ from essentials_spark.session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="essentials_spark")
-    ap.add_argument("algo", choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp", "hits"])
+    ap.add_argument("algo", choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp", "hits", "all"])
     ap.add_argument("--input", help="transcripts table: parquet path or iceberg table name")
     ap.add_argument("--synthetic", type=int, default=None, help="generate N synthetic conversations instead")
     ap.add_argument("--output", default=None, help="write result here (parquet/iceberg)")
@@ -32,7 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--source", type=int, default=0, help="bfs/sssp source vid")
-    ap.add_argument("--kernel", default="dataframe", choices=["dataframe", "csr"])
+    # bucketed = the at-scale default everywhere (static edge table
+    # written once, supersteps shuffle only vertex state)
+    ap.add_argument("--kernel", default="bucketed", choices=["bucketed", "dataframe", "csr"])
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"essentials-{args.algo}")
@@ -53,6 +55,28 @@ def main(argv: list[str] | None = None) -> int:
     runner = SuperstepRunner(
         spark, args.algo, checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every
     )
+
+    if args.algo == "all":
+        # the multi-algorithm pattern: build the shared bucketed static
+        # layouts once (graph/prepared.py), run the whole headline
+        # suite against them, write each result under --output/<algo>
+        from essentials_spark.graph.prepared import prepare_graph
+
+        if not args.output:
+            ap.error("algo 'all' requires --output")
+        with prepare_graph(kg.graph, alpha=args.alpha) as pg:
+            results = {
+                "pagerank": pg.pagerank(tol=args.tol, max_iter=args.max_iter),
+                "cc": pg.connected_components(max_iter=args.max_iter),
+                "lp": pg.label_propagation(max_iter=min(args.max_iter, 20)),
+            }
+            pv, total = pg.triangle_count()
+            results["tc"] = pv
+            print(f"tc_total={total}")
+            for name, df in results.items():
+                df.join(kg.vkeys, "vid").write.mode("overwrite").parquet(f"{args.output}/{name}")
+                print(f"wrote {args.output}/{name}")
+        return 0
 
     if args.algo == "pagerank":
         from essentials_spark.algos import pagerank
