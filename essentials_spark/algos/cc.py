@@ -73,9 +73,16 @@ def connected_components(
     # hash-min messages are >= the receiver's label, a no-op)
     frontier = labels.select("vid", "label")
 
-    def one_round(cur: DataFrame, front: DataFrame, front_rows: int | None) -> DataFrame:
+    def one_round(
+        cur: DataFrame, front: DataFrame, front_rows: int | None, persists: list
+    ) -> DataFrame:
         """One hash-min + hook + jump round as pure dataflow.
-        Returns (vid, label, old)."""
+        Returns (vid, label, old). ``persists``: within-round shared
+        subtrees get persisted and registered here — ``cand`` feeds
+        both the hook aggregate and the final join chain and ``hook``
+        is joined twice, so without caching Catalyst recomputes them
+        inside the single round action (measured ~30% of round time at
+        3.3M vertices; Spark reuses exchanges, not arbitrary subtrees)."""
         # adaptive state-join hint (engine/static_table.py): small
         # frontier broadcasts (zero-shuffle round), vertex-scale
         # frontier is shuffled-hash into the bucketed edge layout —
@@ -93,6 +100,8 @@ def connected_components(
         cand = cur.join(msgs, "vid", "left").select(
             "vid", F.least(F.col("label"), F.col("nbr_min")).alias("cand"), F.col("label").alias("old")
         )
+        cand = cand.persist()
+        persists.append(cand)
         # root hooking: each pointer-tree root absorbs the min candidate
         # seen anywhere in its tree this round
         hook = (
@@ -100,6 +109,8 @@ def connected_components(
             .agg(F.min("cand").alias("hmin"))
             .select("root", F.least(F.col("root"), F.col("hmin")).alias("hmin"))
         )
+        hook = hook.persist()
+        persists.append(hook)
         # jump through the old root and the candidate-as-root (hooked
         # values), then a pointer-doubling jump label[cand] — hooking
         # alone degenerates to 1 hop/round on pure chains, doubling
@@ -123,7 +134,7 @@ def connected_components(
             # fused sub-rounds reuse the last KNOWN frontier count as a
             # loose bound — the hint only picks broadcast vs
             # shuffle_hash, so a stale-but-same-magnitude bound is fine
-            cur = one_round(cur.select("vid", "label"), front, front_rows)
+            cur = one_round(cur.select("vid", "label"), front, front_rows, intermediates)
             # each fused round references its predecessor several times
             # (messages, hook, jump lookup) — persist keeps the block a
             # single action while deduplicating the shared subplans

@@ -52,9 +52,13 @@ def hits(
             .agg(F.sum("hub").alias("auth_raw"))
             .withColumnRenamed("dst", "vid")
         )
+        # s1/s2 each feed two downstream subtrees (hub step + final
+        # select; norms agg + final select) — persist within the
+        # iteration so the single materialize action computes them once
+        # (see cc.py one_round note), unpersist after the action
         s1 = state.select("vid", "hub").join(auth, "vid", "left").select(
             "vid", F.coalesce(F.col("auth_raw"), F.lit(0.0)).alias("auth_raw"), "hub"
-        )
+        ).persist()
         # hub step on the transposed table: join keyed on its src
         # (= original dst), so the bucketed scan's partitioning applies
         hub = (
@@ -65,7 +69,7 @@ def hits(
         )
         s2 = s1.join(hub, "vid", "left").select(
             "vid", "auth_raw", F.coalesce(F.col("hub_raw"), F.lit(0.0)).alias("hub_raw")
-        )
+        ).persist()
         norms = s2.agg(
             F.sqrt(F.sum(F.col("auth_raw") ** 2)).alias("na"),
             F.sqrt(F.sum(F.col("hub_raw") ** 2)).alias("nh"),
@@ -77,6 +81,8 @@ def hits(
         )
         new_state = runner.materialize(new_state, it).persist()
         runner.log(it)
+        s1.unpersist()
+        s2.unpersist()
         state.unpersist()
         state = new_state
 
