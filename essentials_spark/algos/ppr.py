@@ -37,11 +37,14 @@ def ppr(
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "ppr")
 
-    deg = graph.edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # deg is STATIC: persist once — unpersisted it would be re-aggregated
+    # from the raw edge lineage at every reference (3x per iteration)
+    deg = graph.edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     edges = prepare_static_edges(
         graph.edges.select("src", "dst").join(deg, "src"),
         runner, keys="src", mode=edges_mode, name_hint="ppr",
     )
+    runner.defer(deg.unpersist)
 
     seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "seed long")
     # state: (seed, vid, p, r)
@@ -51,14 +54,18 @@ def ppr(
 
     it = 0
     while it < max_iter:
+        # deg_state feeds the new-state base AND (via active) the
+        # spread + absorb branches of the same materialize action —
+        # persist within the iteration (see cc.py one_round note)
         deg_state = state.join(deg.withColumnRenamed("src", "vid"), "vid", "left").select(
             "seed", "vid", "p", "r", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
-        )
+        ).persist()
         active = deg_state.filter((F.col("r") > F.lit(eps) * F.col("deg")) & (F.col("deg") > 0))
         n_active = active.count()
         it += 1
         runner.log(it, active=n_active)
         if n_active == 0:
+            deg_state.unpersist()
             break
         # push: absorb alpha*r into p, spread (1-alpha)*r over out-nbrs
         spread = (
@@ -87,6 +94,7 @@ def ppr(
             )
         )
         new_state = runner.materialize(new_state, it).persist()
+        deg_state.unpersist()
         state.unpersist()
         state = new_state
 
