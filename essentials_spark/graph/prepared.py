@@ -75,6 +75,16 @@ class PreparedGraph:
 
         return triangle_count(self.sym_graph, pre_symmetrized=True)
 
+    def kcore(self, **kwargs) -> DataFrame:
+        from essentials_spark.algos import kcore
+
+        return kcore(self.sym_graph, pre_symmetrized=True, edges_mode="prepared", **kwargs)
+
+    def color(self, **kwargs) -> DataFrame:
+        from essentials_spark.algos import color
+
+        return color(self.sym_graph, pre_symmetrized=True, edges_mode="prepared", **kwargs)
+
     def close(self) -> None:
         if self._closed:
             return
