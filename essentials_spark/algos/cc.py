@@ -125,6 +125,10 @@ def connected_components(
             .select("vid", F.least(F.col("cand"), F.col("jump")).alias("label"), "old")
         )
 
+    # clamp fused depth — see pagerank.py: unrolled-plan stats grow
+    # superlinearly with block depth and stall the planner (CC rounds
+    # reference their predecessor 3x, so the ceiling is lower)
+    fused_iters = min(fused_iters, 4)
     front_rows = n
     while not converged and iteration < max_iter:
         k = min(max(1, fused_iters), max_iter - iteration)

@@ -82,6 +82,9 @@ def label_propagation(
             F.col("label").alias("old"),
         )
 
+    # clamp fused depth — see pagerank.py: unrolled-plan stats grow
+    # superlinearly with block depth and stall the planner past ~6
+    fused_iters = min(fused_iters, 6)
     while not converged and iteration < max_iter:
         k = min(max(1, fused_iters), max_iter - iteration)
         cur = labels

@@ -155,6 +155,13 @@ def pagerank(
             )
         )
 
+    # fused-block depth is clamped: each unrolled superstep multiplies
+    # the logical plan (3 references to its predecessor) and Catalyst's
+    # carried size stats grow superlinearly with depth — measured:
+    # fused_iters=10 planning-stalls (>500 s) where 5 runs in 27 s at
+    # 3.3M vertices. 6 is a safe ceiling; truncate_plan resets stats at
+    # every block boundary.
+    fused_iters = min(fused_iters, 6)
     while not converged and iteration < max_iter:
         k = min(max(1, fused_iters), max_iter - iteration)
         cur = ranks
