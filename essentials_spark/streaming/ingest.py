@@ -84,3 +84,82 @@ def run_edges_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def conversation_sessions(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-conversation session summaries with event-time timeout.
+
+    State per conv_id = (turn count, tool-call count, first/last event
+    time); a conversation is emitted as ONE summary row when the
+    watermark passes ``last_ts + gap_minutes`` (the session-gap close —
+    the standard sessionization pattern the built-in windowed aggs
+    cannot express). State is bounded: every conversation's state is
+    removed at timeout; late rows beyond the watermark are dropped
+    upstream. Arrow moves each group's rows as pandas batches — no
+    per-row Python (north rule).
+
+    Returns (conv_id, n_turns, n_tool_calls, started, ended,
+    duration_s); emits in append mode.
+    """
+    import pandas as pd
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            n_turns, n_tools, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n_turns],
+                    "n_tool_calls": [n_tools],
+                    "started": [pd.Timestamp(first_us * 1000)],
+                    "ended": [pd.Timestamp(last_us * 1000)],
+                    "duration_s": [(last_us - first_us) / 1e6],
+                }
+            )
+            return
+        if state.exists:
+            n_turns, n_tools, first_us, last_us = state.get
+        else:
+            n_turns, n_tools, first_us, last_us = 0, 0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_turns += int(len(pdf))
+            n_tools += int(pdf["tool"].notna().sum())
+            ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n_turns, n_tools, first_us, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        yield pd.DataFrame(
+            {
+                "conv_id": pd.Series(dtype="object"),
+                "n_turns": pd.Series(dtype="int64"),
+                "n_tool_calls": pd.Series(dtype="int64"),
+                "started": pd.Series(dtype="datetime64[ns]"),
+                "ended": pd.Series(dtype="datetime64[ns]"),
+                "duration_s": pd.Series(dtype="float64"),
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "conv_id string, n_turns long, n_tool_calls long, "
+                "started timestamp, ended timestamp, duration_s double"
+            ),
+            stateStructType="n_turns long, n_tools long, first_us long, last_us long",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

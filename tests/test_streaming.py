@@ -48,3 +48,60 @@ def test_windowed_tool_counts(spark, tmp_path):
     total_batch = t.filter("tool is not null").count()
     assert total_stream == total_batch
     assert all(r["n_calls"] > 0 for r in rows)
+
+
+def test_conversation_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: a conversation's summary
+    row emits once the watermark (driven by later arrivals) passes its
+    last turn + gap; its state is then gone."""
+    import datetime as dt
+
+    from essentials_spark.streaming.ingest import conversation_sessions
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(conv, ts_list, tool_every=2):
+        return [
+            (conv, i, "user" if i % 2 == 0 else "assistant", f"text {i}",
+             "search" if i % tool_every == 0 else None, ts)
+            for i, ts in enumerate(ts_list)
+        ]
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "sess_in"), str(tmp_path / "sess_out"), str(tmp_path / "sess_ck")
+    )
+    ddl = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    # wave 1: conv A, 4 turns within 2 minutes
+    wave1 = rows("A", [t0 + dt.timedelta(seconds=30 * i) for i in range(4)])
+    spark.createDataFrame(wave1, ddl).write.parquet(in_dir)
+
+    def run_pass():
+        from essentials_spark.streaming.ingest import stream_transcripts
+
+        q = (
+            conversation_sessions(stream_transcripts(spark, in_dir), gap_minutes=10)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_pass()
+    # wave 2: conv B two hours later -> watermark passes A.last + 10min
+    wave2 = rows("B", [t0 + dt.timedelta(hours=2, seconds=30 * i) for i in range(3)])
+    spark.createDataFrame(wave2, ddl).write.mode("append").parquet(in_dir)
+    run_pass()
+    # wave 3: conv C later still, forces another batch so A's timeout fires
+    wave3 = rows("C", [t0 + dt.timedelta(hours=4)])
+    spark.createDataFrame(wave3, ddl).write.mode("append").parquet(in_dir)
+    run_pass()
+
+    got = {r["conv_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert "A" in got, f"A session not emitted: {got}"
+    a = got["A"]
+    assert a["n_turns"] == 4 and a["n_tool_calls"] == 2
+    assert a["duration_s"] == 90.0
+    assert "C" not in got  # tail session still open (state held, not emitted)
