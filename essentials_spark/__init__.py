@@ -24,3 +24,11 @@ PySpark API and the reference repo's observable behavior.
 __version__ = "0.1.0"
 
 from essentials_spark.session import get_spark  # noqa: F401
+
+
+def prepare_graph(*args, **kwargs):
+    """Convenience re-export of graph.prepared.prepare_graph (lazy —
+    avoids importing pyspark.sql machinery at package import)."""
+    from essentials_spark.graph.prepared import prepare_graph as _pg
+
+    return _pg(*args, **kwargs)
