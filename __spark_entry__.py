@@ -425,6 +425,20 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse quantizer (fixed deterministic codebook — exactly
+    # reproduced by _annivf_sql); the complementary scale path to LSH
+    from essentials_spark.ann.cosine import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < ANN_NQ), emb, k=ANN_K, n_cells=16, nprobe=4, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bfs_hops": q_bfs,
@@ -442,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_signatures": q_simhash,
         "ann_lsh_topk": q_lsh_topk,
+        "ann_ivf_topk": q_ivf_topk,
         "transcripts_from_events": q_transcripts,
         "edge_derivation": q_edges,
         "degree_histogram": q_degree_histogram,
@@ -945,6 +960,48 @@ FROM r WHERE rank <= {ANN_K}
 """
 
 
+def _annivf_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of q_ivf_topk: the literal codebook vectors are the
+    same _ivf_codebook values inlined into the Spark plan; tie order
+    (score DESC, cell ASC) matches the Spark (score, -j) comparator."""
+    from essentials_spark.ann.cosine import _ivf_codebook
+
+    codebook = _ivf_codebook(n_cells, dim)
+
+    def scored(filter_sql: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT vec_id, v, {j} AS cell, list_dot_product(v, {arr}::DOUBLE[]) AS s"
+            " FROM e{flt}".format(
+                j=j,
+                arr="[" + ", ".join(repr(c) for c in codebook[j]) + "]",
+                flt=filter_sql,
+            )
+            for j in range(n_cells)
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qsc AS ({scored(f' WHERE vec_id < {ANN_NQ}')}),
+qs AS (SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn FROM qsc
+  ) WHERE rn <= {nprobe}),
+csc AS ({scored('')}),
+cs AS (SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn FROM csc
+  ) WHERE rn <= 1),
+p AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+  FROM qs q JOIN cs c ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+r AS (SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM p)
+SELECT query_id, neighbor_id, CAST(round(sim * 1e6) AS BIGINT) AS sim_e6,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {ANN_K}
+"""
+
+
 def _materialize_ctes(sql: str) -> str:
     """Force DuckDB to materialize every CTE: the unrolled iterative
     oracles reference each previous iteration 2-3 times, and default
@@ -996,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_dedup"] = _minhash_sql()
     sql["simhash_signatures"] = _simhash_sql()
     sql["ann_lsh_topk"] = _annlsh_sql()
+    sql["ann_ivf_topk"] = _annivf_sql()
 
     sql["pagerank"] = _pagerank_sql()
     sql["connected_components"] = _cc_sql()

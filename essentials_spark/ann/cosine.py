@@ -202,3 +202,100 @@ def lsh_pairs(
     )
     sim = F.round(_dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), sim_decimals)
     return cand.select("a", "b", sim.alias("sim")).filter(F.col("sim") >= min_sim)
+
+
+def _ivf_codebook(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic fixed codebook (functions/portable_hash
+    plane_components with shape (n_cells, 1, dim)) — the same literal
+    vectors are inlined into the oracle SQL, so cell assignment is
+    value-checkable in DuckDB."""
+    from essentials_spark.functions.portable_hash import plane_components
+
+    return [plane_components(n_cells, 1, dim)[j][0] for j in range(n_cells)]
+
+
+def _ivf_cells(df, idc: str, codebook, nprobe: int, id_col: str, vec_col: str):
+    """Assign each vector to its ``nprobe`` best cells by dot product.
+
+    Tie order matches the oracle SQL (score DESC, cell index ASC) via
+    the (score, -j) struct comparator."""
+    v = _as_double(F.col(vec_col))
+    rows = df.select(F.col(id_col).alias(idc), v.alias("v")).withColumn("n", _norm(F.col("v")))
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(F.col("v"), F.array(*[F.lit(c) for c in codebook[j]])).alias("s"),
+                F.lit(-j).alias("nj"),
+            )
+            for j in range(len(codebook))
+        ]
+    )
+    probes = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
+    return rows.withColumn("p", F.explode(probes)).select(
+        idc, "v", "n", (-F.col("p.nj")).alias("cell")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 32,
+    nprobe: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+    train_iters: int = 0,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) coarse quantizer.
+
+    Every candidate is indexed under its single best cell of a
+    deterministic codebook (Voronoi partition by max dot product);
+    each query probes its ``nprobe`` best cells — a bucketed equi-join
+    scanning ~nprobe/n_cells of the corpus instead of all of it. The
+    complementary scale path to lsh_topk: LSH buckets by locality
+    hashes, IVF by codebook regions (≙ FAISS IndexIVFFlat search
+    semantics, reimplemented as dataflow).
+
+    ``train_iters`` > 0 refines the codebook with Lloyd iterations
+    (spherical k-means on the candidate set; centroids collected to
+    the driver — O(n_cells x dim) floats, broadcast back as literals).
+    The default 0 keeps cell assignment reproducible in the ANSI-SQL
+    oracle; trained codebooks are a Spark-only improvement.
+    """
+    if dim is None:
+        raise ValueError("ivf_topk requires dim")
+    codebook = _ivf_codebook(n_cells, dim)
+
+    if train_iters > 0:
+        v = _as_double(F.col(vec_col))
+        cand_v = candidates.select(v.alias("v")).persist()
+        for _ in range(train_iters):
+            assigned = _ivf_cells(
+                cand_v.withColumn("_id", F.monotonically_increasing_id()),
+                "_cid", codebook, 1, "_id", "v",
+            )
+            means = (
+                assigned.groupBy("cell")
+                .agg(F.array(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]).alias("c"))
+                .collect()
+            )
+            for r in means:  # empty cells keep their old centroid
+                codebook[r["cell"]] = [float(x) for x in r["c"]]
+        cand_v.unpersist()
+
+    qs = _ivf_cells(queries, "query_id", codebook, nprobe, id_col, vec_col)
+    cs = _ivf_cells(candidates, "neighbor_id", codebook, 1, id_col, vec_col)
+    pairs = (
+        qs.join(cs, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(qs["v"], cs["v"]) / (qs["n"] * cs["n"]), sim_decimals).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

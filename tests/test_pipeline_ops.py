@@ -356,3 +356,29 @@ def test_compressed_media_raises_loudly():
 
     with _pytest.raises(NotImplementedError):
         _decode_payload(b"\x89PNG\r\n\x1a\n" + b"\0" * 100, 8, 8)
+
+
+def test_ann_ivf_recall_and_training(spark):
+    """IVF coarse quantizer: planted near-duplicates share the query's
+    Voronoi cell, so nprobe search finds them; Lloyd-trained codebook
+    keeps (or improves) recall and still returns a valid top-k."""
+    from essentials_spark.ann.cosine import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    for q in range(3):
+        base[q + 30] = base[q] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {r["query_id"]: r["neighbor_id"] for r in brute_force_topk(q, df, k=1).collect()}
+
+    approx = ivf_topk(q, df, k=1, n_cells=8, nprobe=3, dim=16).collect()
+    hits = sum(1 for r in approx if exact.get(r["query_id"]) == r["neighbor_id"])
+    assert hits >= 2  # near-dup lands in the query's cell
+
+    trained = ivf_topk(q, df, k=1, n_cells=8, nprobe=3, dim=16, train_iters=2).collect()
+    t_hits = sum(1 for r in trained if exact.get(r["query_id"]) == r["neighbor_id"])
+    assert t_hits >= 2
+    assert all(r["rank"] == 1 for r in trained)
