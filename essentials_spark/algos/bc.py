@@ -76,7 +76,12 @@ def betweenness_centrality(
         runner.log(depth, discovered=n_new)
         if n_new == 0:
             break
+        prev = state
+        # truncate_plan materializes, so the new state no longer depends
+        # on the old cache — release it eagerly (reassignment alone
+        # leaves the unpersist to the lazy ContextCleaner)
         state = truncate_plan(state.unionByName(new.select("seed", "vid", "depth", "sigma"))).persist()
+        prev.unpersist()
         frontier = new
 
     max_depth = depth - 1
@@ -98,11 +103,13 @@ def betweenness_centrality(
             .groupBy("seed", F.col("dst").alias("vid"))
             .agg(F.sum((F.col("vsigma") / F.col("wsigma")) * (1.0 + F.col("wdelta"))).alias("dd"))
         )
+        prev_d = deltas
         deltas = truncate_plan(
             deltas.join(contrib, ["seed", "vid"], "left").select(
                 "seed", "vid", "depth", "sigma", (F.col("delta") + F.coalesce(F.col("dd"), F.lit(0.0))).alias("delta")
             )
         ).persist()
+        prev_d.unpersist()
 
     out = (
         deltas.filter(F.col("vid") != F.col("seed"))

@@ -140,13 +140,17 @@ def geolocate(
                 eps=eps,
             )
             new = easy.unionByName(hard)
-        new = truncate_plan(new)
+        new = truncate_plan(new)  # materializes: round intermediates now releasable
+        if method != "mean":
+            stats.unpersist()
         n_new = new.count()
         it += 1
         runner.log(it, located=n_new)
         if n_new == 0:
             break
+        prev = located
         located = truncate_plan(located.unionByName(new)).persist()
+        prev.unpersist()
 
     runner.finalize()
     return located

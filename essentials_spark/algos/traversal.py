@@ -60,7 +60,11 @@ def bfs(
         runner.log(depth, frontier_size=n_new)
         if n_new == 0:
             break
+        prev = dist
+        # truncate_plan materializes: the union no longer depends on the
+        # old cache — release it eagerly (see bc.py note)
         dist = truncate_plan(dist.unionByName(new)).persist()
+        prev.unpersist()
         frontier = new.select("vid")
 
     runner.finalize()
@@ -105,7 +109,9 @@ def sssp(
         n_improved = improved.count()
         iteration += 1
         runner.log(iteration, improved=n_improved)
+        prev = dist
         dist = merged.select("vid", "dist").persist()
+        prev.unpersist()
         frontier = improved.select("vid", "dist")
         if n_improved == 0:
             break
