@@ -439,6 +439,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end corpus curation: quality gate -> language gate ->
+    # exact dedup -> minhash near-dedup; audit row per document
+    from essentials_spark.text.curate import curate_corpus
+
+    out = curate_corpus(
+        _docs(spark, sf_dir), min_quality=0.6, langs=("en",), portable=True
+    )
+    return out.select("doc_id", "quality", "lang_pred", "kept", "reason")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bfs_hops": q_bfs,
@@ -457,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash,
         "ann_lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ivf_topk,
+        "curate_corpus": q_curate,
         "transcripts_from_events": q_transcripts,
         "edge_derivation": q_edges,
         "degree_histogram": q_degree_histogram,
@@ -856,11 +868,13 @@ corners AS (
 """
 
 
-def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3, cap: int = 64,
-                 chain_width: int = 2, min_sim: float = 0.5, cc_rounds: int = 12) -> str:
-    """DuckDB twin of q_minhash_dedup: md5/affine minhash + banded LSH +
-    capped bucket pairing + sig-similarity verify + unrolled hash-min-
-    with-pointer-jump CC (constants shared via functions/portable_hash)."""
+def _minhash_ctes(src: str = "documents", num_perm: int = 64, bands: int = 16, k: int = 3,
+                  cap: int = 64, chain_width: int = 2, min_sim: float = 0.5,
+                  cc_rounds: int = 12) -> str:
+    """CTE chain (no WITH/final SELECT) of the portable minhash-dedup
+    pipeline over relation ``src`` (must expose doc_id, text); the
+    final CTE ``l{cc_rounds}`` holds (id, label). Embeddable — the
+    curate_corpus oracle runs it over its survivor set."""
     from essentials_spark.functions.portable_hash import H30, MERSENNE31, PERM_A, PERM_B
 
     rows = num_perm // bands
@@ -891,8 +905,7 @@ def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3, cap: int = 64,
             f" JOIN l{t} lv ON lv.id = e.src GROUP BY e.dst) m ON m.id = v.id"
             f" JOIN l{t} j ON j.id = v.label)"
         )
-    return f"""
-WITH toks AS (SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+    return f"""toks AS (SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM {src}),
 sh AS (SELECT id, (('0x' || substr(md5(array_to_string(list_slice(t, i+1, i+{k}), ' ')), 1, 15))::BIGINT) % {H30} AS h
   FROM toks, unnest(range(0, greatest(len(t)-{k}, 0)+1)) AS u(i) WHERE len(t) > 0),
 sig AS (SELECT id, {perms} FROM sh GROUP BY id),
@@ -906,8 +919,16 @@ cand AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM smallp UNION ALL SELECT a, 
 pairs AS (SELECT c.a, c.b FROM cand c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b
   WHERE round(({eq_terms}) / {float(num_perm)}, 6) >= {min_sim}),
 eddir AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs),
-l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
-{', '.join(cc)}
+l0 AS (SELECT doc_id AS id, doc_id AS label FROM {src}),
+{', '.join(cc)}"""
+
+
+def _minhash_sql(cc_rounds: int = 12) -> str:
+    """DuckDB twin of q_minhash_dedup: md5/affine minhash + banded LSH +
+    capped bucket pairing + sig-similarity verify + unrolled hash-min-
+    with-pointer-jump CC (constants shared via functions/portable_hash)."""
+    return f"""
+WITH {_minhash_ctes(cc_rounds=cc_rounds)}
 SELECT id, label AS cluster, (id = label) AS keep FROM l{cc_rounds}
 """
 
@@ -957,6 +978,72 @@ r AS (SELECT query_id, neighbor_id, sim,
 SELECT query_id, neighbor_id, CAST(round(sim * 1e6) AS BIGINT) AS sim_e6,
   CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {ANN_K}
+"""
+
+
+def _curate_sql(min_quality: float = 0.6, lang: str = "en", cc_rounds: int = 12) -> str:
+    """DuckDB twin of q_curate: quality + language gates, exact dedup
+    (normalized-md5, keep min id), then the embedded portable minhash
+    pipeline over the survivors; one audit row per input document."""
+    lang_markers = {
+        "en": ["the", "and", "of", "to", "a"],
+        "es": ["el", "la", "de", "que", "y"],
+        "fr": ["le", "la", "de", "et", "un"],
+        "de": ["der", "die", "und", "das", "ein"],
+    }
+    per_lang = " UNION ALL ".join(
+        f"SELECT doc_id, '{lg}' AS lang,"
+        f" length(list_intersect(ltoks, {words!r})) AS hits FROM ltok"
+        for lg, words in lang_markers.items()
+    )
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+    length(string_split(trim(text), ' ')) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+    length(list_distinct(string_split(trim(text), ' '))) AS n_distinct
+  FROM documents
+),
+qual AS (
+  SELECT doc_id, round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+    least(1.0, n_tokens / 100.0) * 0.4
+    + (1.0 - least(1.0, n_punct / CAST(greatest(n_tokens, 1) AS DOUBLE))) * 0.2
+    + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.4 END, 6) AS quality
+  FROM feat
+),
+ltok AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS ltoks FROM documents
+),
+lscored AS ({per_lang}),
+lbest AS (
+  SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+  FROM lscored
+),
+gated AS (
+  SELECT d.doc_id, d.text, q.quality, b.lang_pred,
+    CASE WHEN q.quality < {min_quality} THEN 'quality'
+         WHEN b.lang_pred <> '{lang}' THEN 'lang' END AS gate_reason
+  FROM documents d
+  JOIN qual q ON q.doc_id = d.doc_id
+  JOIN lbest b ON b.doc_id = d.doc_id AND b.rn = 1
+),
+s1 AS (SELECT doc_id, text FROM gated WHERE gate_reason IS NULL),
+fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f FROM s1),
+ekeep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN ekeep ON ekeep.doc_id = s1.doc_id),
+{_minhash_ctes(src="s2", cc_rounds=cc_rounds)},
+nkeep AS (SELECT id AS doc_id FROM l{cc_rounds} WHERE id = label)
+SELECT g.doc_id, g.quality, g.lang_pred,
+  (coalesce(g.gate_reason,
+     CASE WHEN e.doc_id IS NULL THEN 'exact_dup' END,
+     CASE WHEN n.doc_id IS NULL THEN 'near_dup' END) IS NULL) AS kept,
+  coalesce(g.gate_reason,
+     CASE WHEN e.doc_id IS NULL THEN 'exact_dup' END,
+     CASE WHEN n.doc_id IS NULL THEN 'near_dup' END) AS reason
+FROM gated g
+LEFT JOIN ekeep e ON e.doc_id = g.doc_id
+LEFT JOIN nkeep n ON n.doc_id = g.doc_id
 """
 
 
@@ -1054,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
     sql["simhash_signatures"] = _simhash_sql()
     sql["ann_lsh_topk"] = _annlsh_sql()
     sql["ann_ivf_topk"] = _annivf_sql()
+    sql["curate_corpus"] = _curate_sql()
 
     sql["pagerank"] = _pagerank_sql()
     sql["connected_components"] = _cc_sql()

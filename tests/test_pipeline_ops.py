@@ -382,3 +382,33 @@ def test_ann_ivf_recall_and_training(spark):
     t_hits = sum(1 for r in trained if exact.get(r["query_id"]) == r["neighbor_id"])
     assert t_hits >= 2
     assert all(r["rank"] == 1 for r in trained)
+
+
+def test_curate_corpus_stage_reasons(spark):
+    """Composite curation pipeline: each planted document drops at the
+    expected stage, the survivor set is exact."""
+    from essentials_spark.text.curate import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs off to "
+        "the meadow where birds sing and children play games all day"
+    )
+    rows = [
+        (0, good),                       # kept
+        (1, good),                       # exact dup of 0
+        (2, good.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "el perro y el gato de la casa que ladra y corre mucho por "
+            "la calle grande durante todo el dia sin parar nunca jamas"),  # lang
+        (4, "tiny"),                     # quality (n_tokens < 5 -> 0.0)
+        (5, "numbers and facts of the data and the code to test a "
+            "pipeline with many unique different interesting useful words here"),  # kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["kept"], r["reason"]) for r in
+           curate_corpus(docs, min_quality=0.3, langs=("en",), min_sim=0.4).collect()}
+    assert out[0] == (True, None)
+    assert out[1] == (False, "exact_dup")
+    assert out[2] == (False, "near_dup")
+    assert out[3] == (False, "lang")
+    assert out[4] == (False, "quality")
+    assert out[5] == (True, None)
