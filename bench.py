@@ -74,6 +74,11 @@ def run_suite(spark, sf_dir: str | None, synthetic_convs: int | None, pr_iters: 
     queries: dict[str, float] = {}
     eps: dict[str, float] = {}
 
+    # untimed warmup superstep (JIT + codegen compilation + shuffle
+    # service spin-up — the reference's nvbench likewise runs warmup
+    # iterations before timing); cuts run-to-run variance at small SF
+    pg.pagerank(tol=0.0, max_iter=1).count()
+
     # bucketed static-edge kernels are the defaults (engine/static_table
     # .py): the edge table is written once per run and supersteps
     # shuffle only vertex state; fused blocks cut Spark actions
