@@ -439,6 +439,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact n-gram Jaccard verify step over a bounded candidate set
+    # (all pairs of the first 25 doc ids — 300 pairs)
+    from essentials_spark.dedup.jaccard import ngram_jaccard_verify
+
+    docs = _docs(spark, sf_dir)
+    ids = docs.select(F.col("doc_id").alias("a")).filter(F.col("a") < 25)
+    pairs = ids.crossJoin(ids.select(F.col("a").alias("b"))).filter(F.col("a") < F.col("b"))
+    out = ngram_jaccard_verify(pairs, docs, n=3)
+    return out.select("a", "b", F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"))
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end corpus curation: quality gate -> language gate ->
     # exact dedup -> minhash near-dedup; audit row per document
@@ -469,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ivf_topk,
         "curate_corpus": q_curate,
+        "ngram_jaccard": q_jaccard,
         "transcripts_from_events": q_transcripts,
         "edge_derivation": q_edges,
         "degree_histogram": q_degree_histogram,
@@ -1142,6 +1155,22 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_lsh_topk"] = _annlsh_sql()
     sql["ann_ivf_topk"] = _annivf_sql()
     sql["curate_corpus"] = _curate_sql()
+    sql["ngram_jaccard"] = """
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(0, greatest(len(t)-3, 0)+1),
+      i -> array_to_string(list_slice(t, i+1, i+3), ' ')
+    )) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents)
+  WHERE doc_id < 25
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  CAST(round(round(CASE WHEN length(list_distinct(a.grams || b.grams)) > 0
+    THEN length(list_intersect(a.grams, b.grams))
+      / CAST(length(list_distinct(a.grams || b.grams)) AS DOUBLE)
+    ELSE 0.0 END, 6) * 1e6) AS BIGINT) AS jaccard_e6
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+"""
 
     sql["pagerank"] = _pagerank_sql()
     sql["connected_components"] = _cc_sql()
