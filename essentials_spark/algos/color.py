@@ -77,8 +77,14 @@ def color(
         )
         decide = truncate_plan(decide)
         newly = decide.filter(F.col("color").isNotNull()).select("vid", "color")
+        prev_c, prev_u = colored, uncolored
         colored = truncate_plan(colored.unionByName(newly)).persist()
         uncolored = truncate_plan(decide.filter(F.col("color").isNull()).select("vid", "prio")).persist()
+        # truncate_plan materialized the successors — release the
+        # superseded caches eagerly (no-op on the unpersisted seed df;
+        # see bc.py note)
+        prev_c.unpersist()
+        prev_u.unpersist()
         it += 1
         runner.log(it, colored=newly.count(), remaining=n_left)
 

@@ -102,10 +102,13 @@ def mst(
                 "c", F.coalesce(F.col("pp"), F.col("p")).alias("p")
             )
             nxt = truncate_plan(nxt).persist()
-            if nxt.join(parent, "c").filter(nxt["p"] != parent["p"]).count() == 0:
-                parent = nxt
-                break
+            settled = nxt.join(parent, "c").filter(nxt["p"] != parent["p"]).count() == 0
+            # nxt is materialized and the convergence check is done —
+            # the superseded parent cache is dead (see bc.py note)
+            parent.unpersist()
             parent = nxt
+            if settled:
+                break
         # relabel the active edge set through the contraction map, drop
         # the (now intra-component) merged edges, and collapse
         # multi-edges between the same component pair to the min
