@@ -112,6 +112,70 @@ def persist_bucketed(
     return StaticTable(spark, table, out)
 
 
+def reap_stale_tables(
+    spark: SparkSession, prefix: str = "es_", max_age_hours: float = 24.0
+) -> list[str]:
+    """Drop orphaned static tables left by crashed/killed runs.
+
+    Per-run unique names mean a crash can't corrupt anyone else's
+    tables, but the storage lingers (drop() only fires on clean
+    finalize). This reaps catalog tables matching ``prefix`` whose
+    creation time is older than ``max_age_hours`` — age-gated so
+    concurrent live runs are never touched. Catalog-portable: uses
+    DESCRIBE TABLE EXTENDED's Created Time, works on object-store
+    warehouses the same as local disk. Returns the dropped names."""
+    import datetime as _dt
+
+    dropped = []
+    now = _dt.datetime.now(_dt.timezone.utc)
+    for t in spark.catalog.listTables():
+        if not t.name.startswith(prefix):
+            continue
+        try:
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {t.name}").collect()
+            created = next(
+                (r["data_type"] for r in rows if r["col_name"] == "Created Time"), None
+            )
+            if created is None:
+                continue
+            ts = _dt.datetime.strptime(created, "%a %b %d %H:%M:%S %Z %Y").replace(
+                tzinfo=_dt.timezone.utc
+            )
+            if (now - ts).total_seconds() > max_age_hours * 3600:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                dropped.append(t.name)
+        except Exception:
+            continue  # races with concurrent drops are fine
+
+    # in-memory-catalog fallback (local/dev only): a crashed run's
+    # table directory has NO catalog entry in a fresh session, so the
+    # catalog pass above can't see it. Reap prefix-matched warehouse
+    # directories that are (a) absent from the catalog and (b) older
+    # than the age gate by mtime. Only runs for file:// warehouses —
+    # persistent metastores (the cluster configuration) are served
+    # entirely by the catalog pass.
+    import os
+    import shutil
+    import time as _time
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file") and os.path.isdir(wh.path):
+        live = {t.name for t in spark.catalog.listTables()}
+        cutoff = _time.time() - max_age_hours * 3600
+        for name in os.listdir(wh.path):
+            p = os.path.join(wh.path, name)
+            if (
+                name.startswith(prefix)
+                and name not in live
+                and os.path.isdir(p)
+                and os.path.getmtime(p) < cutoff
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+                dropped.append(name)
+    return dropped
+
+
 def prepare_static_edges(
     edges: DataFrame,
     runner,

@@ -103,3 +103,30 @@ def test_ops_primitives(spark):
     # batch: concurrent actions
     results, elapsed = batch_execute([lambda: g.edges.count(), lambda: vals.count()])
     assert results == [6, 3] and elapsed > 0
+
+
+def test_reap_stale_tables_age_gated(spark):
+    """Crashed-run orphans get reaped; anything younger than the age
+    gate (i.e. any live concurrent run) is never touched."""
+    import os
+    import time
+    from urllib.parse import urlparse
+
+    from essentials_spark.engine.static_table import persist_bucketed, reap_stale_tables
+
+    st = persist_bucketed(
+        spark.range(10).selectExpr("id as src", "id as dst"), "src", name_hint="reap_live"
+    )
+    # simulate a crashed run's orphan: a warehouse dir with no catalog entry
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(wh, "es_reap_orphan_xxxx")
+    os.makedirs(orphan, exist_ok=True)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    try:
+        dropped = reap_stale_tables(spark, max_age_hours=1.0)
+        assert "es_reap_orphan_xxxx" in dropped
+        assert not os.path.exists(orphan)
+        assert spark.catalog.tableExists(st.table)  # young + live: untouched
+    finally:
+        st.drop()
