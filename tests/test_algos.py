@@ -171,3 +171,15 @@ def test_prepared_graph_matches_standalone(spark, golden_tc_graph):
     assert cc1 == cc2
     assert set(pr1) == set(pr2) and all(abs(pr1[k] - pr2[k]) < 1e-12 for k in pr1)
     assert tc_total >= 0
+
+
+def test_fused_iters_clamped_and_equivalent(spark, golden_tc_graph):
+    """Absurd fused_iters must neither hang the planner (clamped — an
+    unclamped 10-deep unroll planning-stalled at 3.3M vertices) nor
+    change results."""
+    from essentials_spark.algos import pagerank
+
+    g = golden_tc_graph
+    a = {r["vid"]: r["rank"] for r in pagerank(g, max_iter=6, tol=0.0, fused_iters=1).collect()}
+    b = {r["vid"]: r["rank"] for r in pagerank(g, max_iter=6, tol=0.0, fused_iters=100).collect()}
+    assert set(a) == set(b) and all(abs(a[k] - b[k]) < 1e-12 for k in a)
