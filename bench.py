@@ -167,10 +167,12 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=8, help="scaling mode: N cores")
     ap.add_argument("--hi", type=int, default=32, help="scaling mode: 4N cores")
     ap.add_argument(
-        "--probe", choices=["ann", "csr"], default=None,
-        help="compute-bound scaling probes: ann = brute-force cosine; "
+        "--probe", choices=["ann", "csr", "curate"], default=None,
+        help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
-        "Arrow/pandas SpMV superstep path)",
+        "Arrow/pandas SpMV superstep path); curate = the end-to-end corpus "
+        "curation pipeline (quality/lang gates + exact + minhash dedup) "
+        "over synthetic documents",
     )
     args = ap.parse_args()
 
@@ -207,6 +209,36 @@ def main() -> None:
         print(json.dumps({
             "metric": "csr_pagerank_probe", "cpus": cpus, "sec": round(dt, 3),
             "n_edges": m, "edges_per_sec": round(m * 10 / dt),
+        }))
+        spark.stop()
+        return
+
+    if args.probe == "curate":
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from pyspark.sql import functions as F
+
+        from essentials_spark.session import get_spark
+        from essentials_spark.io.transcripts import synth_transcripts
+        from essentials_spark.text.curate import curate_corpus
+
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-curate", shuffle_partitions=cpus)
+        n_docs = args.synthetic or 100_000
+        # one document per synthetic conversation (concatenated turns)
+        docs = (
+            synth_transcripts(spark, n_convs=n_docs, seed=42)
+            .groupBy("conv_id")
+            .agg(F.concat_ws(" ", F.collect_list("text")).alias("text"))
+            .select(F.xxhash64("conv_id").alias("doc_id"), "text")
+        ).persist()
+        n = docs.count()
+        t0 = time.perf_counter()
+        out = curate_corpus(docs, min_quality=0.5, langs=("en", "und"))
+        kept = out.filter("kept").count()
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "curate_probe", "cpus": cpus, "sec": round(dt, 3),
+            "n_docs": n, "kept": kept, "docs_per_sec": round(n / dt),
         }))
         spark.stop()
         return

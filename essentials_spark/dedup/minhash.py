@@ -95,8 +95,15 @@ def capped_bucket_pairs(
     output, and connected-components downstream still unions the
     transitive cluster.
     """
+    # items feeds the size aggregate AND the tagged join; tagged then
+    # feeds small-left, small-right, and chain_width lead() branches —
+    # 4-6 references within ONE downstream action. Spark reuses
+    # exchanges, not arbitrary subtrees (see algos/cc.py), so an
+    # unpersisted expensive upstream (e.g. 64-perm minhash signatures)
+    # would be recomputed per branch — measured 5x the pipeline cost.
+    items = items.persist()
     sizes = items.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
-    tagged = items.join(sizes, bucket_cols)
+    tagged = items.join(sizes, bucket_cols).persist()
 
     def pick(side: str):
         return [F.col("id").alias(side)] + [F.col(c).alias(f"{side}_{c}") for c in payload_cols]
@@ -138,7 +145,9 @@ def minhash_lsh_pairs(
     SQL-reproducible hashing (see minhash_signatures); the band bucket
     key becomes the joined row values instead of their xxhash64."""
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k, portable=portable)
+    # signatures are the expensive pass (num_perm hashes over every
+    # shingle) — persist so banding/pairing branches read the cache
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k, portable=portable).persist()
 
     def bucket_key(b: int):
         joined = F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])

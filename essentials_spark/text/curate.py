@@ -46,15 +46,19 @@ def curate_corpus(
     base = language_id(quality_score(docs, text_col), text_col).select(
         F.col(id_col), F.col(text_col), "quality", "lang_pred"
     )
+    # gated feeds the survivor chain AND the final audit join;
+    # exact_kept feeds the semi-join AND the final audit join — persist
+    # both so one downstream action computes each stage once (Spark
+    # reuses exchanges, not subtrees; see dedup/minhash.py note)
     gated = base.withColumn(
         "reason",
         F.when(F.col("quality") < min_quality, F.lit("quality")).when(
             ~F.col("lang_pred").isin(*langs), F.lit("lang")
         ),
-    )
+    ).persist()
 
     s1 = gated.filter(F.col("reason").isNull()).select(id_col, text_col)
-    exact_kept = exact_dedup(s1, text_col, id_col).select(id_col)
+    exact_kept = exact_dedup(s1, text_col, id_col).select(id_col).persist()
 
     s2 = s1.join(exact_kept, id_col, "left_semi")
     near = minhash_dedup(
