@@ -45,8 +45,16 @@ def connected_components(
     pre_symmetrized: bool = False,
     edges_mode: str = "bucketed",
     fused_iters: int = 1,
+    persist_result: bool = True,
 ) -> DataFrame:
-    """Returns (vid: long, label: long) — label = min vid in component."""
+    """Returns (vid: long, label: long) — label = min vid in component.
+
+    ``persist_result=False`` drops the DataFrame-level cache pin on the
+    final labels before returning: the data stays in the (eager)
+    localCheckpoint blocks, which ContextCleaner reaps once the caller
+    drops the DataFrame — unlike CacheManager entries, which live until
+    an explicit unpersist. Pipelines that call CC repeatedly in one
+    session (dedup clustering) use this to avoid cache accumulation."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "cc")
 
@@ -159,9 +167,20 @@ def connected_components(
         frontier = changed
         front_rows = n_changed
         if n_changed == 0:
-            labels = runner.materialize(labels, iteration, force=True, meta={"converged": True}).persist()
+            prev = labels
+            # eager: the converged checkpoint must be materialized
+            # before the superseded per-round persist is released
+            labels = runner.materialize(
+                labels, iteration, eager=True, force=True, meta={"converged": True}
+            ).persist()
+            prev.unpersist()
             break
 
     out = labels.select("vid", "label")
     runner.finalize()
+    if not persist_result:
+        try:
+            labels.unpersist()
+        except Exception:
+            pass
     return out

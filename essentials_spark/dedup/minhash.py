@@ -83,8 +83,9 @@ def capped_bucket_pairs(
     items: DataFrame,
     bucket_cols: list[str],
     payload_cols: list[str],
-    bucket_cap: int = 64,
+    bucket_cap: int | None = 64,
     chain_width: int = 2,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """All-pairs within small buckets; chain pairs within large ones.
 
@@ -93,7 +94,10 @@ def capped_bucket_pairs(
     Buckets with more than ``bucket_cap`` members generate only
     (member, next-j-in-id-order) pairs for j = 1..chain_width — bounded
     output, and connected-components downstream still unions the
-    transitive cluster.
+    transitive cluster. ``bucket_cap=None`` disables the cap (exact
+    all-pairs in every bucket). ``cleanup``: persisted intermediates
+    are appended here so the caller can unpersist after its terminal
+    action; with ``cleanup=None`` they stay cached for the session.
     """
     # items feeds the size aggregate AND the tagged join; tagged then
     # feeds small-left, small-right, and chain_width lead() branches —
@@ -102,13 +106,24 @@ def capped_bucket_pairs(
     # unpersisted expensive upstream (e.g. 64-perm minhash signatures)
     # would be recomputed per branch — measured 5x the pipeline cost.
     items = items.persist()
-    sizes = items.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
-    tagged = items.join(sizes, bucket_cols).persist()
+    if cleanup is not None:
+        cleanup.append(items)
 
     def pick(side: str):
         return [F.col("id").alias(side)] + [F.col(c).alias(f"{side}_{c}") for c in payload_cols]
 
     out_cols = ["a", "b"] + [f"a_{c}" for c in payload_cols] + [f"b_{c}" for c in payload_cols]
+
+    if bucket_cap is None:
+        small_l = items.select(*bucket_cols, *pick("a"))
+        small_r = items.select(*bucket_cols, *pick("b"))
+        small = small_l.join(small_r, bucket_cols).filter(F.col("a") < F.col("b")).select(*out_cols)
+        return small.dropDuplicates(["a", "b"])
+
+    sizes = items.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
+    tagged = items.join(sizes, bucket_cols).persist()
+    if cleanup is not None:
+        cleanup.append(tagged)
     small_l = tagged.filter(F.col("_bn") <= bucket_cap).select(*bucket_cols, *pick("a"))
     small_r = tagged.filter(F.col("_bn") <= bucket_cap).select(*bucket_cols, *pick("b"))
     small = small_l.join(small_r, bucket_cols).filter(F.col("a") < F.col("b")).select(*out_cols)
@@ -138,16 +153,21 @@ def minhash_lsh_pairs(
     bucket_cap: int = 64,
     chain_width: int = 2,
     portable: bool = False,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a, b, sig_sim), a < b, verified by
     full-signature agreement >= min_sim. Band buckets larger than
     ``bucket_cap`` use chain pairing (module docstring). ``portable``:
     SQL-reproducible hashing (see minhash_signatures); the band bucket
-    key becomes the joined row values instead of their xxhash64."""
+    key becomes the joined row values instead of their xxhash64.
+    ``cleanup``: persisted intermediates are appended here so the
+    caller can unpersist them after its terminal action."""
     rows = num_perm // bands
     # signatures are the expensive pass (num_perm hashes over every
     # shingle) — persist so banding/pairing branches read the cache
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k, portable=portable).persist()
+    if cleanup is not None:
+        cleanup.append(sigs)
 
     def bucket_key(b: int):
         joined = F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])
@@ -169,7 +189,8 @@ def minhash_lsh_pairs(
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
     cand = capped_bucket_pairs(
-        banded, ["band", "bucket"], ["sig"], bucket_cap=bucket_cap, chain_width=chain_width
+        banded, ["band", "bucket"], ["sig"], bucket_cap=bucket_cap, chain_width=chain_width,
+        cleanup=cleanup,
     )
     sim = F.size(F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda v: v)) / F.size("a_sig")
     return cand.select("a", "b", F.round(sim, 6).alias("sig_sim")).filter(F.col("sig_sim") >= min_sim)
@@ -183,14 +204,27 @@ def minhash_dedup(
 ) -> DataFrame:
     """Keep/drop assignment: connected components over the near-dup
     pair graph (reusing the engine's CC), keeping the min id of each
-    duplicate cluster. Returns (id, keep: bool, cluster: long)."""
+    duplicate cluster. Returns (id, keep: bool, cluster: long).
+
+    CC materializes its result eagerly (per-round lineage truncation in
+    engine/superstep.py), so the pipeline's persisted intermediates are
+    unpersisted here before returning — repeated dedup calls don't
+    accumulate caches for the session lifetime."""
     from essentials_spark.algos import connected_components
     from essentials_spark.graph.derive import Graph
 
-    pairs = minhash_lsh_pairs(docs, text_col, id_col, **kwargs)
+    caches: list = []
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, cleanup=caches, **kwargs)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight"))
     vertices = docs.select(F.col(id_col).alias("vid"))
-    labels = connected_components(Graph(vertices=vertices, edges=edges))
+    labels = connected_components(
+        Graph(vertices=vertices, edges=edges), persist_result=False
+    )
+    for df in caches:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     return labels.select(
         F.col("vid").alias("id"),
         F.col("label").alias("cluster"),

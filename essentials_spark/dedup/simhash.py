@@ -64,16 +64,21 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
-    bucket_cap: int = 64,
+    bucket_cap: int | None = None,
     chain_width: int = 2,
     portable: bool = False,
 ) -> DataFrame:
     """Candidate pairs (a, b, hamming) with hamming <= max_hamming.
 
     ``blocks`` must be > max_hamming for exact recall (pigeonhole).
-    Chunk buckets larger than ``bucket_cap`` switch to bounded chain
-    pairing (see dedup/minhash.py docstring) — the hub-bucket
-    quadratic-blowup guard for boilerplate-heavy corpora."""
+    The default ``bucket_cap=None`` keeps that guarantee. Passing a cap
+    switches buckets larger than it to bounded chain pairing (see
+    dedup/minhash.py) — the hub-bucket quadratic-blowup guard for
+    boilerplate-heavy corpora. A cap trades recall: chain pairing emits
+    only ``chain_width`` successor pairs per member and the hamming
+    post-filter can drop chain links, so transitive clusters may split.
+    Only set a cap in pipelines where a connected-components pass
+    follows AND approximate recall is acceptable."""
     from essentials_spark.dedup.minhash import capped_bucket_pairs
 
     sigs = simhash(docs, text_col, id_col, portable=portable)

@@ -126,6 +126,46 @@ def reap_stale_tables(
     warehouses the same as local disk. Returns the dropped names."""
     import datetime as _dt
 
+    def _parse_created(created: str) -> _dt.datetime | None:
+        """Parse DESCRIBE's 'EEE MMM dd HH:mm:ss zzz yyyy' (java.util.Date
+        toString). strptime %Z only accepts a handful of zone names
+        (GMT/UTC + the local zone's abbreviations), so resolve the zone
+        abbreviation explicitly and return an aware UTC datetime; None
+        when the zone (or the whole string) can't be parsed — callers
+        must SKIP such tables, never reap them on a guessed age."""
+        parts = created.split()
+        if len(parts) != 6:
+            return None
+        zone = parts[4]
+        try:
+            naive = _dt.datetime.strptime(
+                " ".join(parts[:4] + parts[5:]), "%a %b %d %H:%M:%S %Y"
+            )
+        except ValueError:
+            return None
+        # fixed-offset forms first (GMT+05:30 style), then the JVM's
+        # common abbreviations; anything unknown -> None (skip)
+        offsets = {
+            "GMT": 0.0, "UTC": 0.0, "UT": 0.0, "Z": 0.0,
+            "EST": -5.0, "EDT": -4.0, "CST": -6.0, "CDT": -5.0,
+            "MST": -7.0, "MDT": -6.0, "PST": -8.0, "PDT": -7.0,
+            "CET": 1.0, "CEST": 2.0, "BST": 1.0, "IST": 5.5,
+            "JST": 9.0, "KST": 9.0, "AEST": 10.0, "AEDT": 11.0,
+        }
+        off: float | None = None
+        if zone.startswith(("GMT+", "GMT-", "UTC+", "UTC-")):
+            sign = 1.0 if zone[3] == "+" else -1.0
+            hh, _, mm = zone[4:].partition(":")
+            try:
+                off = sign * (float(hh) + (float(mm) if mm else 0.0) / 60.0)
+            except ValueError:
+                return None
+        elif zone in offsets:
+            off = offsets[zone]
+        if off is None:
+            return None
+        return (naive - _dt.timedelta(hours=off)).replace(tzinfo=_dt.timezone.utc)
+
     dropped = []
     now = _dt.datetime.now(_dt.timezone.utc)
     for t in spark.catalog.listTables():
@@ -138,9 +178,9 @@ def reap_stale_tables(
             )
             if created is None:
                 continue
-            ts = _dt.datetime.strptime(created, "%a %b %d %H:%M:%S %Z %Y").replace(
-                tzinfo=_dt.timezone.utc
-            )
+            ts = _parse_created(created)
+            if ts is None:
+                continue  # unparseable timestamp: skip, never reap blind
             if (now - ts).total_seconds() > max_age_hours * 3600:
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
                 dropped.append(t.name)

@@ -52,7 +52,12 @@ class PreparedGraph:
     def pagerank(self, **kwargs) -> DataFrame:
         from essentials_spark.algos import pagerank
 
-        if self.pr_st is not None and kwargs.get("alpha", self.alpha) == self.alpha:
+        # the spread table pr_st was built with self.alpha baked into its
+        # edge coefficients — the teleport/dangling terms inside pagerank()
+        # must use the SAME alpha, so default it here rather than letting
+        # pagerank() fall back to its own 0.85
+        kwargs.setdefault("alpha", self.alpha)
+        if self.pr_st is not None and kwargs["alpha"] == self.alpha:
             kwargs.setdefault("static_edges_w", self.pr_st.df)
         return pagerank(self.graph, **kwargs)
 

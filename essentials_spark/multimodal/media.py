@@ -169,7 +169,11 @@ def _decode_payload(payload: bytes, width: int, height: int):
         raise NotImplementedError("compressed image decoding requires PIL (not in this container)")
     # deterministic fake for synthetic octet-stream payloads (declared stub)
     raw = np.frombuffer(payload, dtype=np.uint8)
-    reps = int(np.ceil(width * height / len(raw))) if len(raw) else 1
+    if len(raw) == 0:
+        # zero-length payload: no pixels (features become zeros; byte
+        # stats report nan upstream), never a reshape error
+        return np.zeros((0, 0), dtype=np.uint8)
+    reps = int(np.ceil(width * height / len(raw)))
     return np.tile(raw, reps)[: width * height].reshape(height, width)
 
 
@@ -180,12 +184,18 @@ def _chunk_means(pix, sizes, k: int):
     import numpy as np
 
     n = len(sizes)
+    if len(pix) == 0:
+        # reduceat raises on an empty operand; an all-empty batch is
+        # all-zero features by the flat_len>0 masking below anyway
+        return np.zeros((n, k), dtype=np.float32)
     div, mod = np.divmod(sizes, k)
     chunk_len = div[:, None] + (np.arange(k)[None, :] < mod[:, None])
     flat_len = chunk_len.ravel()
     ends = np.cumsum(flat_len)
     cstarts = np.concatenate(([0], ends[:-1]))
     sums = np.add.reduceat(pix, np.minimum(cstarts, max(len(pix) - 1, 0)))
+    # duplicate reduceat indices (zero-length chunks) yield the NEXT
+    # element's value, not 0 — flat_len>0 masks those slots
     feat = np.where(flat_len > 0, sums / np.maximum(flat_len, 1), 0.0)
     return feat.reshape(n, k).astype(np.float32)
 
@@ -211,7 +221,15 @@ def decode_images(media: DataFrame, batch_features: int = 8) -> DataFrame:
             n_bytes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
             flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.float64)
             starts = np.concatenate(([0], np.cumsum(n_bytes)[:-1]))
-            mean_byte = np.add.reduceat(flat, starts) / n_bytes
+            if flat.size:
+                sums = np.add.reduceat(flat, np.minimum(starts, flat.size - 1))
+                # zero-length payloads make reduceat see duplicate start
+                # indices and pick up the NEXT payload's first byte —
+                # mask them; empty payloads report nan (matches the old
+                # per-row np.mean degradation), never inf
+                mean_byte = np.where(n_bytes > 0, sums / np.maximum(n_bytes, 1), np.nan)
+            else:
+                mean_byte = np.full(n, np.nan)
             # --- decode (per item: the codec bound — codecs are
             # inherently per-object) then a single vectorized feature
             # pass over all decoded pixels in the batch ---
@@ -257,8 +275,11 @@ def decode_audio(media: DataFrame, batch_features: int = 8) -> DataFrame:
             sizes = np.fromiter((s.size for s, _ in decoded), dtype=np.int64, count=n)
             samples = np.concatenate([s for s, _ in decoded])
             starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-            sq = np.add.reduceat(samples**2, np.minimum(starts, max(len(samples) - 1, 0)))
-            rms = np.sqrt(np.where(sizes > 0, sq / np.maximum(sizes, 1), 0.0))
+            if samples.size:
+                sq = np.add.reduceat(samples**2, np.minimum(starts, samples.size - 1))
+                rms = np.sqrt(np.where(sizes > 0, sq / np.maximum(sizes, 1), 0.0))
+            else:
+                rms = np.zeros(n)
             feat = _chunk_means(np.abs(samples), sizes, k)
             yield pd.DataFrame(
                 {

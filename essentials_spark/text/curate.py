@@ -37,10 +37,17 @@ def curate_corpus(
     shingle_k: int = 3,
     min_sim: float = 0.5,
     portable: bool = False,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Returns (doc_id, quality, lang_pred, kept: bool, reason) for
     every input document. ``portable`` selects the SQL-reproducible
-    minhash hash family (functions/portable_hash) for stage 4."""
+    minhash hash family (functions/portable_hash) for stage 4.
+
+    The returned (lazy) audit DataFrame reads the persisted
+    ``gated``/``exact_kept`` stages directly, so they cannot be
+    unpersisted here; pass ``cleanup`` (a list) to receive them and
+    unpersist after your terminal action. The minhash-internal caches
+    are released by minhash_dedup itself once CC materializes."""
     from essentials_spark.dedup.minhash import minhash_dedup
 
     base = language_id(quality_score(docs, text_col), text_col).select(
@@ -56,9 +63,13 @@ def curate_corpus(
             ~F.col("lang_pred").isin(*langs), F.lit("lang")
         ),
     ).persist()
+    if cleanup is not None:
+        cleanup.append(gated)
 
     s1 = gated.filter(F.col("reason").isNull()).select(id_col, text_col)
     exact_kept = exact_dedup(s1, text_col, id_col).select(id_col).persist()
+    if cleanup is not None:
+        cleanup.append(exact_kept)
 
     s2 = s1.join(exact_kept, id_col, "left_semi")
     near = minhash_dedup(
