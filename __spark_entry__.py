@@ -108,6 +108,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as q_pagerank but on the vectorized packed-CSR
+    kernel (graph/csr_blocks.py — the north-rule Arrow/NumPy SpMV
+    path; reference formats/csr.hxx:79-157, algorithms/spmv.hxx:
+    107-127). Shares _pagerank_sql(): identical unrolled-iteration
+    semantics, different physical plan."""
+    from essentials_spark.algos import pagerank
+
+    kg = _keyed_graph(spark, sf_dir)
+    ranks = pagerank(kg.graph, alpha=ALPHA, tol=0.0, max_iter=PR_ITERS, kernel="csr", fused_iters=5)
+    return ranks.join(kg.vkeys, "vid").select(
+        "skey", F.round(F.col("rank") * 1e6).cast("long").alias("score_ppm")
+    )
+
+
 def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import connected_components
 
@@ -199,20 +214,38 @@ def _md5_weight(src_col, dst_col):
     return 1.0 + (F.ascii(F.substring(F.md5(F.concat(src_col, F.lit(">"), dst_col)), 1, 1)) % 8).cast("double")
 
 
+_sym_cache: dict = {}
+_src_cache: dict = {}
+
+
 def _sym_graph(spark, sf_dir):
-    """Symmetrized (dedup, no self-loops) keyed graph for BFS/SSSP."""
+    """Symmetrized (dedup, no self-loops) keyed graph for BFS/SSSP.
+
+    Cached per (spark, sf_dir) like _keyed_graph — five entry queries
+    use it, and the symmetrize+dedup shuffle is identical each time;
+    truncate_plan materializes it once so later queries read the
+    checkpoint blocks instead of recomputing."""
+    from essentials_spark.engine.superstep import truncate_plan
     from essentials_spark.graph.derive import Graph, canonicalize_edges
 
     kg = _keyed_graph(spark, sf_dir)
-    edges = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
-    return kg, Graph(vertices=kg.graph.vertices, edges=edges)
+    key = (id(spark), sf_dir)
+    if key not in _sym_cache:
+        edges = truncate_plan(
+            canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+        )
+        _sym_cache[key] = Graph(vertices=kg.graph.vertices, edges=edges)
+    return kg, _sym_cache[key]
 
 
 def _min_turn_vid(kg):
-    row = (
-        kg.vkeys.filter(F.col("skey").startswith("turn|")).orderBy("skey").limit(1).collect()[0]
-    )
-    return row["vid"], row["skey"]
+    key = id(kg)
+    if key not in _src_cache:
+        row = (
+            kg.vkeys.filter(F.col("skey").startswith("turn|")).orderBy("skey").limit(1).collect()[0]
+        )
+        _src_cache[key] = (row["vid"], row["skey"])
+    return _src_cache[key]
 
 
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_derivation": q_edges,
         "degree_histogram": q_degree_histogram,
         "pagerank": q_pagerank,
+        "pagerank_csr": q_pagerank_csr,
         "connected_components": q_cc,
         "label_propagation": q_lp,
         "triangle_count": q_triangles,
@@ -1142,7 +1176,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # coloring validity invariants (colors are hash-seeded; the
-    # contract is: every vertex colored, zero monochromatic edges)
+    # contract is: every vertex colored, zero monochromatic edges).
+    # NOTE this oracle is ONE-DIRECTIONAL: the Spark side computes
+    # n_colored and mono_edges from the actual coloring, while the SQL
+    # side emits what a VALID coloring must produce (count(verts), 0).
+    # A hash match therefore proves the Spark coloring satisfies the
+    # invariants — the SQL does not independently recompute a coloring.
     sql["color_validity"] = (
         f"WITH {_PRELUDE} SELECT CAST(count(*) AS BIGINT) AS n_colored,"
         " CAST(0 AS BIGINT) AS mono_edges FROM verts"
@@ -1173,6 +1212,9 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 """
 
     sql["pagerank"] = _pagerank_sql()
+    # the CSR kernel must reproduce the SAME unrolled iterates — one
+    # oracle, two physical paths (dataframe-join vs packed-CSR SpMV)
+    sql["pagerank_csr"] = _pagerank_sql()
     sql["connected_components"] = _cc_sql()
     sql["label_propagation"] = _lp_sql()
     sql["bfs_hops"] = _bfs_sql()

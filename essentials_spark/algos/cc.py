@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
+from essentials_spark.engine.static_table import (
+    STATE_BROADCAST_MAX_ROWS,
+    hint_state_join,
+    prepare_static_edges,
+)
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
@@ -133,6 +137,74 @@ def connected_components(
             .select("vid", F.least(F.col("cand"), F.col("jump")).alias("label"), "old")
         )
 
+    def small_round(cur: DataFrame, front: DataFrame, persists: list) -> DataFrame:
+        """Frontier-scale round for small frontiers: ZERO state-side
+        shuffles. Profiling at 3.3M vertices showed the tail rounds
+        (frontier 46k -> 2k -> 0) still cost 8-11 s each in the general
+        shape — the hook groupBy and the three label joins re-exchange
+        the full 3.3M-row state even when almost nothing changes. Here
+        every derived piece (messages, receivers, hooks) is bounded by
+        the frontier's neighborhood and moves via explicit broadcast;
+        the state is only SCANNED (twice) and rewritten:
+
+          msgs  = min label over frontier neighbors        (tiny agg)
+          recv  = vertices whose msg < label               (state scan 1)
+          hook  = min recv-candidate per receiver root     (tiny agg)
+          L     = label[k] for k in cand ∪ hmin values     (state scan 2,
+                  the pointer-doubling lookup restricted to the only
+                  keys a changed vertex can land on — frontier-scale)
+          new   = state ⟕ bcast(recv) ⟕ bcast(hook[label])
+                        ⟕ bcast(hook[l1]) ⟕ bcast(L[l1])   (state scan 3)
+
+        Monotonicity/exactness: every applied value is the min over
+        candidates that are component-mate vids, same as one_round; a
+        changed vertex always enters the next frontier, so the
+        converged fixpoint (no change) is the exact hash-min fixpoint
+        (all labels = component min). Member vertices read their
+        root's hook in the SAME round (hook[label]); the L hop keeps
+        the geometric pointer-doubling collapse the chain test pins
+        (without it, hooking alone advances ~2 hops/round)."""
+        msgs = (
+            edges.join(F.broadcast(front.select(F.col("vid").alias("src"), "label")), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("dst", "vid")
+        )
+        recv = (
+            cur.join(F.broadcast(msgs), "vid")
+            .filter(F.col("nbr_min") < F.col("label"))
+            .select("vid", F.col("label").alias("old"), F.col("nbr_min").alias("cand"))
+        )
+        recv = recv.persist()
+        persists.append(recv)
+        hook = recv.groupBy(F.col("old").alias("root")).agg(F.min("cand").alias("hmin"))
+        hook = hook.persist()
+        persists.append(hook)
+        h1 = hook.select(F.col("root").alias("label"), F.col("hmin").alias("h_lab"))
+        h2 = hook.select(F.col("root").alias("l1"), F.col("hmin").alias("h_l1"))
+        keys = (
+            recv.select(F.col("cand").alias("vid"))
+            .unionByName(hook.select(F.col("hmin").alias("vid")))
+            .distinct()
+        )
+        lkp = cur.join(F.broadcast(keys), "vid").select(
+            F.col("vid").alias("l1"), F.col("label").alias("jump")
+        )
+        lkp = lkp.persist()
+        persists.append(lkp)
+        return (
+            cur.join(F.broadcast(recv.select("vid", "cand")), "vid", "left")
+            .join(F.broadcast(h1), "label", "left")
+            .select(
+                "vid",
+                F.col("label").alias("old"),
+                F.least("label", "cand", "h_lab").alias("l1"),
+            )
+            .join(F.broadcast(h2), "l1", "left")
+            .join(F.broadcast(lkp), "l1", "left")
+            .select("vid", F.least("l1", "h_l1", "jump").alias("label"), "old")
+        )
+
     # clamp fused depth — see pagerank.py: unrolled-plan stats grow
     # superlinearly with block depth and stall the planner (CC rounds
     # reference their predecessor 3x, so the ceiling is lower)
@@ -142,17 +214,24 @@ def connected_components(
         k = min(max(1, fused_iters), max_iter - iteration)
         cur, front = labels, frontier
         intermediates = []
-        for _ in range(k):
+        for j in range(k):
             # fused sub-rounds reuse the last KNOWN frontier count as a
             # loose bound — the hint only picks broadcast vs
             # shuffle_hash, so a stale-but-same-magnitude bound is fine
-            cur = one_round(cur.select("vid", "label"), front, front_rows, intermediates)
-            # each fused round references its predecessor several times
-            # (messages, hook, jump lookup) — persist keeps the block a
-            # single action while deduplicating the shared subplans
-            cur = cur.persist()
-            intermediates.append(cur)
-            front = cur.filter(F.col("label") != F.col("old")).select("vid", "label")
+            if front_rows is not None and front_rows < STATE_BROADCAST_MAX_ROWS:
+                cur = small_round(cur.select("vid", "label"), front, intermediates)
+            else:
+                cur = one_round(cur.select("vid", "label"), front, front_rows, intermediates)
+            # each NON-FINAL fused round references its predecessor
+            # several times (messages, hook, jump lookup) — persist
+            # keeps the block a single action while deduplicating the
+            # shared subplans. The block's LAST iterate flows straight
+            # into materialize (single reference): persisting it too
+            # just writes a redundant n-scale cache copy per round.
+            if j < k - 1:
+                cur = cur.persist()
+                intermediates.append(cur)
+                front = cur.filter(F.col("label") != F.col("old")).select("vid", "label")
         new_labels = runner.materialize(cur, iteration + k)
         # convergence at block granularity: did the LAST fused round
         # change anything? (earlier no-op rounds are idempotent)

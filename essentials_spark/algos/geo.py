@@ -95,8 +95,22 @@ def geolocate(
     eps: float = 1e-3,
 ) -> DataFrame:
     """known: (vid, lat, lon). Returns (vid, lat, lon) for every vertex
-    that is connected to at least one located vertex."""
-    from essentials_spark.engine.static_table import prepare_static_edges
+    that is connected to at least one located vertex.
+
+    Delta frontier (reference geo.hxx:264-391 — its per-round work is
+    likewise proportional to the unlocated frontier): only vertices
+    located LAST round push coordinates. This is exact, not an
+    approximation: a vertex still unlocated at round t had no located
+    neighbor before round t-1 (it would have been located then), so
+    all of its located neighbors are in the frontier. Per round the
+    shuffled state is the frontier and its neighborhood; the full
+    ``located`` set is only scanned (via a broadcast membership probe)
+    when the frontier is small, never re-exchanged."""
+    from essentials_spark.engine.static_table import (
+        STATE_BROADCAST_MAX_ROWS,
+        hint_state_join,
+        prepare_static_edges,
+    )
 
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "geo")
@@ -105,14 +119,33 @@ def geolocate(
         runner, keys="src", mode=edges_mode, name_hint="geo",
     )
     located = truncate_plan(known.select("vid", "lat", "lon")).persist()
+    front = located
+    front_rows = front.count()
 
     it = 0
     while it < max_iter:
-        pairs = (
-            edges.join(located.withColumnRenamed("vid", "src"), "src")
+        pushed = (
+            edges.join(
+                hint_state_join(front.withColumnRenamed("vid", "src"), front_rows), "src"
+            )
             .select(F.col("dst").alias("vid"), F.col("lat").alias("nlat"), F.col("lon").alias("nlon"))
-            .join(located.select("vid"), "vid", "left_anti")
         )
+        if front_rows < STATE_BROADCAST_MAX_ROWS:
+            # membership probe without exchanging `located`: probe the
+            # (cached, narrow) located scan with the broadcast frontier
+            # neighborhood, then null-filter — all exchanges are
+            # frontier-scale. (An anti-join would build the hash table
+            # from `located`, re-shuffling the cumulative set per round
+            # — the round-1 finding this frontier formulation fixes.)
+            cand_ids = pushed.select("vid").distinct()
+            hit = located.join(F.broadcast(cand_ids), "vid").select("vid", F.lit(1).alias("_loc"))
+            pairs = (
+                pushed.join(F.broadcast(hit), "vid", "left")
+                .filter(F.col("_loc").isNull())
+                .drop("_loc")
+            )
+        else:
+            pairs = pushed.join(located.select("vid"), "vid", "left_anti")
         if method == "mean":
             new = pairs.groupBy("vid").agg(F.avg("nlat").alias("lat"), F.avg("nlon").alias("lon"))
         else:
@@ -145,12 +178,14 @@ def geolocate(
             stats.unpersist()
         n_new = new.count()
         it += 1
-        runner.log(it, located=n_new)
+        runner.log(it, located=n_new, frontier_rows=front_rows)
         if n_new == 0:
             break
         prev = located
         located = truncate_plan(located.unionByName(new)).persist()
         prev.unpersist()
+        front = new  # next round: only the newly located push
+        front_rows = n_new
 
     runner.finalize()
     return located

@@ -98,6 +98,24 @@ def test_kcore(spark):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1, 6: 0}
 
 
+def test_kcore_hindex_vs_peel_planted_clique(spark):
+    # planted 12-clique (core 11) + random sparse background + chains:
+    # the peeling path needs O(max_core) driver waves here while the
+    # h-index fixpoint converges in a handful of bulk rounds — both
+    # must agree exactly (structurally independent algorithms)
+    rng = np.random.RandomState(7)
+    k = 12
+    clique = [(a, b) for a in range(k) for b in range(a + 1, k)]
+    bg = list({(int(a), int(b)) for a, b in rng.randint(k, 60, size=(80, 2)) if a != b})
+    chain = [(i, i + 1) for i in range(60, 70)]
+    pairs = clique + bg + chain + [(5, 30), (40, 65)]
+    g = graph_from_edges(spark, pairs, n_vertices=71)
+    hi = {r["vid"]: r["core"] for r in kcore(g, method="hindex").collect()}
+    pe = {r["vid"]: r["core"] for r in kcore(g, method="peel").collect()}
+    assert hi == pe
+    assert all(hi[v] == k - 1 for v in range(k))
+
+
 def test_color_valid_and_deterministic(spark):
     rng = np.random.RandomState(3)
     n = 25
