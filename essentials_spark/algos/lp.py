@@ -89,10 +89,15 @@ def label_propagation(
         k = min(max(1, fused_iters), max_iter - iteration)
         cur = labels
         intermediates = []
-        for _ in range(k):
+        for j in range(k):
             cur = one_round(cur.select("vid", "label"))
-            cur = cur.persist()
-            intermediates.append(cur)
+            # last fused iterate flows straight into materialize —
+            # persisting it too writes a redundant n-scale cache copy
+            # (see algos/cc.py); non-final iterates are referenced by
+            # their successor (messages + join left side)
+            if j < k - 1:
+                cur = cur.persist()
+                intermediates.append(cur)
         new_labels = runner.materialize(cur, iteration + k)
         n_changed = new_labels.filter(F.col("label") != F.col("old")).count()
         for df in intermediates:
@@ -102,7 +107,11 @@ def label_propagation(
         labels.unpersist()
         labels = new_labels.drop("old").persist()
         if n_changed == 0:
-            labels = runner.materialize(labels, iteration, force=True, meta={"converged": True}).persist()
+            prev = labels
+            labels = runner.materialize(
+                labels, iteration, eager=True, force=True, meta={"converged": True}
+            ).persist()
+            prev.unpersist()  # superseded by the eager checkpoint
             break
 
     out = labels.select("vid", "label")

@@ -166,15 +166,19 @@ def pagerank(
         k = min(max(1, fused_iters), max_iter - iteration)
         cur = ranks
         intermediates = []
-        for _ in range(k):
+        for j in range(k):
             cur = spread(cur.drop("plast") if "plast" in cur.columns else cur)
-            # persist each fused iterate: every superstep references its
-            # predecessor three times (messages, dangling sum, join left
-            # side) — unmaterialized, the block would recompute the base
-            # state 3^k times. persist() keeps the block a single driver
-            # action while deduplicating the shared subplans.
-            cur = cur.persist()
-            intermediates.append(cur)
+            # persist each NON-FINAL fused iterate: every superstep
+            # references its predecessor three times (messages, dangling
+            # sum, join left side) — unmaterialized, the block would
+            # recompute the base state 3^k times. persist() keeps the
+            # block a single driver action while deduplicating the
+            # shared subplans. The block's LAST iterate flows straight
+            # into materialize (single reference) — persisting it too
+            # writes a redundant n-scale cache copy (see algos/cc.py).
+            if j < k - 1:
+                cur = cur.persist()
+                intermediates.append(cur)
         new_ranks = runner.materialize(cur, iteration + k)
         err = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("plast"))).alias("err")).collect()[0]["err"]
         for df in intermediates:  # only after the block is materialized
@@ -189,7 +193,11 @@ def pagerank(
             # blocks, convergence is detected at block granularity —
             # the L-inf check compares the block's last two iterates,
             # the reference's stopping rule evaluated every k-th step.)
-            ranks = runner.materialize(ranks, iteration, force=True, meta={"converged": True}).persist()
+            prev = ranks
+            ranks = runner.materialize(
+                ranks, iteration, eager=True, force=True, meta={"converged": True}
+            ).persist()
+            prev.unpersist()  # superseded by the eager checkpoint
             break
 
     runner.log(iteration, converged=True, total_edges_processed=m * iteration)
