@@ -389,6 +389,107 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- IO format readers (.mtx / .smtx / points), driver-gated: each
+# query derives a BOUNDED deterministic fixture from events (ids hashed
+# into [0,97)x[0,89) — O(1) size at any sf), writes the reference's
+# text format, reads it back through the engine reader, and the oracle
+# recomputes the parsed result (incl. symmetric expansion / CSR
+# unpacking / comment skipping) directly in SQL. Reference anchors:
+# io/matrix_market.hxx:99-240, io/smtx.hxx, io/points.hxx. ----
+
+_MTX_I, _MTX_J = 97, 89
+
+
+def _fixture_pairs(spark: SparkSession, sf_dir: str):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(_MTX_I)).cast("long").alias("i"),
+            F.pmod(F.col("event_id"), F.lit(_MTX_J)).cast("long").alias("j"),
+        )
+        .distinct()
+    )
+
+
+def q_mtx_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric pattern .mtx: writes lower-triangle entries once; the
+    reader must 0-base ids and expand off-diagonal entries both ways
+    (matrix_market.hxx:194-235)."""
+    import os
+    import tempfile
+
+    from essentials_spark.io.matrix_market import read_mtx
+
+    pairs = sorted(
+        (r["a"], r["b"])
+        for r in _fixture_pairs(spark, sf_dir)
+        .select(F.greatest("i", "j").alias("a"), F.least("i", "j").alias("b"))
+        .distinct()
+        .collect()  # bounded: <= 97*89 rows at ANY sf
+    )
+    d = tempfile.mkdtemp(prefix="es_mtx_")
+    path = os.path.join(d, "fixture.mtx")
+    with open(path, "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
+        fh.write("% deterministic fixture derived from the events table\n")
+        fh.write(f"{_MTX_I} {_MTX_I} {len(pairs)}\n")
+        for a, b in pairs:
+            fh.write(f"{a + 1} {b + 1}\n")
+    return read_mtx(spark, path).select("src", "dst", F.col("weight").cast("long").alias("w"))
+
+
+def q_smtx_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.smtx CSR text (offsets + indices lines): the reader must unpack
+    row extents back to COO."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from essentials_spark.io.matrix_market import read_smtx
+
+    pairs = sorted((r["i"], r["j"]) for r in _fixture_pairs(spark, sf_dir).collect())
+    srcs = np.array([p[0] for p in pairs], dtype=np.int64)
+    offsets = np.zeros(_MTX_I + 1, dtype=np.int64)
+    np.add.at(offsets, srcs + 1, 1)
+    offsets = np.cumsum(offsets)
+    d = tempfile.mkdtemp(prefix="es_smtx_")
+    path = os.path.join(d, "fixture.smtx")
+    with open(path, "w") as fh:
+        fh.write(f"{_MTX_I} {_MTX_J} {len(pairs)}\n")
+        fh.write(" ".join(str(int(o)) for o in offsets) + "\n")
+        fh.write(" ".join(str(int(p[1])) for p in pairs) + "\n")
+    return read_smtx(spark, path).select("src", "dst")
+
+
+def q_points_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace 'vid lat lon' labels with comment/blank lines the
+    reader must skip."""
+    import os
+    import tempfile
+
+    from essentials_spark.io.matrix_market import read_points
+
+    vids = sorted(
+        r["v"]
+        for r in _fixture_pairs(spark, sf_dir).select(F.col("i").alias("v")).distinct().collect()
+    )
+    d = tempfile.mkdtemp(prefix="es_pts_")
+    path = os.path.join(d, "fixture.points")
+    with open(path, "w") as fh:
+        fh.write("% per-vertex geo labels\n# alt comment style\n\n")
+        for v in vids:
+            lat = (v * 7) % 180 - 90 + 0.25
+            lon = (v * 13) % 360 - 180 + 0.25
+            fh.write(f"{v} {lat} {lon}\n")
+    pts = read_points(spark, path)
+    return pts.select(
+        "vid",
+        F.round(F.col("lat") * 1e6).cast("long").alias("lat_e6"),
+        F.round(F.col("lon") * 1e6).cast("long").alias("lon_e6"),
+    )
+
+
 def q_color_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coloring is hash-seeded (exact colors aren't SQL-reproducible);
     the oracle-checkable contract is validity: every vertex colored, no
@@ -515,6 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ivf_topk,
         "curate_corpus": q_curate,
         "ngram_jaccard": q_jaccard,
+        "mtx_reader_sym": q_mtx_reader,
+        "smtx_reader": q_smtx_reader,
+        "points_reader": q_points_reader,
         "transcripts_from_events": q_transcripts,
         "edge_derivation": q_edges,
         "degree_histogram": q_degree_histogram,
@@ -1160,6 +1264,27 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_PRELUDE}, deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)"
         " SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket, count(*) AS n_vertices"
         " FROM deg GROUP BY 1"
+    )
+
+    # IO readers: the oracle recomputes the deterministic fixture's
+    # parse result (symmetric expansion / CSR unpack / comment skip)
+    # straight from events — independent of the reader implementation
+    _fixp = (
+        f"SELECT DISTINCT CAST(user_id % {_MTX_I} AS BIGINT) AS i,"
+        f" CAST(event_id % {_MTX_J} AS BIGINT) AS j FROM events"
+    )
+    sql["mtx_reader_sym"] = (
+        f"WITH p AS (SELECT DISTINCT greatest(i, j) AS a, least(i, j) AS b FROM ({_fixp}))"
+        " SELECT a AS src, b AS dst, CAST(1 AS BIGINT) AS w FROM p"
+        " UNION ALL"
+        " SELECT b AS src, a AS dst, CAST(1 AS BIGINT) AS w FROM p WHERE a <> b"
+    )
+    sql["smtx_reader"] = f"SELECT i AS src, j AS dst FROM ({_fixp})"
+    sql["points_reader"] = (
+        f"SELECT DISTINCT i AS vid,"
+        f" CAST(round(((i * 7) % 180 - 90 + 0.25) * 1e6) AS BIGINT) AS lat_e6,"
+        f" CAST(round(((i * 13) % 360 - 180 + 0.25) * 1e6) AS BIGINT) AS lon_e6"
+        f" FROM ({_fixp})"
     )
 
     sql["kcore_decomposition"] = _kcore_sql()

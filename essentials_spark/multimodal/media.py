@@ -8,11 +8,15 @@ in pure NumPy (no external media libraries in this container):
 - PPM (P6)            -> (h, w, 3) uint8 pixels
 - BMP (24-bit, BI_RGB) -> (h, w, 3) uint8 pixels (bottom-up + BGR handled)
 - WAV (PCM 8/16-bit)   -> float64 mono samples + sample rate
+- PNG (non-interlaced, 8-bit, gray/RGB/RGBA/palette) -> uint8 pixels
+  (stdlib zlib inflate + NumPy scanline unfiltering — a REAL
+  compressed format with no external dependency)
 
-Compressed formats (JPEG/PNG/MP3/H.264...) still raise
-``NotImplementedError`` — swapping in PIL/ffmpeg changes one dispatch
-branch, not the pipeline. The synthetic octet-stream payloads used by
-the contract tests keep a clearly-marked deterministic fake.
+Remaining compressed formats (JPEG/MP3/H.264, interlaced or 16-bit
+PNG) still raise ``NotImplementedError`` — swapping in PIL/ffmpeg
+changes one dispatch branch, not the pipeline. The synthetic
+octet-stream payloads used by the contract tests keep a clearly-marked
+deterministic fake.
 
 Design for 100 TB: binaries stay in their parquet row groups until the
 mapInPandas stage; decode/feature-extract run per Arrow batch
@@ -113,6 +117,102 @@ def decode_bmp(payload: bytes):
     return arr[..., ::-1]  # BGR -> RGB
 
 
+def decode_png(payload: bytes):
+    """Non-interlaced 8-bit PNG (stdlib zlib + NumPy unfiltering).
+
+    Color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA); returns (h, w) uint8 for grayscale or (h, w, channels)
+    uint8 otherwise. Interlaced (Adam7) and 16-bit-depth images raise
+    NotImplementedError — one dispatch branch when PIL is available.
+
+    Unfiltering: filter 1 (sub) is a mod-256 prefix sum along the row
+    (np.add.accumulate on uint8); filter 2 (up) is one vectorized add
+    of the previous row; filters 3/4 (average/paeth) carry an in-row
+    dependency, computed as a per-pixel sweep vectorized across the
+    pixel's channels."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    plte = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG requires PIL")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG requires PIL (only 8-bit supported)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        f = filters[y]
+        cur = rows[y, 1:].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # sub: mod-256 prefix sum per channel lane
+            lanes = cur.reshape(w, bpp)
+            out[y] = np.add.accumulate(lanes, axis=0, dtype=np.uint8).ravel()
+        elif f == 2:  # up
+            out[y] = cur + prev
+        elif f == 3:  # average (in-row dependency: sweep pixels)
+            o = out[y]
+            o[:bpp] = cur[:bpp] + (prev[:bpp] // 2)
+            for i in range(bpp, stride, bpp):
+                a = o[i - bpp : i].astype(np.uint16)
+                b = prev[i : i + bpp].astype(np.uint16)
+                o[i : i + bpp] = cur[i : i + bpp] + ((a + b) // 2).astype(np.uint8)
+        elif f == 4:  # paeth
+            o = out[y]
+            o[:bpp] = cur[:bpp] + prev[:bpp]  # a=c=0 -> predictor is b
+            for i in range(bpp, stride, bpp):
+                a = o[i - bpp : i].astype(np.int16)
+                b = prev[i : i + bpp].astype(np.int16)
+                c = prev[i - bpp : i].astype(np.int16)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                o[i : i + bpp] = cur[i : i + bpp] + pred.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    img = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+    return img[:, :, 0] if img.shape[2] == 1 else img
+
+
 def decode_wav(payload: bytes):
     """RIFF/WAVE PCM (8- or 16-bit). Returns (float64 mono samples in
     [-1, 1], sample_rate). Multi-channel is averaged to mono."""
@@ -165,8 +265,12 @@ def _decode_payload(payload: bytes, width: int, height: int):
         return decode_ppm(payload).mean(axis=2)
     if payload[:2] == b"BM":
         return decode_bmp(payload).mean(axis=2)
-    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1"):
-        raise NotImplementedError("compressed image decoding requires PIL (not in this container)")
+    if payload[:4] == b"\x89PNG":
+        img = decode_png(payload)
+        # grayscale stays; color averages the first 3 (non-alpha) channels
+        return img if img.ndim == 2 else img[:, :, :3].mean(axis=2)
+    if payload[:3] in (b"\xff\xd8\xff",):
+        raise NotImplementedError("JPEG decoding requires PIL (not in this container)")
     # deterministic fake for synthetic octet-stream payloads (declared stub)
     raw = np.frombuffer(payload, dtype=np.uint8)
     if len(raw) == 0:

@@ -298,6 +298,105 @@ def _make_wav(samples16, rate=8000, channels=1):
     return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
 
 
+def _make_png(arr, filters=None, palette=None):
+    """Independent minimal PNG encoder (struct + zlib, not decode_png):
+    ``arr`` is (h, w) gray, (h, w, c) for RGB/RGBA, or (h, w) palette
+    indices when ``palette`` is given. ``filters``: per-row filter type
+    (default 0), applying the spec's filter transforms forward."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    if palette is not None:
+        ctype, channels = 3, 1
+        flat = arr.reshape(h, w, 1)
+    elif arr.ndim == 2:
+        ctype, channels = 0, 1
+        flat = arr.reshape(h, w, 1)
+    else:
+        channels = arr.shape[2]
+        ctype = {3: 2, 4: 6, 2: 4}[channels]
+        flat = arr
+    bpp = channels
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    for y in range(h):
+        line = flat[y].reshape(-1).astype(np.uint8)
+        f = filters[y]
+        enc = np.array(line, dtype=np.uint8)
+        if f == 1:
+            enc[bpp:] = line[bpp:] - line[:-bpp]
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            a = np.concatenate([np.zeros(bpp, np.uint16), line[:-bpp].astype(np.uint16)])
+            enc = line - ((a + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        elif f == 4:
+            a = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp].astype(np.int16)])
+            b = prev.astype(np.int16)
+            c = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp].astype(np.int16)])
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            enc = line - pred.astype(np.uint8)
+        raw += bytes([f]) + enc.tobytes()
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_roundtrip_all_filters():
+    """decode_png must invert every scanline filter type on bytes an
+    independent encoder produced (sub/up/average/paeth per row)."""
+    import numpy as np
+
+    from essentials_spark.multimodal.media import decode_png
+
+    rng = np.random.RandomState(11)
+    # RGB, one row per filter type + extras
+    rgb = rng.randint(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    png = _make_png(rgb, filters=[0, 1, 2, 3, 4, 4, 3])
+    assert np.array_equal(decode_png(png), rgb)
+
+    # grayscale
+    gray = rng.randint(0, 256, size=(5, 6), dtype=np.uint8)
+    png = _make_png(gray, filters=[4, 3, 2, 1, 0])
+    assert np.array_equal(decode_png(png), gray)
+
+    # RGBA
+    rgba = rng.randint(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    png = _make_png(rgba, filters=[2, 4, 1, 3])
+    assert np.array_equal(decode_png(png), rgba)
+
+    # palette
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(5, 5), dtype=np.uint8)
+    png = _make_png(idx, filters=[0, 1, 2, 3, 4], palette=pal)
+    assert np.array_equal(decode_png(png), pal[idx])
+
+    # loud failures for unsupported variants
+    import pytest as _pytest
+
+    bad = bytearray(_make_png(gray))
+    bad[8 + 8 + 12] = 1  # interlace byte inside IHDR data
+    with _pytest.raises(NotImplementedError):
+        decode_png(bytes(bad))
+
+
 def test_real_codecs_roundtrip():
     """The pure-NumPy codecs must decode bytes they didn't produce
     themselves back to the exact pixel/sample values."""
