@@ -199,12 +199,13 @@ def main() -> None:
         help="suite timing passes; the min is reported (noise robustness)",
     )
     ap.add_argument(
-        "--probe", choices=["ann", "csr", "curate"], default=None,
+        "--probe", choices=["ann", "csr", "curate", "cc"], default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
         "Arrow/pandas SpMV superstep path); curate = the end-to-end corpus "
         "curation pipeline (quality/lang gates + exact + minhash dedup) "
-        "over synthetic documents",
+        "over synthetic documents; cc = connected components alone on the "
+        "synthetic transcript graph (hybrid shuffle/broadcast rounds)",
     )
     args = ap.parse_args()
 
@@ -242,6 +243,34 @@ def main() -> None:
             "metric": "csr_pagerank_probe", "cpus": cpus, "sec": round(dt, 3),
             "n_edges": m, "edges_per_sec": round(m * 10 / dt),
         }))
+        spark.stop()
+        return
+
+    if args.probe == "cc":
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from essentials_spark.engine.superstep import SuperstepRunner
+        from essentials_spark.graph.keyed import keyed_graph_from_transcripts
+        from essentials_spark.graph.prepared import prepare_graph
+        from essentials_spark.io.transcripts import synth_transcripts
+        from essentials_spark.session import get_spark
+
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-cc", shuffle_partitions=cpus)
+        n_convs = args.synthetic or 200_000
+        kg = keyed_graph_from_transcripts(synth_transcripts(spark, n_convs=n_convs, seed=42))
+        pg = prepare_graph(kg.graph, include_pagerank=False)
+        m_sym = pg.sym_st.df.count()
+        runner = SuperstepRunner(spark, "bench_cc_probe")
+        t0 = time.perf_counter()
+        pg.connected_components(runner=runner).count()
+        dt = time.perf_counter() - t0
+        iters = max((r["iteration"] for r in runner.metrics), default=1)
+        print(json.dumps({
+            "metric": "cc_probe", "cpus": cpus, "sec": round(dt, 3),
+            "n_edges_sym": m_sym, "cc_iterations": iters,
+            "edges_per_sec": round(m_sym * iters / dt),
+        }))
+        pg.close()
         spark.stop()
         return
 
