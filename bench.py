@@ -195,6 +195,10 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=8, help="scaling mode: N cores")
     ap.add_argument("--hi", type=int, default=32, help="scaling mode: 4N cores")
     ap.add_argument(
+        "--kernel", default="dataframe", choices=["dataframe", "csr"],
+        help="cc probe: message-round physical path",
+    )
+    ap.add_argument(
         "--passes", type=int, default=2,
         help="suite timing passes; the min is reported (noise robustness)",
     )
@@ -262,11 +266,12 @@ def main() -> None:
         m_sym = pg.sym_st.df.count()
         runner = SuperstepRunner(spark, "bench_cc_probe")
         t0 = time.perf_counter()
-        pg.connected_components(runner=runner).count()
+        pg.connected_components(runner=runner, kernel=args.kernel).count()
         dt = time.perf_counter() - t0
         iters = max((r["iteration"] for r in runner.metrics), default=1)
         print(json.dumps({
             "metric": "cc_probe", "cpus": cpus, "sec": round(dt, 3),
+            "kernel": args.kernel,
             "n_edges_sym": m_sym, "cc_iterations": iters,
             "edges_per_sec": round(m_sym * iters / dt),
         }))

@@ -50,8 +50,23 @@ def connected_components(
     edges_mode: str = "bucketed",
     fused_iters: int = 1,
     persist_result: bool = True,
+    kernel: str = "dataframe",
+    n_buckets: int | None = None,
+    small_round_max: int | None = None,
 ) -> DataFrame:
     """Returns (vid: long, label: long) — label = min vid in component.
+
+    ``kernel='csr'``: the hash-min message round runs as a MIN-semiring
+    gather-scatter over packed per-bucket CSR blocks (graph/
+    csr_blocks.csr_min_push — np.minimum.at ≙ the reference's
+    atomic::min, mst.hxx:173-199); the hook/jump label algebra stays
+    dataframe-side either way, and small-frontier rounds always use the
+    broadcast shape. Same exact labels, different physical path for the
+    edge-scale step (A/B-tested).
+
+    ``small_round_max``: frontier row count below which the broadcast
+    round shape is used (default: the state-broadcast bound). Tests
+    pass 0 to force the general shape on toy graphs.
 
     ``persist_result=False`` drops the DataFrame-level cache pin on the
     final labels before returning: the data stays in the (eager)
@@ -67,6 +82,16 @@ def connected_components(
     )
     edges = prepare_static_edges(edges.select("src", "dst"), runner, keys="src", mode=edges_mode, name_hint="cc")
     m = edges.count()
+
+    blocks = None
+    if kernel == "csr":
+        from essentials_spark.graph.csr_blocks import build_csr_blocks, csr_min_push
+
+        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+        blocks = prepare_static_edges(
+            build_csr_blocks(edges.withColumn("coef", F.lit(1.0)), n_buckets),
+            runner, keys="bucket", n_buckets=n_buckets, name_hint="cc_blocks",
+        )
 
     labels = truncate_plan(graph.vertices.select("vid", F.col("vid").alias("label")))
     n = labels.count()
@@ -103,12 +128,19 @@ def connected_components(
         # KNOWN frontier size (previous round's change count — the
         # delta frontier shrinks fast, so late rounds broadcast a tiny
         # frontier even on billion-vertex graphs).
-        msgs = (
-            edges.join(hint_state_join(front.select(F.col("vid").alias("src"), "label"), front_rows), "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_min"))
-            .withColumnRenamed("dst", "vid")
-        )
+        if blocks is not None:
+            from essentials_spark.graph.csr_blocks import csr_min_push
+
+            msgs = csr_min_push(blocks, front.select("vid", "label"), n_buckets).withColumnRenamed(
+                "dst", "vid"
+            )
+        else:
+            msgs = (
+                edges.join(hint_state_join(front.select(F.col("vid").alias("src"), "label"), front_rows), "src")
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_min"))
+                .withColumnRenamed("dst", "vid")
+            )
         cand = cur.join(msgs, "vid", "left").select(
             "vid", F.least(F.col("label"), F.col("nbr_min")).alias("cand"), F.col("label").alias("old")
         )
@@ -218,7 +250,9 @@ def connected_components(
             # fused sub-rounds reuse the last KNOWN frontier count as a
             # loose bound — the hint only picks broadcast vs
             # shuffle_hash, so a stale-but-same-magnitude bound is fine
-            if front_rows is not None and front_rows < STATE_BROADCAST_MAX_ROWS:
+            if front_rows is not None and front_rows < (
+                STATE_BROADCAST_MAX_ROWS if small_round_max is None else small_round_max
+            ):
                 cur = small_round(cur.select("vid", "label"), front, intermediates)
             else:
                 cur = one_round(cur.select("vid", "label"), front, front_rows, intermediates)

@@ -127,3 +127,56 @@ def spmv_push(blocks: DataFrame, values: DataFrame, n_buckets: int, value_col: s
         kernel, schema="dst long, partial double"
     )
     return partials.groupBy("dst").agg(F.sum("partial").alias("contrib"))
+
+
+def csr_min_push(
+    blocks: DataFrame, values: DataFrame, n_buckets: int, value_col: str = "label"
+) -> DataFrame:
+    """One MIN-semiring superstep over CSR blocks: returns (dst, nbr_min).
+
+    The hash-min message round of connected components as the same
+    gather/expand/scatter kernel as :func:`spmv_push` with (min, ·)
+    replacing (+, ×): scatter is ``np.minimum.at`` (≙ the reference's
+    atomic::min in mst.hxx:173-199). Only srcs present in ``values``
+    (the frontier) contribute — absent srcs are masked out, so a delta
+    frontier works unchanged. One shuffle: the final groupBy(dst) min
+    across bucket boundaries (map-side partial min applies)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = values.select(
+        F.pmod(F.col("vid"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "vid",
+        F.col(value_col).alias("val"),
+    )
+
+    def kernel(block_pdf: pd.DataFrame, vals_pdf: pd.DataFrame):
+        if len(block_pdf) == 0 or len(vals_pdf) == 0:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "partial": pd.Series(dtype="int64")})
+        row = block_pdf.iloc[0]
+        srcs = np.asarray(row["srcs"], dtype=np.int64)
+        offsets = np.asarray(row["offsets"], dtype=np.int64)
+        dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
+        dst_index = np.asarray(row["dst_index"], dtype=np.int64)
+
+        vv = vals_pdf["vid"].to_numpy()
+        xs = vals_pdf["val"].to_numpy()
+        vorder = np.argsort(vv)
+        vv_sorted = vv[vorder]
+        pos = np.clip(np.searchsorted(vv_sorted, srcs), 0, len(vv_sorted) - 1)
+        found = vv_sorted[pos] == srcs
+        # identity of the min semiring for absent (non-frontier) srcs
+        NONE = np.iinfo(np.int64).max
+        lab_per_src = np.where(found, xs[vorder][pos], NONE)
+
+        degrees = np.diff(offsets)
+        per_edge = np.repeat(lab_per_src, degrees)
+        partial = np.full(len(dst_ids), NONE, dtype=np.int64)
+        np.minimum.at(partial, dst_index, per_edge)
+        keep = partial != NONE
+        return pd.DataFrame({"dst": dst_ids[keep], "partial": partial[keep]})
+
+    partials = blocks.groupby("bucket").cogroup(vals.groupby("bucket")).applyInPandas(
+        kernel, schema="dst long, partial long"
+    )
+    return partials.groupBy("dst").agg(F.min("partial").alias("nbr_min"))

@@ -69,6 +69,22 @@ def test_cc_long_chain_pointer_jumping(spark):
     assert np.array_equal(got, np.zeros(n, dtype=np.int64))
 
 
+def test_cc_csr_kernel_equals_dataframe(spark):
+    # MIN-semiring CSR kernel vs the dataframe hash-min path, forcing
+    # the general round shape (small_round_max=0) so the kernel runs
+    rng = np.random.RandomState(9)
+    n = 120
+    pairs = list({(int(a), int(b)) for a, b in rng.randint(0, n, size=(150, 2)) if a != b})
+    pairs += [(i, i + 1) for i in range(60, 90)]  # a chain component
+    g = graph_from_edges(spark, pairs, n_vertices=n)
+    base = _collect_by_vid(connected_components(g, small_round_max=0), "label")
+    csr = _collect_by_vid(
+        connected_components(g, kernel="csr", n_buckets=4, small_round_max=0), "label"
+    )
+    assert np.array_equal(base, csr)
+    assert np.array_equal(base, cc_oracle(n, pairs))
+
+
 def test_cc_reversed_chain_plus_hub(spark):
     pairs = [(i + 1, i) for i in range(20)] + [(25, 10), (26, 25), (30, 31)]
     g = graph_from_edges(spark, pairs, n_vertices=32)

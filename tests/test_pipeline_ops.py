@@ -453,7 +453,12 @@ def test_compressed_media_raises_loudly():
 
     import pytest as _pytest
 
+    # JPEG still requires PIL — loud NotImplementedError, never the fake
     with _pytest.raises(NotImplementedError):
+        _decode_payload(b"\xff\xd8\xff\xe0" + b"\0" * 100, 8, 8)
+    # PNG decodes natively now; a truncated/garbage PNG is a loud
+    # ValueError (corrupt data), not a silent fall-through to the fake
+    with _pytest.raises(ValueError):
         _decode_payload(b"\x89PNG\r\n\x1a\n" + b"\0" * 100, 8, 8)
 
 
