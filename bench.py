@@ -105,7 +105,7 @@ def run_suite(
         # static_table.py): the edge table is written once per run and
         # supersteps shuffle only vertex state; fused blocks cut actions
         t0 = time.perf_counter()
-        pg.pagerank(tol=0.0, max_iter=pr_iters, fused_iters=5).count()
+        pg.pagerank(tol=0.0, max_iter=pr_iters, fused_iters=5, persist_result=False).count()
         queries["pagerank"] = time.perf_counter() - t0
         eps["pagerank"] = m * pr_iters / queries["pagerank"]
 
@@ -114,13 +114,13 @@ def run_suite(
         # 3x/round — measured 4x slower at sf0.1 than one action per round
         runner = SuperstepRunner(spark, "bench_cc")
         t0 = time.perf_counter()
-        pg.connected_components(runner=runner).count()
+        pg.connected_components(runner=runner, persist_result=False).count()
         queries["cc"] = time.perf_counter() - t0
         cc_iters = max((r["iteration"] for r in runner.metrics), default=1)
         eps["cc"] = m_sym * cc_iters / queries["cc"]
 
         t0 = time.perf_counter()
-        pg.label_propagation(max_iter=5, fused_iters=5).count()
+        pg.label_propagation(max_iter=5, fused_iters=5, persist_result=False).count()
         queries["lp"] = time.perf_counter() - t0
         eps["lp"] = m_sym * 5 / queries["lp"]
 

@@ -36,8 +36,11 @@ def label_propagation(
     pre_symmetrized: bool = False,
     edges_mode: str = "bucketed",
     fused_iters: int = 1,
+    persist_result: bool = True,
 ) -> DataFrame:
-    """Returns (vid: long, label: long). Labels init to vid."""
+    """Returns (vid: long, label: long). Labels init to vid.
+    ``persist_result=False`` releases the result's CacheManager pin
+    before returning (data stays in checkpoint blocks; see cc.py)."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "lp")
 
@@ -116,4 +119,9 @@ def label_propagation(
 
     out = labels.select("vid", "label")
     runner.finalize()
+    if not persist_result:
+        try:
+            labels.unpersist()
+        except Exception:
+            pass
     return out

@@ -56,6 +56,7 @@ def pagerank(
     n_buckets: int | None = None,
     fused_iters: int = 1,
     static_edges_w: DataFrame | None = None,
+    persist_result: bool = True,
 ) -> DataFrame:
     """Returns (vid: long, rank: double).
 
@@ -203,4 +204,12 @@ def pagerank(
     runner.log(iteration, converged=True, total_edges_processed=m * iteration)
     out = ranks.select("vid", "rank")
     runner.finalize()
+    if not persist_result:
+        # data stays in the checkpoint blocks (ContextCleaner-reaped
+        # once the caller drops the DataFrame); only the CacheManager
+        # pin is released — see algos/cc.py
+        try:
+            ranks.unpersist()
+        except Exception:
+            pass
     return out

@@ -228,6 +228,27 @@ def test_geolocate_spreads(spark):
     assert got == {0: (10.0, 20.0), 1: (10.0, 20.0), 2: (10.0, 20.0)}
 
 
+def test_geolocate_delta_frontier_metrics(spark):
+    # chain 0-1-2-...-9 with one anchor at 0: coordinates spread one
+    # hop per round, so the per-round frontier (newly located last
+    # round) must be exactly 1 — the metrics pin that only the delta
+    # pushes, never the cumulative located set (reference geo.hxx's
+    # per-round work is likewise frontier-proportional)
+    from essentials_spark.engine.superstep import SuperstepRunner
+
+    n = 10
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(n - 1)], n_vertices=n)
+    known = spark.createDataFrame([(0, 10.0, 20.0)], "vid long, lat double, lon double")
+    runner = SuperstepRunner(spark, "geo_delta")
+    got = {r["vid"]: (r["lat"], r["lon"]) for r in geolocate(g, known, runner=runner).collect()}
+    assert got == {v: (10.0, 20.0) for v in range(n)}
+    fronts = [m["frontier_rows"] for m in runner.metrics]
+    located = [m["located"] for m in runner.metrics]
+    # every spreading round pushes exactly the 1 newly-located vertex
+    assert fronts == [1] * len(fronts), fronts
+    assert located == [1] * (n - 1) + [0], located
+
+
 def _np_midpoint(p1, p2):
     """NumPy oracle for the reference spherical midpoint (geo.hxx:92-123)."""
     la1, lo1 = np.radians(p1)
