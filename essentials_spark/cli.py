@@ -86,7 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "cc":
         from essentials_spark.algos import connected_components
 
-        out = connected_components(kg.graph, max_iter=args.max_iter, runner=runner)
+        out = connected_components(
+            kg.graph, max_iter=args.max_iter, runner=runner,
+            kernel="csr" if args.kernel == "csr" else "dataframe",
+        )
     elif args.algo == "lp":
         from essentials_spark.algos import label_propagation
 
