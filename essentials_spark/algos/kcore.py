@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
+from essentials_spark.engine.static_table import (
+    STATE_BROADCAST_MAX_ROWS,
+    hint_state_join,
+    prepare_static_edges,
+)
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
@@ -41,12 +45,14 @@ def kcore(
     pre_symmetrized: bool = False,
     edges_mode: str = "bucketed",
     method: str = "hindex",
+    fused_iters: int = 4,
 ) -> DataFrame:
     """Returns (vid: long, core: int) for every vertex (0 if isolated)."""
     if method == "hindex":
         return kcore_hindex(
             graph, max_rounds=max_k, runner=runner,
             pre_symmetrized=pre_symmetrized, edges_mode=edges_mode,
+            fused_iters=fused_iters,
         )
     return kcore_peel(
         graph, max_k=max_k, runner=runner,
@@ -60,6 +66,7 @@ def kcore_hindex(
     runner: SuperstepRunner | None = None,
     pre_symmetrized: bool = False,
     edges_mode: str = "bucketed",
+    fused_iters: int = 4,
 ) -> DataFrame:
     """Neighbor-h-index fixpoint (module docstring). Per round:
 
@@ -99,55 +106,112 @@ def kcore_hindex(
     changed_rows = n
     rounds = 0
     w = Window.partitionBy("dst").orderBy(F.desc("c"), "src")
-    while rounds < max_rounds:
-        # state joins into the bucketed edge layout (state side moves,
-        # edges never re-shuffle); vertices with >= 1 changed neighbor
-        # need a fresh H, the rest keep c verbatim. The affected filter
-        # is applied AFTER the src-side join (on the message stream, a
-        # frontier-scale broadcast/hash join keyed by dst) so the
-        # static table is only ever scanned, never re-keyed by dst.
-        joined = edges.join(hint_state_join(state.select(F.col("vid").alias("src"), "c"), n), "src")
-        if changed_rows < n:
+
+    def one_round(cur: DataFrame, chg: DataFrame, chg_rows: int) -> DataFrame:
+        """One h-index round as pure dataflow -> (vid, c, old).
+
+        ``chg_rows`` is the KNOWN (possibly stale within a fused block)
+        frontier size. The stream choice and the update rule MUST agree
+        on one flag: a restricted (frontier-affected) message stream
+        pairs with keep-c-when-no-message, the full stream pairs with
+        zero-when-no-message — mixing them (stale count says full,
+        actual frontier restricts the stream) would zero every
+        untouched vertex. ``full`` therefore ignores ``chg`` entirely:
+        a stale full-size hint just costs one full recompute, never a
+        wrong value."""
+        full = chg_rows >= n
+        small = (not full) and chg_rows < STATE_BROADCAST_MAX_ROWS // 8
+        if small:
+            # frontier-scale round: the affected set and its in-edge
+            # subset are bounded by |changed| x deg (x deg) — both move
+            # via explicit broadcast, the state and edge tables are
+            # only SCANNED. Profiled at 3.3M vertices: without this the
+            # m-scale state join ran every one of 53 rounds (~2.9 s
+            # each) even with a 3k-vertex frontier.
+            affected = (
+                edges.join(F.broadcast(chg.select(F.col("vid").alias("src"))), "src")
+                .select("dst")
+                .distinct()
+            )
+            sub = edges.join(F.broadcast(affected), "dst")  # in-edges of affected
+            joined = cur.select(F.col("vid").alias("src"), "c").join(F.broadcast(sub), "src")
+        elif not full:
+            # mid-size frontier: full state join into the bucketed
+            # layout, message stream filtered to affected dsts before
+            # the window (hint by the changed count — a proxy within
+            # one degree factor)
             affected = (
                 edges.join(
-                    hint_state_join(changed.select(F.col("vid").alias("src")), changed_rows), "src"
+                    hint_state_join(chg.select(F.col("vid").alias("src")), chg_rows), "src"
                 )
                 .select(F.col("dst"))
                 .distinct()
             )
-            # affected is bounded by |changed| * avg_deg — frontier-
-            # scale in late rounds; its row count is unknown without an
-            # action, so hint by the changed count (a proxy within one
-            # degree factor; worst case we shuffle_hash a small set)
-            joined = joined.join(hint_state_join(affected, changed_rows), "dst")
+            joined = edges.join(
+                hint_state_join(cur.select(F.col("vid").alias("src"), "c"), n), "src"
+            ).join(hint_state_join(affected, chg_rows), "dst")
+        else:
+            joined = edges.join(
+                hint_state_join(cur.select(F.col("vid").alias("src"), "c"), n), "src"
+            )
         hidx = (
             joined.withColumn("rn", F.row_number().over(w))
             .groupBy("dst")
             .agg(F.max(F.least(F.col("rn").cast("long"), F.col("c"))).alias("h"))
             .withColumnRenamed("dst", "vid")
         )
-        if changed_rows < n:
-            # non-affected vertices keep c: left join (h null => keep)
-            new_state = (
-                state.join(hidx, "vid", "left")
+        if not full:
+            # non-affected vertices keep c: left join (h null => keep).
+            # In small rounds hidx is frontier-scale — broadcast it so
+            # the state update is a pure scan (no state exchange)
+            hidx_side = F.broadcast(hidx) if small else hidx
+            return (
+                cur.join(hidx_side, "vid", "left")
                 .select("vid", F.coalesce(F.col("h"), F.col("c")).alias("c"), F.col("c").alias("old"))
             )
+        # full round: isolated vertices (no in-messages) -> 0,
+        # mirroring the oracle's coalesce(h, 0)
+        return (
+            cur.join(hidx, "vid", "left")
+            .select("vid", F.coalesce(F.col("h"), F.lit(0)).alias("c"), F.col("c").alias("old"))
+        )
+
+    # fused blocks (see pagerank.py): k rounds per Spark action; the
+    # frontier-size hint inside a block is the last KNOWN count (stale
+    # by <k rounds — only picks broadcast vs shuffle shape, never
+    # affects values). h-index needs ~chain/2 rounds on conversation
+    # chains (53 at 3.3M vertices), so per-action overhead is the
+    # dominant tail cost without fusion.
+    fused = min(fused_iters, 4)
+    while rounds < max_rounds:
+        # fuse only in the small-frontier regime: a stale full/mid-size
+        # hint makes every sub-round pay the m-scale stream, so big
+        # rounds run one per action (their frontier shrinkage is worth
+        # more than the saved action overhead)
+        if changed_rows >= STATE_BROADCAST_MAX_ROWS // 8:
+            k = 1
         else:
-            # full round: isolated vertices (no in-messages) -> 0,
-            # mirroring the oracle's coalesce(h, 0)
-            new_state = (
-                state.join(hidx, "vid", "left")
-                .select("vid", F.coalesce(F.col("h"), F.lit(0)).alias("c"), F.col("c").alias("old"))
-            )
-        new_state = runner.materialize(new_state, rounds + 1)
+            k = min(max(1, fused), max_rounds - rounds)
+        cur, chg = state, changed
+        intermediates: list[DataFrame] = []
+        for j in range(k):
+            cur = one_round(cur.select("vid", "c"), chg, changed_rows)
+            if j < k - 1:
+                cur = cur.persist()
+                intermediates.append(cur)
+                chg = cur.filter(F.col("c") != F.col("old")).select("vid")
+        new_state = runner.materialize(cur, rounds + k)
         delta = new_state.filter(F.col("c") != F.col("old")).select("vid")
-        changed_rows = delta.count()
-        rounds += 1
-        runner.log(rounds, changed=changed_rows, edges_processed=m)
+        n_changed = delta.count()
+        for df in intermediates:
+            df.unpersist()
+        rounds += k
+        runner.log(rounds, changed=n_changed, edges_processed=m * k)
         state.unpersist()
         state = new_state.drop("old").persist()
         changed = delta
-        if changed_rows == 0:
+        changed_rows = n_changed
+        if n_changed == 0:
             break
 
     out = state.select("vid", F.col("c").cast("int").alias("core"))
