@@ -243,7 +243,15 @@ def connected_components(
     fused_iters = min(fused_iters, 4)
     front_rows = n
     while not converged and iteration < max_iter:
-        k = min(max(1, fused_iters), max_iter - iteration)
+        # never fuse small (broadcast-shape) rounds: each references its
+        # predecessor through several broadcast branches, and nesting
+        # those blows up Catalyst's rendered plan tree (observed:
+        # explainString OOM at depth 3) while measuring slower at
+        # depth 2 anyway — the small round is already one cheap action
+        in_small_regime = front_rows is not None and front_rows < (
+            STATE_BROADCAST_MAX_ROWS if small_round_max is None else small_round_max
+        )
+        k = 1 if in_small_regime else min(max(1, fused_iters), max_iter - iteration)
         cur, front = labels, frontier
         intermediates = []
         for j in range(k):
