@@ -39,6 +39,30 @@ def test_resume_mid_run_reproduces(spark, tmp_path):
     assert np.allclose(a, b, atol=1e-12)
 
 
+def test_cc_resume_mid_run_exact(spark, tmp_path):
+    """Kill CC after its first durable checkpoint: the resumed run
+    restores labels and a full-set frontier (a safe superset — extra
+    hash-min messages are no-ops) and must converge to identical
+    labels through the hybrid general/broadcast round shapes."""
+    import glob
+    import shutil
+
+    from essentials_spark.algos import connected_components
+
+    pairs = [(i, i + 1) for i in range(25)] + [(40 + i, 40 + (i * 7 + 1) % 20) for i in range(20)]
+    g = graph_from_edges(spark, pairs, n_vertices=60)
+    ck = str(tmp_path / "ckcc")
+    r1 = SuperstepRunner(spark, "cc", checkpoint_dir=ck, checkpoint_every=2)
+    a = {r["vid"]: r["label"] for r in connected_components(g, runner=r1).collect()}
+    iters = sorted(glob.glob(ck + "/cc/iter=*"))
+    assert len(iters) >= 2, "need a mid-run checkpoint to delete after"
+    for d in iters[1:]:
+        shutil.rmtree(d)
+    r2 = SuperstepRunner(spark, "cc", checkpoint_dir=ck, checkpoint_every=2)
+    b = {r["vid"]: r["label"] for r in connected_components(g, runner=r2).collect()}
+    assert a == b
+
+
 def test_metrics_written(spark, tmp_path):
     g = graph_from_edges(spark, [(0, 1), (1, 2)], n_vertices=3)
     ck = str(tmp_path / "ck3")
