@@ -339,6 +339,30 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(kg.vkeys, "vid").select("skey", F.col("core").cast("long").alias("core"))
 
 
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-parity peeling path (kcore.hxx:112-199) against
+    the SAME h-index-fixpoint SQL oracle — two structurally independent
+    algorithms vs an algorithm-independent oracle."""
+    from essentials_spark.algos import kcore
+
+    kg = _keyed_graph(spark, sf_dir)
+    out = kcore(kg.graph, method="peel")
+    return out.join(kg.vkeys, "vid").select("skey", F.col("core").cast("long").alias("core"))
+
+
+def q_cc_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC with the MIN-semiring packed-CSR message kernel
+    (graph/csr_blocks.csr_min_push ≙ atomic::min, reference
+    mst.hxx:173-199), general round shape forced so the kernel actually
+    runs at gate scale; same oracle as connected_components."""
+    from essentials_spark.algos import connected_components
+
+    kg = _keyed_graph(spark, sf_dir)
+    labels = connected_components(kg.graph, kernel="csr", n_buckets=8, small_round_max=0)
+    lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("component"))
+    return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "component")
+
+
 def q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import betweenness_centrality
 
@@ -605,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_push": q_ppr,
         "hits_norm": q_hits,
         "kcore_decomposition": q_kcore,
+        "kcore_peel": q_kcore_peel,
+        "connected_components_csr": q_cc_csr,
         "betweenness_3src": q_bc,
         "mst_total_weight": q_mst_total,
         "degree_stats": q_degree_stats,
@@ -1288,6 +1314,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["kcore_decomposition"] = _kcore_sql()
+    # peeling engine path vs the same h-index oracle (independent x2)
+    sql["kcore_peel"] = _kcore_sql()
     sql["betweenness_3src"] = _bc_sql()
     sql["mst_total_weight"] = _mst_sql()
 
@@ -1341,6 +1369,9 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
     # oracle, two physical paths (dataframe-join vs packed-CSR SpMV)
     sql["pagerank_csr"] = _pagerank_sql()
     sql["connected_components"] = _cc_sql()
+    # MIN-semiring CSR kernel: same converged labels, different
+    # physical path for the hash-min message round
+    sql["connected_components_csr"] = _cc_sql()
     sql["label_propagation"] = _lp_sql()
     sql["bfs_hops"] = _bfs_sql()
     sql["sssp_md5w"] = _sssp_sql()
