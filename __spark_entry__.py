@@ -424,6 +424,19 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MTX_I, _MTX_J = 97, 89
 
 
+def _materialize_and_cleanup(df: DataFrame, tmpdir: str) -> DataFrame:
+    """Eagerly checkpoint a reader's output, then delete its fixture
+    dir — the returned DataFrame no longer references the file, so
+    repeated gate invocations leave no /tmp debris."""
+    import shutil
+
+    from essentials_spark.engine.superstep import truncate_plan
+
+    out = truncate_plan(df, eager=True)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return out
+
+
 def _fixture_pairs(spark: SparkSession, sf_dir: str):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -459,7 +472,8 @@ def q_mtx_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write(f"{_MTX_I} {_MTX_I} {len(pairs)}\n")
         for a, b in pairs:
             fh.write(f"{a + 1} {b + 1}\n")
-    return read_mtx(spark, path).select("src", "dst", F.col("weight").cast("long").alias("w"))
+    out = read_mtx(spark, path).select("src", "dst", F.col("weight").cast("long").alias("w"))
+    return _materialize_and_cleanup(out, d)
 
 
 def q_smtx_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +497,12 @@ def q_smtx_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write(f"{_MTX_I} {_MTX_J} {len(pairs)}\n")
         fh.write(" ".join(str(int(o)) for o in offsets) + "\n")
         fh.write(" ".join(str(int(p[1])) for p in pairs) + "\n")
-    return read_smtx(spark, path).select("src", "dst")
+    # read_smtx parses on the driver — the file is free immediately
+    out = read_smtx(spark, path).select("src", "dst")
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def q_points_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,11 +526,12 @@ def q_points_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             lon = (v * 13) % 360 - 180 + 0.25
             fh.write(f"{v} {lat} {lon}\n")
     pts = read_points(spark, path)
-    return pts.select(
+    out = pts.select(
         "vid",
         F.round(F.col("lat") * 1e6).cast("long").alias("lat_e6"),
         F.round(F.col("lon") * 1e6).cast("long").alias("lon_e6"),
     )
+    return _materialize_and_cleanup(out, d)
 
 
 def q_color_validity(spark: SparkSession, sf_dir: str) -> DataFrame:

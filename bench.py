@@ -90,7 +90,7 @@ def run_suite(
     # untimed warmup superstep (JIT + codegen compilation + shuffle
     # service spin-up — the reference's nvbench likewise runs warmup
     # iterations before timing); cuts run-to-run variance at small SF
-    pg.pagerank(tol=0.0, max_iter=1).count()
+    pg.pagerank(tol=0.0, max_iter=1, persist_result=False).count()
 
     # noise robustness: the loop below times the whole suite ``passes``
     # times against the SAME prepared graph and reports the MIN pass

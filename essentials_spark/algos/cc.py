@@ -110,6 +110,31 @@ def connected_components(
     # hash-min messages are >= the receiver's label, a no-op)
     frontier = labels.select("vid", "label")
 
+    # message-mass gate for the broadcast round shape: a frontier ROW
+    # count bounds nothing on a power-law graph (one hub in a 3k-vertex
+    # frontier makes its neighborhood edge-scale). Every frame the
+    # small round broadcasts (msgs/recv/hook/lookup) is bounded by
+    # sum(deg(frontier)), so that mass — one tiny broadcast-join
+    # aggregate per candidate round — is the gate. The out-degree table
+    # is built lazily from the bucketed edge scan (no shuffle) and
+    # persisted only if a small round ever becomes possible.
+    _deg_cache: dict = {}
+
+    def frontier_msg_mass(front: DataFrame) -> int:
+        if "deg" not in _deg_cache:
+            d = edges.groupBy("src").agg(F.count("*").alias("_deg")).persist()
+            _deg_cache["deg"] = d
+            runner.defer(d.unpersist)
+        row = (
+            _deg_cache["deg"]
+            .join(F.broadcast(front.select(F.col("vid").alias("src"))), "src")
+            .agg(F.sum("_deg"))
+            .collect()[0][0]
+        )
+        return int(row or 0)
+
+    broadcast_mass_cap = 4 * STATE_BROADCAST_MAX_ROWS
+
     def one_round(
         cur: DataFrame, front: DataFrame, front_rows: int | None, persists: list
     ) -> DataFrame:
@@ -129,8 +154,7 @@ def connected_components(
         # delta frontier shrinks fast, so late rounds broadcast a tiny
         # frontier even on billion-vertex graphs).
         if blocks is not None:
-            from essentials_spark.graph.csr_blocks import csr_min_push
-
+            # csr_min_push bound by the kernel=='csr' import above
             msgs = csr_min_push(blocks, front.select("vid", "label"), n_buckets).withColumnRenamed(
                 "dst", "vid"
             )
@@ -251,6 +275,10 @@ def connected_components(
         in_small_regime = front_rows is not None and front_rows < (
             STATE_BROADCAST_MAX_ROWS if small_round_max is None else small_round_max
         )
+        if in_small_regime and front_rows:
+            # row count passed — confirm the NEIGHBORHOOD mass is
+            # broadcastable before committing to the broadcast shape
+            in_small_regime = frontier_msg_mass(frontier) < broadcast_mass_cap
         k = 1 if in_small_regime else min(max(1, fused_iters), max_iter - iteration)
         cur, front = labels, frontier
         intermediates = []
@@ -258,9 +286,7 @@ def connected_components(
             # fused sub-rounds reuse the last KNOWN frontier count as a
             # loose bound — the hint only picks broadcast vs
             # shuffle_hash, so a stale-but-same-magnitude bound is fine
-            if front_rows is not None and front_rows < (
-                STATE_BROADCAST_MAX_ROWS if small_round_max is None else small_round_max
-            ):
+            if in_small_regime:
                 cur = small_round(cur.select("vid", "label"), front, intermediates)
             else:
                 cur = one_round(cur.select("vid", "label"), front, front_rows, intermediates)

@@ -122,6 +122,26 @@ def geolocate(
     front = located
     front_rows = front.count()
 
+    # broadcast-probe gate: the frames broadcast below (cand_ids, hit)
+    # are bounded by the frontier's NEIGHBORHOOD, not its row count —
+    # one hub in a small frontier makes them edge-scale. Gate on
+    # sum(deg(frontier)) like algos/cc.py; the degree table comes from
+    # the bucketed edge scan (no shuffle) on first use.
+    _deg_cache: dict = {}
+
+    def frontier_msg_mass(f: DataFrame) -> int:
+        if "deg" not in _deg_cache:
+            d = edges.groupBy("src").agg(F.count("*").alias("_deg")).persist()
+            _deg_cache["deg"] = d
+            runner.defer(d.unpersist)
+        row = (
+            _deg_cache["deg"]
+            .join(F.broadcast(f.select(F.col("vid").alias("src"))), "src")
+            .agg(F.sum("_deg"))
+            .collect()[0][0]
+        )
+        return int(row or 0)
+
     it = 0
     while it < max_iter:
         pushed = (
@@ -130,7 +150,9 @@ def geolocate(
             )
             .select(F.col("dst").alias("vid"), F.col("lat").alias("nlat"), F.col("lon").alias("nlon"))
         )
-        if front_rows < STATE_BROADCAST_MAX_ROWS:
+        if front_rows < STATE_BROADCAST_MAX_ROWS and frontier_msg_mass(
+            front
+        ) < 4 * STATE_BROADCAST_MAX_ROWS:
             # membership probe without exchanging `located`: probe the
             # (cached, narrow) located scan with the broadcast frontier
             # neighborhood, then null-filter — all exchanges are

@@ -47,13 +47,21 @@ def kcore(
     method: str = "hindex",
     fused_iters: int = 4,
 ) -> DataFrame:
-    """Returns (vid: long, core: int) for every vertex (0 if isolated)."""
+    """Returns (vid: long, core: int) for every vertex (0 if isolated).
+
+    ``max_k`` caps the reported core VALUE in both methods (peel stops
+    at k = max_k and survivors keep it; h-index runs to its fixpoint
+    and clamps) — it is NOT an h-index round budget, so the two paths
+    keep identical semantics for any max_k."""
     if method == "hindex":
-        return kcore_hindex(
-            graph, max_rounds=max_k, runner=runner,
+        out = kcore_hindex(
+            graph, runner=runner,
             pre_symmetrized=pre_symmetrized, edges_mode=edges_mode,
             fused_iters=fused_iters,
         )
+        if max_k < 1000:
+            out = out.select("vid", F.least(F.col("core"), F.lit(max_k)).cast("int").alias("core"))
+        return out
     return kcore_peel(
         graph, max_k=max_k, runner=runner,
         pre_symmetrized=pre_symmetrized, edges_mode=edges_mode,
@@ -92,6 +100,10 @@ def kcore_hindex(
     m = edges.count()
 
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "vid")
+    # persisted for the per-block message-mass gate (bucketed scan +
+    # partial agg — no shuffle); released on finalize
+    deg = deg.persist()
+    runner.defer(deg.unpersist)
     state = truncate_plan(
         graph.vertices.select("vid")
         .join(deg, "vid", "left")
@@ -107,20 +119,29 @@ def kcore_hindex(
     rounds = 0
     w = Window.partitionBy("dst").orderBy(F.desc("c"), "src")
 
-    def one_round(cur: DataFrame, chg: DataFrame, chg_rows: int) -> DataFrame:
+    def _mass(front: DataFrame) -> int:
+        """sum(deg(front)) — the broadcast-size bound for the frames a
+        small round derives from this frontier (one tiny aggregate)."""
+        row = (
+            deg.join(F.broadcast(front.select("vid")), "vid")
+            .agg(F.sum("deg"))
+            .collect()[0][0]
+        )
+        return int(row or 0)
+
+    def one_round(cur: DataFrame, chg: DataFrame, chg_rows: int, shape: str) -> DataFrame:
         """One h-index round as pure dataflow -> (vid, c, old).
 
-        ``chg_rows`` is the KNOWN (possibly stale within a fused block)
-        frontier size. The stream choice and the update rule MUST agree
-        on one flag: a restricted (frontier-affected) message stream
-        pairs with keep-c-when-no-message, the full stream pairs with
-        zero-when-no-message — mixing them (stale count says full,
-        actual frontier restricts the stream) would zero every
-        untouched vertex. ``full`` therefore ignores ``chg`` entirely:
-        a stale full-size hint just costs one full recompute, never a
-        wrong value."""
-        full = chg_rows >= n
-        small = (not full) and chg_rows < STATE_BROADCAST_MAX_ROWS // 8
+        ``shape`` ('full' | 'small' | 'mid') is decided by the caller
+        from the ACTUAL frontier's row count and message mass. The
+        stream choice and the update rule MUST agree on one flag: a
+        restricted (frontier-affected) message stream pairs with
+        keep-c-when-no-message, the full stream pairs with
+        zero-when-no-message — mixing them would zero every untouched
+        vertex. 'full' ignores ``chg`` entirely: a stale full hint just
+        costs one full recompute, never a wrong value."""
+        full = shape == "full"
+        small = shape == "small"
         if small:
             # frontier-scale round: the affected set and its in-edge
             # subset are bounded by |changed| x deg (x deg) — both move
@@ -138,8 +159,10 @@ def kcore_hindex(
         elif not full:
             # mid-size frontier: full state join into the bucketed
             # layout, message stream filtered to affected dsts before
-            # the window (hint by the changed count — a proxy within
-            # one degree factor)
+            # the window. `affected` is a NEIGHBORHOOD (its size is
+            # unbounded by the frontier row count on hub-heavy graphs),
+            # so it is never broadcast-hinted — shuffle_hash is the
+            # safe join for it.
             affected = (
                 edges.join(
                     hint_state_join(chg.select(F.col("vid").alias("src")), chg_rows), "src"
@@ -149,7 +172,7 @@ def kcore_hindex(
             )
             joined = edges.join(
                 hint_state_join(cur.select(F.col("vid").alias("src"), "c"), n), "src"
-            ).join(hint_state_join(affected, chg_rows), "dst")
+            ).join(hint_state_join(affected, None), "dst")
         else:
             joined = edges.join(
                 hint_state_join(cur.select(F.col("vid").alias("src"), "c"), n), "src"
@@ -183,19 +206,36 @@ def kcore_hindex(
     # chains (53 at 3.3M vertices), so per-action overhead is the
     # dominant tail cost without fusion.
     fused = min(fused_iters, 4)
+    mass_cap = 4 * STATE_BROADCAST_MAX_ROWS
     while rounds < max_rounds:
-        # fuse only in the small-frontier regime: a stale full/mid-size
-        # hint makes every sub-round pay the m-scale stream, so big
-        # rounds run one per action (their frontier shrinkage is worth
-        # more than the saved action overhead)
-        if changed_rows >= STATE_BROADCAST_MAX_ROWS // 8:
-            k = 1
+        # shape decision from the ACTUAL frontier: row count alone
+        # bounds nothing on a power-law graph (one hub makes the
+        # neighborhood edge-scale), so the small (all-broadcast) shape
+        # additionally requires the 1-hop and 2-hop message MASS to fit
+        # the broadcast cap. Within a fused block the shape is stale by
+        # <k rounds — the 4x cap over the state-broadcast bound is the
+        # margin for that drift, and a mid-shape fallback is always
+        # correct (same values, shuffled instead of broadcast).
+        if changed_rows >= n:
+            shape = "full"
+        elif changed_rows < STATE_BROADCAST_MAX_ROWS // 8 and _mass(changed) < mass_cap:
+            affected_probe = (
+                edges.join(F.broadcast(changed.select(F.col("vid").alias("src"))), "src")
+                .select(F.col("dst").alias("vid"))
+                .distinct()
+            )
+            shape = "small" if _mass(affected_probe) < mass_cap else "mid"
         else:
-            k = min(max(1, fused), max_rounds - rounds)
+            shape = "mid"
+        # fuse only small rounds: a stale full/mid hint makes every
+        # sub-round pay the m-scale stream, so big rounds run one per
+        # action (their frontier shrinkage is worth more than the
+        # saved action overhead)
+        k = min(max(1, fused), max_rounds - rounds) if shape == "small" else 1
         cur, chg = state, changed
         intermediates: list[DataFrame] = []
         for j in range(k):
-            cur = one_round(cur.select("vid", "c"), chg, changed_rows)
+            cur = one_round(cur.select("vid", "c"), chg, changed_rows, shape)
             if j < k - 1:
                 cur = cur.persist()
                 intermediates.append(cur)

@@ -128,11 +128,21 @@ def reap_stale_tables(
 
     def _parse_created(created: str) -> _dt.datetime | None:
         """Parse DESCRIBE's 'EEE MMM dd HH:mm:ss zzz yyyy' (java.util.Date
-        toString). strptime %Z only accepts a handful of zone names
-        (GMT/UTC + the local zone's abbreviations), so resolve the zone
-        abbreviation explicitly and return an aware UTC datetime; None
-        when the zone (or the whole string) can't be parsed — callers
-        must SKIP such tables, never reap them on a guessed age."""
+        toString) to an aware UTC datetime; None when it can't be parsed
+        — callers must SKIP such tables, never reap them on a guessed
+        age. Primary path: the SAME JVM that rendered the string parses
+        it back (SimpleDateFormat resolves its own default-locale zone
+        abbreviations consistently — a Python-side map would guess
+        wrong on ambiguous abbreviations like CST/IST/BST, misdating a
+        LIVE table by hours and reaping it). Fallback (JVM call fails):
+        pure-Python, restricted to unambiguous zones."""
+        try:
+            jvm = spark.sparkContext._jvm
+            sdf = jvm.java.text.SimpleDateFormat("EEE MMM dd HH:mm:ss zzz yyyy", jvm.java.util.Locale.US)
+            ms = sdf.parse(created).getTime()
+            return _dt.datetime.fromtimestamp(ms / 1000.0, _dt.timezone.utc)
+        except Exception:
+            pass
         parts = created.split()
         if len(parts) != 6:
             return None
@@ -143,15 +153,10 @@ def reap_stale_tables(
             )
         except ValueError:
             return None
-        # fixed-offset forms first (GMT+05:30 style), then the JVM's
-        # common abbreviations; anything unknown -> None (skip)
-        offsets = {
-            "GMT": 0.0, "UTC": 0.0, "UT": 0.0, "Z": 0.0,
-            "EST": -5.0, "EDT": -4.0, "CST": -6.0, "CDT": -5.0,
-            "MST": -7.0, "MDT": -6.0, "PST": -8.0, "PDT": -7.0,
-            "CET": 1.0, "CEST": 2.0, "BST": 1.0, "IST": 5.5,
-            "JST": 9.0, "KST": 9.0, "AEST": 10.0, "AEDT": 11.0,
-        }
+        # explicit-offset forms, then only UNAMBIGUOUS zone names —
+        # CST/IST/BST/EST and friends collide across continents, so
+        # they are deliberately absent (skip beats a wrong reap)
+        offsets = {"GMT": 0.0, "UTC": 0.0, "UT": 0.0, "Z": 0.0}
         off: float | None = None
         if zone.startswith(("GMT+", "GMT-", "UTC+", "UTC-")):
             sign = 1.0 if zone[3] == "+" else -1.0

@@ -267,8 +267,11 @@ def _decode_payload(payload: bytes, width: int, height: int):
         return decode_bmp(payload).mean(axis=2)
     if payload[:4] == b"\x89PNG":
         img = decode_png(payload)
-        # grayscale stays; color averages the first 3 (non-alpha) channels
-        return img if img.ndim == 2 else img[:, :, :3].mean(axis=2)
+        if img.ndim == 2:
+            return img
+        if img.shape[2] == 2:  # gray+alpha: luminance only, never alpha
+            return img[:, :, 0]
+        return img[:, :, :3].mean(axis=2)  # RGB(A): average color channels
     if payload[:3] in (b"\xff\xd8\xff",):
         raise NotImplementedError("JPEG decoding requires PIL (not in this container)")
     # deterministic fake for synthetic octet-stream payloads (declared stub)
