@@ -206,7 +206,13 @@ def geolocate(
         prev = located
         located = truncate_plan(located.unionByName(new)).persist()
         prev.unpersist()
-        front = new  # next round: only the newly located push
+        # next round: only the newly located push. `new` was
+        # truncate_plan'd (eager localCheckpoint) above, so the frontier
+        # is a materialized LogicalRDD LEAF — next round's `pushed`
+        # join, frontier_msg_mass collect, and the located union all
+        # read stored blocks, never re-evaluating prior rounds' joins
+        # (the O(rounds^2) lineage blowup truncate_plan exists to stop).
+        front = new
         front_rows = n_new
 
     runner.finalize()

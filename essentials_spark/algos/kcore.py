@@ -59,9 +59,13 @@ def kcore(
             pre_symmetrized=pre_symmetrized, edges_mode=edges_mode,
             fused_iters=fused_iters,
         )
-        if max_k < 1000:
-            out = out.select("vid", F.least(F.col("core"), F.lit(max_k)).cast("int").alias("core"))
-        return out
+        # unconditional clamp (no-op when cores are below the cap):
+        # peel stops at k = max_k and caps survivors, so h-index must
+        # cap at ANY max_k — including >= 1000 — or the A/B cross-check
+        # diverges on graphs whose true max core reaches the cap
+        return out.select(
+            "vid", F.least(F.col("core"), F.lit(max_k)).cast("int").alias("core")
+        )
     return kcore_peel(
         graph, max_k=max_k, runner=runner,
         pre_symmetrized=pre_symmetrized, edges_mode=edges_mode,

@@ -85,6 +85,40 @@ def test_cc_csr_kernel_equals_dataframe(spark):
     assert np.array_equal(base, cc_oracle(n, pairs))
 
 
+def test_cc_small_round_path_fuzz_vs_union_find(spark):
+    # pins the broadcast (small_round) shape specifically: its
+    # pointer-jump lookup is restricted to keys from this round's
+    # recv.cand ∪ hook.hmin, an invariant previously argued only in the
+    # docstring. Force small rounds from round 0 (small_round_max ≫ n)
+    # on adversarial shuffled-id chains/trees — the worst case for a
+    # restricted jump key set, since a stale non-root label must be
+    # healed through hook[label] rather than the lookup — and compare
+    # against a union-find oracle. Failure here means the hook/jump
+    # algebra regressed.
+    rng = np.random.RandomState(1234)
+    for trial in range(6):
+        n = int(rng.randint(24, 64))
+        perm = rng.permutation(n)
+        kind = trial % 3
+        if kind == 0:  # shuffled-id chain
+            pairs = [(int(perm[i]), int(perm[i + 1])) for i in range(n - 1)]
+        elif kind == 1:  # shuffled-id random tree (parent < child pre-perm)
+            pairs = [
+                (int(perm[int(rng.randint(0, i))]), int(perm[i])) for i in range(1, n)
+            ]
+        else:  # sparse random graph + isolated vertices
+            m = int(rng.randint(n // 2, n))
+            pairs = list(
+                {(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b}
+            )
+        g = graph_from_edges(spark, pairs, n_vertices=n)
+        got = _collect_by_vid(
+            connected_components(g, small_round_max=10**9), "label"
+        )
+        exp = cc_oracle(n, [(u, v) for u, v in pairs])
+        assert np.array_equal(got, exp), f"trial {trial} kind {kind} n {n}"
+
+
 def test_cc_reversed_chain_plus_hub(spark):
     pairs = [(i + 1, i) for i in range(20)] + [(25, 10), (26, 25), (30, 31)]
     g = graph_from_edges(spark, pairs, n_vertices=32)
