@@ -17,6 +17,34 @@ max_by-style struct-max per dst — two shuffle aggregates, both with
 map-side partials. The edge table is persisted once as a src-bucketed
 table (engine/static_table.py) so supersteps shuffle only label state;
 ``fused_iters`` folds k rounds into one Spark action.
+
+Delta frontier (the reference's bypass-filter semantics,
+operators/filter/bypass.hxx:11-46): a vertex's new label is a pure
+function of its neighbors' labels, so only vertices with >= 1
+changed-label neighbor can change — once the changed set collapses,
+the mode recompute is restricted to ``affected = N(changed)``. Unlike
+CC's monotone hash-min, the mode needs the FULL neighborhood of every
+recomputed vertex, so the restricted stream is ``in-edges(affected) ⋈
+labels`` (kcore_hindex's exact shape, not CC's push-only one). Shape
+ladder, decided per round from the ACTUAL frontier (row count alone
+bounds nothing on a power-law graph — one hub makes the neighborhood
+edge-scale, so the small shape additionally gates on 1-hop and 2-hop
+message MASS):
+
+  full  — changed ~ n: m-scale state join, everything recomputed
+  mid   — moderate frontier: full state join, message stream filtered
+          to affected dsts before the aggregates (shuffle-hash hints)
+  small — tiny frontier + bounded mass: affected set, its in-edge
+          subset, and the per-dst winners all move via explicit
+          broadcast; the n-row state and the bucketed edge table are
+          only SCANNED, never exchanged
+
+Exactness of the restriction (synchronous semantics preserved): after
+round t every label equals the mode of its neighbors' round t-1
+labels; if no neighbor of v changed in round t, v's round t+1 counts
+equal its round t counts, so v's label is a provable no-op — the
+restricted stream pairs with keep-label-when-no-message (the same
+left-join coalesce the full round already uses for isolated vertices).
 """
 
 from __future__ import annotations
@@ -24,7 +52,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
+from essentials_spark.engine.static_table import (
+    STATE_BROADCAST_MAX_ROWS,
+    hint_state_join,
+    prepare_static_edges,
+)
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
@@ -37,10 +69,15 @@ def label_propagation(
     edges_mode: str = "bucketed",
     fused_iters: int = 1,
     persist_result: bool = True,
+    small_round_max: int | None = None,
 ) -> DataFrame:
     """Returns (vid: long, label: long). Labels init to vid.
     ``persist_result=False`` releases the result's CacheManager pin
-    before returning (data stays in checkpoint blocks; see cc.py)."""
+    before returning (data stays in checkpoint blocks; see cc.py).
+    ``small_round_max``: frontier row count below which the broadcast
+    (small) shape is considered (default: STATE_BROADCAST_MAX_ROWS//8,
+    kcore_hindex's bound). Tests pass 0 to force full/mid shapes or a
+    huge value to force the small shape."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "lp")
 
@@ -62,24 +99,83 @@ def label_propagation(
         iteration, labels, meta = resumed
         converged = bool(meta.get("converged"))
     labels = labels.persist()
+    # changed set: vertices whose label moved last round (all, at
+    # start; on a non-converged resume the full set is a safe superset
+    # — extra recompute, identical values)
+    changed = labels.select("vid")
+    changed_rows = n
 
-    def one_round(cur: DataFrame) -> DataFrame:
-        """One mode-of-neighbors round. Returns (vid, label, old)."""
-        # adaptive state-join hint (see engine/static_table.py): label
-        # state is vertex-scale forever — broadcast only when the
-        # vertex count is genuinely small, else shuffle_hash
-        counts = (
-            edges.join(hint_state_join(cur.select(F.col("vid").alias("src"), "label"), n), "src")
-            .groupBy("dst", "label")
-            .agg(F.count("*").alias("cnt"))
+    # out-degree table for the message-mass gates (bucketed scan +
+    # partial agg — no shuffle; symmetrized table so in-deg == out-deg)
+    _deg_cache: dict = {}
+
+    def _mass(front: DataFrame) -> int:
+        if "deg" not in _deg_cache:
+            d = edges.groupBy("src").agg(F.count("*").alias("_deg")).persist()
+            _deg_cache["deg"] = d
+            runner.defer(d.unpersist)
+        row = (
+            _deg_cache["deg"]
+            .join(F.broadcast(front.select(F.col("vid").alias("src"))), "src")
+            .agg(F.sum("_deg"))
+            .collect()[0][0]
         )
+        return int(row or 0)
+
+    def one_round(cur: DataFrame, chg: DataFrame, chg_rows: int, shape: str) -> DataFrame:
+        """One mode-of-neighbors round -> (vid, label, old). ``shape``
+        ('full' | 'mid' | 'small') is decided by the caller from the
+        ACTUAL frontier's row count and message mass (module
+        docstring); a stale full/mid hint only costs recompute, never
+        a wrong value, because every shape pairs its stream with the
+        same keep-label-when-no-message update."""
+        full = shape == "full"
+        small = shape == "small"
+        if small:
+            # frontier-scale round: ZERO state-side exchange. The
+            # affected set and its in-edge subset are bounded by the
+            # gated 1-hop / 2-hop masses — both move via explicit
+            # broadcast; the n-row label state is only SCANNED (once
+            # for the src lookup, once for the update).
+            affected = (
+                edges.join(F.broadcast(chg.select(F.col("vid").alias("src"))), "src")
+                .select("dst")
+                .distinct()
+            )
+            sub = edges.join(F.broadcast(affected), "dst")  # in-edges of affected
+            joined = cur.select(F.col("vid").alias("src"), "label").join(F.broadcast(sub), "src")
+        elif not full:
+            # mid-size frontier: full state join into the bucketed
+            # layout, message stream filtered to affected dsts before
+            # the aggregates. `affected` is a NEIGHBORHOOD (unbounded
+            # by the frontier row count on hub-heavy graphs) — never
+            # broadcast-hinted; shuffle_hash is the safe join for it.
+            affected = (
+                edges.join(hint_state_join(chg.select(F.col("vid").alias("src")), chg_rows), "src")
+                .select("dst")
+                .distinct()
+            )
+            joined = edges.join(
+                hint_state_join(cur.select(F.col("vid").alias("src"), "label"), n), "src"
+            ).join(hint_state_join(affected, None), "dst")
+        else:
+            # adaptive state-join hint (see engine/static_table.py):
+            # label state is vertex-scale forever — broadcast only when
+            # the vertex count is genuinely small, else shuffle_hash
+            joined = edges.join(
+                hint_state_join(cur.select(F.col("vid").alias("src"), "label"), n), "src"
+            )
+        counts = joined.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
         # most frequent label, min-label tiebreak: max of (cnt, -label)
         best = (
             counts.groupBy("dst")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
             .select(F.col("dst").alias("vid"), (-F.col("top.neg")).alias("new_label"))
         )
-        return cur.join(best, "vid", "left").select(
+        # small rounds: winners are affected-scale — broadcast them so
+        # the state update is a pure scan (no state exchange)
+        best_side = F.broadcast(best) if small else best
+        return cur.join(best_side, "vid", "left").select(
             "vid",
             F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             F.col("label").alias("old"),
@@ -88,12 +184,43 @@ def label_propagation(
     # clamp fused depth — see pagerank.py: unrolled-plan stats grow
     # superlinearly with block depth and stall the planner past ~6
     fused_iters = min(fused_iters, 6)
+    small_bound = (
+        STATE_BROADCAST_MAX_ROWS // 8 if small_round_max is None else small_round_max
+    )
+    mass_cap = 4 * STATE_BROADCAST_MAX_ROWS
     while not converged and iteration < max_iter:
-        k = min(max(1, fused_iters), max_iter - iteration)
-        cur = labels
+        # shape decision from the ACTUAL frontier (module docstring).
+        # Within a fused block the shape is stale by <k rounds — the 4x
+        # cap over the state-broadcast bound is the margin for that
+        # drift, and a mid-shape fallback is always value-identical.
+        # restriction profits only when the frontier is a MINORITY:
+        # synchronous LP oscillates on chain-like structure, so a
+        # convergence-mode run can hold a ~n-scale frontier for many
+        # rounds — there the affected set is ~n too, and the restricted
+        # shapes just add a distinct + an extra join (or near-m-scale
+        # broadcasts) on top of the same full recompute (observed on
+        # transcript graphs: changed = 98% of n every round)
+        if 2 * changed_rows >= n:
+            shape = "full"
+        elif changed_rows and changed_rows < small_bound and _mass(changed) < mass_cap:
+            affected_probe = (
+                edges.join(F.broadcast(changed.select(F.col("vid").alias("src"))), "src")
+                .select(F.col("dst").alias("vid"))
+                .distinct()
+            )
+            shape = "small" if _mass(affected_probe) < mass_cap else "mid"
+        else:
+            shape = "mid"
+        # fuse full and small rounds (full sub-rounds pay the m-scale
+        # stream regardless, so fusing them only saves action overhead;
+        # small sub-rounds track their own chg). Mid rounds run one per
+        # action: their restricted stream wants a FRESH frontier, and a
+        # stale mid hint pays near-m-scale work per sub-round.
+        k = min(max(1, fused_iters), max_iter - iteration) if shape != "mid" else 1
+        cur, chg = labels, changed
         intermediates = []
         for j in range(k):
-            cur = one_round(cur.select("vid", "label"))
+            cur = one_round(cur.select("vid", "label"), chg, changed_rows, shape)
             # last fused iterate flows straight into materialize —
             # persisting it too writes a redundant n-scale cache copy
             # (see algos/cc.py); non-final iterates are referenced by
@@ -101,14 +228,24 @@ def label_propagation(
             if j < k - 1:
                 cur = cur.persist()
                 intermediates.append(cur)
+                chg = cur.filter(F.col("label") != F.col("old")).select("vid")
         new_labels = runner.materialize(cur, iteration + k)
-        n_changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        delta = new_labels.filter(F.col("label") != F.col("old")).select("vid")
+        n_changed = delta.count()
         for df in intermediates:
             df.unpersist()
         iteration += k
-        runner.log(iteration, changed=n_changed, edges_processed=m * k)
+        runner.log(
+            iteration,
+            changed=n_changed,
+            shape=shape,
+            frontier_rows=changed_rows,
+            edges_processed=m * k,
+        )
         labels.unpersist()
         labels = new_labels.drop("old").persist()
+        changed = delta
+        changed_rows = n_changed
         if n_changed == 0:
             prev = labels
             labels = runner.materialize(

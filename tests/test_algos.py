@@ -152,6 +152,65 @@ def test_lp_star(spark):
     assert np.array_equal(got, exp)
 
 
+def test_lp_delta_frontier_shapes_and_exactness(spark):
+    # chain of 4-cliques, each bridged to the next: round 1 changes
+    # every vertex (full shape), round 2 only the per-clique min
+    # vertices (collapsed frontier -> small shape, restricted stream),
+    # round 3 converges. Pins (a) exactness vs the full-recompute
+    # oracle and (b) that late rounds actually ran the frontier-scale
+    # restricted shape with frontier-proportional metrics — the LP
+    # analogue of test_geolocate_delta_frontier_metrics.
+    from essentials_spark.engine.superstep import SuperstepRunner
+
+    n_cliques, csz = 6, 4
+    pairs = []
+    for c in range(n_cliques):
+        base = c * csz
+        pairs += [(base + a, base + b) for a in range(csz) for b in range(a + 1, csz)]
+        if c:
+            pairs.append((base - 1, base))  # bridge
+    n = n_cliques * csz
+    runner = SuperstepRunner(spark, "lp_delta")
+    g = graph_from_edges(spark, pairs)
+    got = _collect_by_vid(label_propagation(g, max_iter=20, runner=runner), "label")
+    exp = lp_oracle(n, pairs, max_iter=20)
+    assert np.array_equal(got, exp)
+    shapes = [m["shape"] for m in runner.metrics]
+    fronts = [m["frontier_rows"] for m in runner.metrics]
+    assert shapes[0] == "full" and fronts[0] == n
+    # the tail must run the restricted broadcast shape on the collapsed
+    # frontier: round 1 changes every vertex (full), round 2 still sees
+    # the full frontier (full), round 3 sees only the per-clique min
+    # vertices — well under the small bound
+    assert shapes[-1] == "small" and fronts[-1] < n, (shapes, fronts)
+    # once the frontier collapses below n it never runs full again
+    tail = [s for s, f in zip(shapes, fronts) if f < n]
+    assert tail and all(s != "full" for s in tail), (shapes, fronts)
+
+
+def test_lp_fuzz_all_shapes_vs_oracle(spark):
+    # random graphs driven through each shape path: default (full ->
+    # small tail), forced-never-small (full/mid), forced-small-from-
+    # round-2 (small_round_max huge). All must equal the synchronous
+    # full-recompute oracle at the same max_iter — the restricted
+    # stream is a provable no-op for unaffected vertices.
+    rng = np.random.RandomState(77)
+    for trial in range(3):
+        n = int(rng.randint(20, 48))
+        m = int(rng.randint(n, 2 * n))
+        pairs = list({(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b})
+        g = graph_from_edges(spark, pairs, n_vertices=n)
+        exp = lp_oracle(n, pairs, max_iter=7)
+        for kw in (
+            {},
+            {"small_round_max": 0},
+            {"small_round_max": 10**9},
+            {"fused_iters": 3},
+        ):
+            got = _collect_by_vid(label_propagation(g, max_iter=7, **kw), "label")
+            assert np.array_equal(got, exp), f"trial {trial} kw {kw}"
+
+
 # ---------------- Triangle counting ----------------
 
 
