@@ -216,9 +216,36 @@ def test_mst_total_weight(spark):
     pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
     weights = [1.0, 2.0, 3.0, 4.0, 0.5]
     g = graph_from_edges(spark, pairs, weights=weights, n_vertices=4)
-    chosen, total = mst(g)
+    from essentials_spark.engine.superstep import SuperstepRunner
+
+    runner = SuperstepRunner(spark, "mst_t")
+    chosen, total = mst(g, runner=runner)
     assert total == pytest.approx(0.5 + 1.0 + 3.0)  # kruskal: 0-2, 0-1, 2-3
     assert chosen.count() == 3
+    # batched settled-checks: the jump loop must issue strictly fewer
+    # convergence counts than doublings+1 would naively (check at j=0
+    # then every 3rd) — pins the driver-barrier economy
+    for m in runner.metrics:
+        if "jump_doublings" in m:
+            d, c = m["jump_doublings"], m["jump_checks"]
+            assert c <= 1 + (d + 2) // 3, (d, c)
+
+
+def test_mst_deep_chain_jump_batched(spark):
+    # long path: round-1 hook forest is a deep pointer chain, forcing
+    # multiple doublings — exact weight must survive the batched
+    # (every-3rd) settled checks and the inline _moved flag
+    from essentials_spark.engine.superstep import SuperstepRunner
+
+    n = 33
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    weights = [1.0 + (i % 5) for i in range(n - 1)]
+    g = graph_from_edges(spark, pairs, weights=weights, n_vertices=n)
+    runner = SuperstepRunner(spark, "mst_chain")
+    chosen, total = mst(g, runner=runner)
+    assert total == pytest.approx(sum(weights))  # a path IS its own MST
+    assert chosen.count() == n - 1
+    assert any(m.get("jump_doublings", 0) >= 2 for m in runner.metrics)
 
 
 def test_geolocate_spreads(spark):
