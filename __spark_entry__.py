@@ -24,6 +24,11 @@ CC_ROUNDS = 26  # Spark CC converges by ~19 supersteps at sf0.01; margin on top
 LP_ROUNDS = 5
 ANN_K = 5
 ANN_NQ = 5
+# embedding near-dup gate threshold: the synthetic embeddings are
+# near-random (max pairwise cosine ~0.51), so 0.3 keeps the gate
+# non-trivially populated (~43 pairs at sf0.01) while still exercising
+# the threshold filter
+EMB_MIN_SIM = 0.3
 BFS_ROUNDS = 90  # >= hop eccentricity of the source at sf<=0.01
 SSSP_ROUNDS = 90
 PPR_ROUNDS = 8
@@ -617,6 +622,55 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs in portable literal-plane mode:
+    the full dedup pipeline (LSH banding -> bucket self-join -> exact
+    cosine verify) with every bucket and similarity value reproduced by
+    _embpairs_sql in DuckDB. bucket_cap=None = documented exact recall
+    within buckets (the oracle mode; the capped chain-pairing variant
+    is the scale path, pytest-gated)."""
+    from essentials_spark.dedup.embedding import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_cosine_pairs(
+        emb, min_sim=EMB_MIN_SIM, bits=10, tables=6, bucket_cap=None, portable=True, dim=64
+    )
+    return out.select(
+        "a", "b", F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6")
+    )
+
+
+def q_result_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result sink gate (SURVEY §2.2 output sink; the reference writes
+    final ranks out after enact, examples/algorithms/pr/pr.cu:68-70):
+    write the pagerank result to parquet, RE-READ it, and return the
+    re-read DataFrame. The oracle (_pagerank_sql, shared with the
+    `pagerank` entry) then value-checks the round-tripped rows —
+    proving schema and values survive the sink, not just the query."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="essentials_sink_") + "/pagerank"
+    q_pagerank(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q_streaming_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parity gate: the stateless incremental edge
+    derivation (streaming/ingest.incremental_key_edges) run as ONE
+    availableNow micro-batch pass over the same transcript rows the
+    batch path sees, returning the sink's contents. Shares the
+    edge_derivation oracle — incremental == batch, driver-checked
+    (previously only a pytest invariant)."""
+    import tempfile
+
+    from essentials_spark.streaming.ingest import run_edges_to_parquet
+
+    base = tempfile.mkdtemp(prefix="essentials_stream_")
+    _transcripts(spark, sf_dir).write.mode("overwrite").parquet(f"{base}/in")
+    run_edges_to_parquet(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    return spark.read.parquet(f"{base}/out").select("src_key", "dst_key")
+
+
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact n-gram Jaccard verify step over a bounded candidate set
     # (all pairs of the first 25 doc ids — 300 pairs)
@@ -660,6 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash,
         "ann_lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ivf_topk,
+        "embedding_cosine_pairs": q_embed_pairs,
+        "result_sink": q_result_sink,
+        "streaming_edges": q_streaming_edges,
         "curate_corpus": q_curate,
         "ngram_jaccard": q_jaccard,
         "mtx_reader_sym": q_mtx_reader,
@@ -1144,6 +1201,36 @@ SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM h GROUP BY id
 """
 
 
+def _embpairs_sql(bits: int = 10, tables: int = 6, dim: int = 64) -> str:
+    """DuckDB twin of q_embed_pairs: same literal hyperplanes, bucket
+    self-join (a < b, distinct — uncapped, matching bucket_cap=None),
+    exact cosine rounded to 6 decimals, threshold filter."""
+    from essentials_spark.functions.portable_hash import plane_components
+
+    planes = plane_components(tables, bits, dim)
+
+    def sig_expr(t: int) -> str:
+        terms = []
+        for b in range(bits):
+            arr = "[" + ", ".join(repr(c) for c in planes[t][b]) + "]::DOUBLE[]"
+            terms.append(f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << b} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {sig_expr(t)} AS sig FROM e" for t in range(tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS ({unions}),
+p AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+    round(list_dot_product(l.v, r.v)
+      / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS sim
+  FROM s l JOIN s r ON l.tbl = r.tbl AND l.sig = r.sig AND l.vec_id < r.vec_id)
+SELECT a, b, CAST(round(sim * 1e6) AS BIGINT) AS sim_e6
+FROM p WHERE sim >= {EMB_MIN_SIM}
+"""
+
+
 def _annlsh_sql(bits: int = 10, tables: int = 6, dim: int = 64) -> str:
     """DuckDB twin of q_lsh_topk: the literal hyperplane components are
     the same plane_components() values inlined into the Spark plan."""
@@ -1305,6 +1392,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["edge_derivation"] = f"WITH {_PRELUDE} SELECT src AS src_key, dst AS dst_key FROM edges_k"
+    # streaming parity: one availableNow micro-batch pass of the
+    # incremental derivation must produce the exact batch edge multiset
+    sql["streaming_edges"] = sql["edge_derivation"]
 
     sql["degree_histogram"] = (
         f"WITH {_PRELUDE}, deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)"
@@ -1366,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
     sql["simhash_signatures"] = _simhash_sql()
     sql["ann_lsh_topk"] = _annlsh_sql()
     sql["ann_ivf_topk"] = _annivf_sql()
+    sql["embedding_cosine_pairs"] = _embpairs_sql()
     sql["curate_corpus"] = _curate_sql()
     sql["ngram_jaccard"] = """
 WITH g AS (
@@ -1385,6 +1476,8 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 """
 
     sql["pagerank"] = _pagerank_sql()
+    # sink gate: write -> re-read must reproduce the same values
+    sql["result_sink"] = _pagerank_sql()
     # the CSR kernel must reproduce the SAME unrolled iterates — one
     # oracle, two physical paths (dataframe-join vs packed-CSR SpMV)
     sql["pagerank_csr"] = _pagerank_sql()

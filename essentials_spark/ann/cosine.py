@@ -178,6 +178,8 @@ def lsh_pairs(
     bucket_cap: int = 64,
     chain_width: int = 2,
     sim_decimals: int = 6,
+    portable: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Self-join near-neighbor pairs (a, b, sim), a < b, sim >= min_sim.
 
@@ -185,13 +187,31 @@ def lsh_pairs(
     the dedup use-case wants *all* pairs above min_sim); LSH buckets
     above ``bucket_cap`` fall back to bounded chain pairing (see
     dedup/minhash.capped_bucket_pairs) so a degenerate bucket of
-    near-identical vectors cannot go quadratic."""
+    near-identical vectors cannot go quadratic. ``portable``: literal
+    plane arrays (functions/portable_hash.plane_components — requires
+    ``dim``) so every bucket, hence every candidate pair, is exactly
+    reproducible in oracle SQL; the hash-derived planes stay the scale
+    path for 1-4k dims."""
     from essentials_spark.dedup.minhash import capped_bucket_pairs
+
+    if portable:
+        from essentials_spark.functions.portable_hash import plane_components
+
+        if not dim:
+            raise ValueError("portable lsh_pairs requires dim")
+        planes = plane_components(tables, bits, dim)
 
     v = _as_double(F.col(vec_col))
     rows = vectors.select(F.col(id_col).alias("id"), v.alias("v")).withColumn("n", _norm(F.col("v")))
     sigs = [
-        F.struct(F.lit(t).alias("tbl"), _rh_signature(F.col("v"), t, bits).alias("sig"))
+        F.struct(
+            F.lit(t).alias("tbl"),
+            (
+                _rh_signature_literal(F.col("v"), planes[t])
+                if portable
+                else _rh_signature(F.col("v"), t, bits)
+            ).alias("sig"),
+        )
         for t in range(tables)
     ]
     bucketed = rows.withColumn("s", F.explode(F.array(*sigs))).select(
