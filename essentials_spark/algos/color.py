@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.static_table import prepare_static_edges
+from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
 from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
@@ -55,9 +55,19 @@ def color(
         # per v, the max/min (prio, vid) among its uncolored neighbors.
         # Edges to already-colored v are aggregated too and discarded by
         # the state join — cheaper than a second edge-side filter join.
+        # adaptive state-join hint (engine/static_table.py), the same
+        # tail-round discipline as every other iterative loop: the
+        # uncolored set shrinks geometrically (2 colors/round peel off
+        # all local extrema), so late rounds broadcast the n_left-row
+        # state into the bucketed edge scan — zero state exchange —
+        # while early vertex-scale rounds shuffle-hash into the
+        # bucketed layout. n_left is the KNOWN exact count (line above).
         msgs = (
             edges.join(
-                uncolored.select(F.col("vid").alias("src"), F.col("prio").alias("p")), "src"
+                hint_state_join(
+                    uncolored.select(F.col("vid").alias("src"), F.col("prio").alias("p")), n_left
+                ),
+                "src",
             )
             .groupBy("dst")
             .agg(

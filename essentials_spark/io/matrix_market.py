@@ -24,8 +24,12 @@ def read_mtx(spark: SparkSession, path: str) -> DataFrame:
     general/symmetric. Pattern matrices get weight 1.0; symmetric
     storage is expanded to both directions (off-diagonal only).
     """
-    with open(path) as fh:
-        banner = fh.readline().strip().lower()
+    # storage-portable banner read: spark.read.text goes through the
+    # Hadoop filesystem layer, so file://, hdfs://, s3a:// all work —
+    # a driver-side open() would break on object-store paths. limit(1)
+    # prunes the scan to the first partition's first line.
+    banner_row = spark.read.text(path).limit(1).collect()
+    banner = banner_row[0]["value"].strip().lower() if banner_row else ""
     if not banner.startswith("%%matrixmarket"):
         raise ValueError(f"not a MatrixMarket file: {banner!r}")
     opts = set(banner.split())

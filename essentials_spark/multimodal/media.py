@@ -8,11 +8,12 @@ in pure NumPy (no external media libraries in this container):
 - PPM (P6)            -> (h, w, 3) uint8 pixels
 - BMP (24-bit, BI_RGB) -> (h, w, 3) uint8 pixels (bottom-up + BGR handled)
 - WAV (PCM 8/16-bit)   -> float64 mono samples + sample rate
-- PNG (non-interlaced, 8-bit, gray/RGB/RGBA/palette) -> uint8 pixels
-  (stdlib zlib inflate + NumPy scanline unfiltering — a REAL
-  compressed format with no external dependency)
+- PNG (8/16-bit, gray/RGB/RGBA/palette, non-interlaced AND Adam7
+  interlaced) -> uint8/uint16 pixels (stdlib zlib inflate + NumPy
+  scanline unfiltering — a REAL compressed format with no external
+  dependency)
 
-Remaining compressed formats (JPEG/MP3/H.264, interlaced or 16-bit
+Remaining compressed formats (JPEG/MP3/H.264, sub-byte-depth
 PNG) still raise ``NotImplementedError`` — swapping in PIL/ffmpeg
 changes one dispatch branch, not the pipeline. The synthetic
 octet-stream payloads used by the contract tests keep a clearly-marked
@@ -117,19 +118,77 @@ def decode_bmp(payload: bytes):
     return arr[..., ::-1]  # BGR -> RGB
 
 
-def decode_png(payload: bytes):
-    """Non-interlaced 8-bit PNG (stdlib zlib + NumPy unfiltering).
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) —
+# PNG spec §8.2; pass sub-images are filtered independently
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA); returns (h, w) uint8 for grayscale or (h, w, channels)
-    uint8 otherwise. Interlaced (Adam7) and 16-bit-depth images raise
-    NotImplementedError — one dispatch branch when PIL is available.
 
-    Unfiltering: filter 1 (sub) is a mod-256 prefix sum along the row
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Invert PNG scanline filters over one (sub-)image's bytes.
+
+    ``raw``: h*(stride+1) filter-prefixed scanline bytes; ``bpp`` is
+    bytes per pixel (filters operate on BYTES at any bit depth — the
+    byte ``bpp`` to the left is the 'prior pixel', spec §9.2).
+    Filter 1 (sub) is a mod-256 prefix sum along the row
     (np.add.accumulate on uint8); filter 2 (up) is one vectorized add
     of the previous row; filters 3/4 (average/paeth) carry an in-row
     dependency, computed as a per-pixel sweep vectorized across the
-    pixel's channels."""
+    pixel's byte lanes. Returns (h, stride) uint8."""
+    import numpy as np
+
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = filters[y]
+        cur = rows[y, 1:].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # sub: mod-256 prefix sum per byte lane
+            lanes = cur.reshape(stride // bpp, bpp)
+            out[y] = np.add.accumulate(lanes, axis=0, dtype=np.uint8).ravel()
+        elif f == 2:  # up
+            out[y] = cur + prev
+        elif f == 3:  # average (in-row dependency: sweep pixels)
+            o = out[y]
+            o[:bpp] = cur[:bpp] + (prev[:bpp] // 2)
+            for i in range(bpp, stride, bpp):
+                a = o[i - bpp : i].astype(np.uint16)
+                b = prev[i : i + bpp].astype(np.uint16)
+                o[i : i + bpp] = cur[i : i + bpp] + ((a + b) // 2).astype(np.uint8)
+        elif f == 4:  # paeth
+            o = out[y]
+            o[:bpp] = cur[:bpp] + prev[:bpp]  # a=c=0 -> predictor is b
+            for i in range(bpp, stride, bpp):
+                a = o[i - bpp : i].astype(np.int16)
+                b = prev[i : i + bpp].astype(np.int16)
+                c = prev[i - bpp : i].astype(np.int16)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                o[i : i + bpp] = cur[i : i + bpp] + pred.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return out
+
+
+def decode_png(payload: bytes):
+    """PNG decode — stdlib zlib + NumPy unfiltering, no PIL.
+
+    Supports 8- and 16-bit depth, color types 0 (gray), 2 (RGB),
+    3 (palette, 8-bit only per spec), 4 (gray+alpha), 6 (RGBA), and
+    both interlace methods (none / Adam7 — each of the 7 passes is an
+    independently filtered sub-image scattered onto the x0+i*dx,
+    y0+j*dy grid). Returns (h, w) for grayscale or (h, w, channels)
+    otherwise; dtype uint8 at depth 8, uint16 (big-endian sample pairs
+    reassembled) at depth 16. Sub-byte depths (1/2/4) raise
+    NotImplementedError."""
     import zlib
 
     import numpy as np
@@ -158,54 +217,39 @@ def decode_png(payload: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype, _comp, _filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG requires PIL")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG requires PIL (only 8-bit supported)")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"{depth}-bit PNG requires PIL (8/16-bit supported)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype} not supported")
+    if ctype == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not valid per spec")
+    bpp = channels * (depth // 8)
 
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = w * channels
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG scanline size mismatch")
-    rows = raw.reshape(h, stride + 1)
-    filters = rows[:, 0]
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    for y in range(h):
-        f = filters[y]
-        cur = rows[y, 1:].copy()
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
-        if f == 0:
-            out[y] = cur
-        elif f == 1:  # sub: mod-256 prefix sum per channel lane
-            lanes = cur.reshape(w, bpp)
-            out[y] = np.add.accumulate(lanes, axis=0, dtype=np.uint8).ravel()
-        elif f == 2:  # up
-            out[y] = cur + prev
-        elif f == 3:  # average (in-row dependency: sweep pixels)
-            o = out[y]
-            o[:bpp] = cur[:bpp] + (prev[:bpp] // 2)
-            for i in range(bpp, stride, bpp):
-                a = o[i - bpp : i].astype(np.uint16)
-                b = prev[i : i + bpp].astype(np.uint16)
-                o[i : i + bpp] = cur[i : i + bpp] + ((a + b) // 2).astype(np.uint8)
-        elif f == 4:  # paeth
-            o = out[y]
-            o[:bpp] = cur[:bpp] + prev[:bpp]  # a=c=0 -> predictor is b
-            for i in range(bpp, stride, bpp):
-                a = o[i - bpp : i].astype(np.int16)
-                b = prev[i : i + bpp].astype(np.int16)
-                c = prev[i - bpp : i].astype(np.int16)
-                p = a + b - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-                o[i : i + bpp] = cur[i : i + bpp] + pred.astype(np.uint8)
-        else:
-            raise ValueError(f"unknown PNG filter {f}")
-    img = out.reshape(h, w, channels)
+    if interlace == 0:
+        out = _png_unfilter(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+    else:
+        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass on small images carries no bytes
+            sz = ph * (pw * bpp + 1)
+            sub = _png_unfilter(raw[pos : pos + sz], ph, pw * bpp, bpp)
+            pos += sz
+            out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+        if pos != raw.size:
+            raise ValueError("PNG interlaced data size mismatch")
+    if depth == 16:
+        img = out.reshape(h, w, channels, 2).astype(np.uint16)
+        img = (img[..., 0] << 8) | img[..., 1]  # big-endian sample pairs
+    else:
+        img = out
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

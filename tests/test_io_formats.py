@@ -34,6 +34,20 @@ def test_mtx_general_real(spark, tmp_path):
     assert rows == {(0, 1): 0.5, (1, 2): 1.5, (2, 0): 2.0}
 
 
+def test_mtx_file_uri(spark, tmp_path):
+    # storage portability: the banner read goes through the Hadoop FS
+    # layer (no driver-side open()), so URI paths must work
+    p = tmp_path / "u.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n2 2 2\n1 2 3.0\n2 1 4.0\n"
+    )
+    rows = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in read_mtx(spark, f"file://{p}").collect()
+    }
+    assert rows == {(0, 1): 3.0, (1, 0): 4.0}
+
+
 def test_smtx(spark, tmp_path):
     p = tmp_path / "g.smtx"
     p.write_text("3 3 4\n0 2 3 4\n1 2 0 1\n")

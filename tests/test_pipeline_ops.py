@@ -298,34 +298,23 @@ def _make_wav(samples16, rate=8000, channels=1):
     return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
 
 
-def _make_png(arr, filters=None, palette=None):
-    """Independent minimal PNG encoder (struct + zlib, not decode_png):
-    ``arr`` is (h, w) gray, (h, w, c) for RGB/RGBA, or (h, w) palette
-    indices when ``palette`` is given. ``filters``: per-row filter type
-    (default 0), applying the spec's filter transforms forward."""
-    import struct
-    import zlib
+_A7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_filter_pass(flat, bpp, filters):
+    """Forward-filter one (sub-)image (ph, pw*bpp byte rows) per the
+    spec's byte-level transforms; ``filters`` cycles per row."""
     import numpy as np
 
-    h, w = arr.shape[:2]
-    if palette is not None:
-        ctype, channels = 3, 1
-        flat = arr.reshape(h, w, 1)
-    elif arr.ndim == 2:
-        ctype, channels = 0, 1
-        flat = arr.reshape(h, w, 1)
-    else:
-        channels = arr.shape[2]
-        ctype = {3: 2, 4: 6, 2: 4}[channels]
-        flat = arr
-    bpp = channels
-    filters = filters or [0] * h
+    ph = flat.shape[0]
     raw = bytearray()
-    prev = np.zeros(w * channels, dtype=np.uint8)
-    for y in range(h):
-        line = flat[y].reshape(-1).astype(np.uint8)
-        f = filters[y]
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
+    for y in range(ph):
+        line = flat[y]
+        f = filters[y % len(filters)]
         enc = np.array(line, dtype=np.uint8)
         if f == 1:
             enc[bpp:] = line[bpp:] - line[:-bpp]
@@ -344,6 +333,51 @@ def _make_png(arr, filters=None, palette=None):
             enc = line - pred.astype(np.uint8)
         raw += bytes([f]) + enc.tobytes()
         prev = line
+    return raw
+
+
+def _make_png(arr, filters=None, palette=None, interlace=0):
+    """Independent minimal PNG encoder (struct + zlib, not decode_png):
+    ``arr`` is (h, w) gray, (h, w, c) for RGB/RGBA, or (h, w) palette
+    indices when ``palette`` is given; dtype uint16 produces a 16-bit
+    image. ``filters``: per-row filter type (default 0), applying the
+    spec's filter transforms forward. ``interlace=1``: Adam7 — each
+    pass extracted on the spec grid and filtered independently."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    depth = 16 if arr.dtype == np.uint16 else 8
+    if palette is not None:
+        ctype, channels = 3, 1
+        flat = arr.reshape(h, w, 1)
+    elif arr.ndim == 2:
+        ctype, channels = 0, 1
+        flat = arr.reshape(h, w, 1)
+    else:
+        channels = arr.shape[2]
+        ctype = {3: 2, 4: 6, 2: 4}[channels]
+        flat = arr
+    bpp = channels * (depth // 8)
+    filters = filters or [0]
+
+    def to_bytes(img):  # (ph, pw, channels) -> (ph, pw*bpp) uint8
+        ph, pw = img.shape[:2]
+        if depth == 16:
+            return np.frombuffer(img.astype(">u2").tobytes(), dtype=np.uint8).reshape(ph, pw * bpp)
+        return img.reshape(ph, pw * channels).astype(np.uint8)
+
+    raw = bytearray()
+    if interlace == 0:
+        raw += _png_filter_pass(to_bytes(flat), bpp, filters)
+    else:
+        for x0, y0, dx, dy in _A7:
+            sub = flat[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _png_filter_pass(to_bytes(sub), bpp, filters)
 
     def chunk(typ, data):
         return (
@@ -351,7 +385,7 @@ def _make_png(arr, filters=None, palette=None):
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
@@ -388,13 +422,54 @@ def test_png_roundtrip_all_filters():
     png = _make_png(idx, filters=[0, 1, 2, 3, 4], palette=pal)
     assert np.array_equal(decode_png(png), pal[idx])
 
-    # loud failures for unsupported variants
+    # loud failures for unsupported variants: sub-byte depth
     import pytest as _pytest
 
     bad = bytearray(_make_png(gray))
-    bad[8 + 8 + 12] = 1  # interlace byte inside IHDR data
+    bad[8 + 8 + 8] = 4  # depth byte inside IHDR data -> 4-bit
     with _pytest.raises(NotImplementedError):
         decode_png(bytes(bad))
+
+
+def test_png_16bit_roundtrip():
+    """16-bit gray / RGB / RGBA: byte-level filters with bpp =
+    channels*2 must reassemble exact big-endian uint16 samples."""
+    import numpy as np
+
+    from essentials_spark.multimodal.media import decode_png
+
+    rng = np.random.RandomState(23)
+    g16 = rng.randint(0, 65536, size=(6, 7), dtype=np.uint16)
+    assert np.array_equal(decode_png(_make_png(g16, filters=[0, 1, 2, 3, 4])), g16)
+    rgb16 = rng.randint(0, 65536, size=(5, 4, 3), dtype=np.uint16)
+    out = decode_png(_make_png(rgb16, filters=[4, 3, 2, 1]))
+    assert out.dtype == np.uint16 and np.array_equal(out, rgb16)
+    rgba16 = rng.randint(0, 65536, size=(3, 9, 4), dtype=np.uint16)
+    assert np.array_equal(decode_png(_make_png(rgba16, filters=[3, 4])), rgba16)
+
+
+def test_png_adam7_roundtrip():
+    """Adam7: 7 independently-filtered pass sub-images scattered onto
+    the spec grid — exercised at sizes that hit empty passes (h or w
+    < pass offsets) and all filter types within passes."""
+    import numpy as np
+
+    from essentials_spark.multimodal.media import decode_png
+
+    rng = np.random.RandomState(31)
+    for shape in [(16, 16, 3), (9, 13, 4), (3, 3), (1, 1), (2, 10, 3), (7, 7)]:
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        png = _make_png(arr, filters=[0, 1, 2, 3, 4], interlace=1)
+        assert np.array_equal(decode_png(png), arr), shape
+    # 16-bit + Adam7 together
+    a16 = rng.randint(0, 65536, size=(10, 11, 3), dtype=np.uint16)
+    png = _make_png(a16, filters=[4, 2, 3, 1], interlace=1)
+    assert np.array_equal(decode_png(png), a16)
+    # palette + Adam7
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(9, 6), dtype=np.uint8)
+    png = _make_png(idx, filters=[1, 0, 2], palette=pal, interlace=1)
+    assert np.array_equal(decode_png(png), pal[idx])
 
 
 def test_real_codecs_roundtrip():
