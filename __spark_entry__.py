@@ -368,6 +368,21 @@ def q_cc_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "component")
 
 
+def q_cc_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase contraction CC: per-bucket vectorized Shiloach-Vishkin
+    (np.minimum.at + label[label] in one Arrow batch) solves each range
+    bucket outright, then the dataframe engine stitches the star
+    mapping (algos/cc.connected_components_contract — reference
+    mst.hxx:173-220's atomic::min + jump loop fused per block). Same
+    oracle as connected_components: labels are canonical min-vid."""
+    from essentials_spark.algos import connected_components_contract
+
+    kg = _keyed_graph(spark, sf_dir)
+    labels = connected_components_contract(kg.graph, n_buckets=8)
+    lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("component"))
+    return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "component")
+
+
 def q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import betweenness_centrality
 
@@ -705,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_decomposition": q_kcore,
         "kcore_peel": q_kcore_peel,
         "connected_components_csr": q_cc_csr,
+        "connected_components_contract": q_cc_contract,
         "betweenness_3src": q_bc,
         "mst_total_weight": q_mst_total,
         "degree_stats": q_degree_stats,
@@ -1485,6 +1501,9 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
     # MIN-semiring CSR kernel: same converged labels, different
     # physical path for the hash-min message round
     sql["connected_components_csr"] = _cc_sql()
+    # two-phase contraction path: per-bucket vectorized solve + stitch
+    # — third physical path, same canonical min-vid labels
+    sql["connected_components_contract"] = _cc_sql()
     sql["label_propagation"] = _lp_sql()
     sql["bfs_hops"] = _bfs_sql()
     sql["sssp_md5w"] = _sssp_sql()

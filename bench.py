@@ -219,13 +219,18 @@ def main() -> None:
         help="suite timing passes; the min is reported (noise robustness)",
     )
     ap.add_argument(
-        "--probe", choices=["ann", "csr", "curate", "cc"], default=None,
+        "--probe", choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp"],
+        default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
         "Arrow/pandas SpMV superstep path); curate = the end-to-end corpus "
         "curation pipeline (quality/lang gates + exact + minhash dedup) "
         "over synthetic documents; cc = connected components alone on the "
-        "synthetic transcript graph (hybrid shuffle/broadcast rounds)",
+        "synthetic transcript graph (hybrid shuffle/broadcast rounds); "
+        "contract = two-phase contraction CC (per-bucket vectorized "
+        "Shiloach-Vishkin + star-mapping stitch); mst / color = at-scale "
+        "spot checks; lp = label propagation in CONVERGENCE mode "
+        "(max_iter 20, delta-frontier shape ladder)",
     )
     args = ap.parse_args()
 
@@ -304,6 +309,90 @@ def main() -> None:
             "edges_per_sec": round(m_sym * iters / t["sec"]),
         }))
         pg.close()
+        spark.stop()
+        return
+
+    if args.probe == "contract":
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from essentials_spark.algos import connected_components_contract
+        from essentials_spark.graph.derive import canonicalize_edges
+        from essentials_spark.graph.keyed import keyed_graph_from_transcripts
+        from essentials_spark.io.transcripts import synth_transcripts
+        from essentials_spark.session import get_spark
+
+        jvms = competing_jvms()
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-contract", shuffle_partitions=cpus)
+        n_convs = args.synthetic or 200_000
+        kg = keyed_graph_from_transcripts(synth_transcripts(spark, n_convs=n_convs, seed=42))
+        g = kg.graph
+        g.vertices.persist().count()
+        g.edges.persist().count()
+        m_sym = canonicalize_edges(
+            g.edges, symmetrize=True, dedup=True, drop_self_loops=True
+        ).count()
+        t = timed_min(
+            lambda: connected_components_contract(
+                g, n_buckets=cpus, persist_result=False
+            ).count(),
+            args.passes,
+        )
+        print(json.dumps({
+            "metric": "cc_contract_probe", "cpus": cpus, "sec": t["sec"],
+            "samples": t["samples"], "competing_jvms": jvms,
+            "n_edges_sym": m_sym,
+            "edges_per_sec": round(m_sym / t["sec"]),
+        }))
+        spark.stop()
+        return
+
+    if args.probe in ("mst", "color", "lp"):
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from essentials_spark.engine.superstep import SuperstepRunner
+        from essentials_spark.graph.keyed import keyed_graph_from_transcripts
+        from essentials_spark.io.transcripts import synth_transcripts
+        from essentials_spark.session import get_spark
+
+        jvms = competing_jvms()
+        spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{args.probe}", shuffle_partitions=cpus)
+        n_convs = args.synthetic or 200_000
+        kg = keyed_graph_from_transcripts(synth_transcripts(spark, n_convs=n_convs, seed=42))
+        g = kg.graph
+        g.vertices.persist().count()
+        m = g.edges.persist().count()
+        meta_per_pass: list[dict] = []
+
+        def one_pass():
+            runner = SuperstepRunner(spark, f"bench_{args.probe}_probe")
+            if args.probe == "mst":
+                from essentials_spark.algos import mst as _mst
+
+                _chosen, total = _mst(g, runner=runner)
+                meta_per_pass.append({"mst_total_weight": total})
+            elif args.probe == "color":
+                from essentials_spark.algos import color as _color
+
+                n_colors = (
+                    _color(g, runner=runner).select("color").distinct().count()
+                )
+                meta_per_pass.append({"n_colors": n_colors})
+            else:  # lp convergence mode
+                from essentials_spark.algos import label_propagation as _lp
+
+                _lp(g, max_iter=20, runner=runner, persist_result=False).count()
+                meta_per_pass.append({
+                    "rounds": max((r["iteration"] for r in runner.metrics), default=0),
+                    "shapes": [r.get("shape") for r in runner.metrics if "shape" in r],
+                    "frontiers": [r.get("frontier_rows") for r in runner.metrics if "frontier_rows" in r],
+                })
+
+        t = timed_min(one_pass, args.passes)
+        print(json.dumps({
+            "metric": f"{args.probe}_probe", "cpus": cpus, "sec": t["sec"],
+            "samples": t["samples"], "competing_jvms": jvms,
+            "n_edges": m, **meta_per_pass[-1],
+        }))
         spark.stop()
         return
 

@@ -42,6 +42,148 @@ from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
 
+def connected_components_contract(
+    graph: Graph,
+    n_buckets: int | None = None,
+    runner: SuperstepRunner | None = None,
+    max_iter: int = 200,
+    persist_result: bool = True,
+) -> DataFrame:
+    """Two-phase contraction CC — the fully-vectorized CSR-path answer
+    to hook/jump staying dataframe-side in ``kernel='csr'``.
+
+    Phase 1 (embarrassingly parallel, zero supersteps): canonical
+    undirected edges are RANGE-bucketed by their max endpoint; each
+    bucket's subgraph is solved outright by a per-bucket NumPy
+    Shiloach-Vishkin kernel (np.minimum.at hash-min + label[label]
+    pointer-doubling collapse — the reference's atomic::min
+    (mst.hxx:173-199) and its jump loop (mst.hxx:207-220) fused into
+    one Arrow batch; no per-row Python). Emits (vid, root) with root =
+    local-component min vid.
+
+    Phase 2: those mapping rows ARE edges of a contracted graph with
+    identical components and star-shaped (tiny-diameter) structure —
+    the existing dataframe engine converges on it in a handful of
+    rounds instead of O(diameter).
+
+    Exactness: phase 1 is correct under ANY edge partition (a bucket's
+    local components are genuine sub-components; the union of per-
+    bucket star edges preserves global connectivity), and CC labels
+    are canonical min-vid, so the output is A/B-exact with
+    ``connected_components``. Routing only affects CONTRACTION
+    QUALITY: vids are rank-of-skey (graph/keyed.py), so a
+    conversation's turns are consecutive and range bucketing keeps
+    whole conversations bucket-local — phase 1 collapses the chains
+    that cost the superstep engine its O(log n) rounds. Max-endpoint
+    routing spreads tool-hub edges across their neighbors' buckets
+    (tool vids sort first, so min-endpoint routing would pile every
+    hub edge into one bucket).
+
+    At 100 TB: phase 1 is one shuffle + memory-speed kernels per
+    bucket; buckets should track cluster parallelism so each block
+    fits executor memory. Phase 2 runs at ROOT scale (one vertex per
+    local component — for conversation graphs, ~#conversations, an
+    order of magnitude below n); rehydration is one n-scale
+    co-partitioned join plus a root-scale lookup."""
+    import numpy as np
+    import pandas as pd
+
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "cc_contract")
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+    n = graph.vertices.count()
+
+    # NO canonicalization pass: the local kernel unions both endpoint
+    # directions and is duplicate-insensitive, so symmetrize/dedup
+    # shuffles would be pure waste — raw directed edges route straight
+    # to their bucket (the only m-scale exchange in the whole run)
+    bucketed = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).withColumn(
+        "bucket",
+        ((F.greatest("src", "dst") * n_buckets) / F.lit(max(n, 1))).cast("int"),
+    )
+
+    def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"vid": pd.Series(dtype="int64"), "root": pd.Series(dtype="int64")})
+        a = pdf["src"].to_numpy()
+        b = pdf["dst"].to_numpy()
+        verts = np.unique(np.concatenate([a, b]))
+        ai = np.searchsorted(verts, a)
+        bi = np.searchsorted(verts, b)
+        # verts sorted ascending -> index order == vid order, so min
+        # over indices is min over vids
+        lab = np.arange(len(verts), dtype=np.int64)
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, ai, lab[bi])
+            np.minimum.at(new, bi, lab[ai])
+            # pointer-doubling collapse to the current fixpoint
+            while True:
+                n2 = new[new]
+                if np.array_equal(n2, new):
+                    break
+                new = n2
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        return pd.DataFrame({"vid": verts, "root": verts[lab]})
+
+    mapping = truncate_plan(
+        bucketed.groupBy("bucket").applyInPandas(local_cc, schema="vid long, root long")
+    ).persist()
+    # per-vertex min root across the buckets it appears in — the
+    # designated phase-3 representative. r(v) is a component-mate of v
+    # and r(v) <= every root of v, so min-over-roots == min-over-vids
+    # telescopes up to the global component minimum.
+    rmin = truncate_plan(mapping.groupBy("vid").agg(F.min("root").alias("r"))).persist()
+    # root-scale contracted graph: for each (v, root_b(v)) incidence,
+    # the star edge (r(v), root_b(v)) links all of v's bucket roots.
+    # Rows with vid == root are exactly the cross-bucket links of a
+    # root that is itself dominated elsewhere — they MUST be kept.
+    star = (
+        mapping.join(rmin, "vid")
+        .filter(F.col("r") != F.col("root"))
+        .select(F.col("r").alias("src"), F.col("root").alias("dst"))
+        .distinct()
+    )
+    roots = mapping.select(F.col("root").alias("vid")).distinct()
+    n_map = mapping.count()
+    runner.log(0, phase="contract", mapping_rows=n_map)
+    # phase 2 at root scale: a handful of supersteps on the star graph;
+    # 'shuffle' mode — a bucketed table write cannot amortize over so
+    # few rounds
+    labels2 = connected_components(
+        Graph(vertices=roots, edges=star.withColumn("weight", F.lit(1.0))),
+        max_iter=max_iter,
+        runner=runner,
+        edges_mode="shuffle",
+        persist_result=False,
+    )
+    n_roots = labels2.count()
+    runner.log(0, phase="stitch", n_roots=n_roots)
+    # phase 3 rehydration: label(v) = phase2label(r(v)); isolated
+    # vertices (no mapping row) keep their own vid. rmin is already
+    # hash-partitioned by vid; the root lookup is root-scale (hinted).
+    out = (
+        graph.vertices.select("vid")
+        .join(rmin, "vid", "left")
+        .join(
+            hint_state_join(labels2.select(F.col("vid").alias("r"), F.col("label").alias("l2")), n_roots),
+            "r",
+            "left",
+        )
+        .select("vid", F.coalesce(F.col("l2"), F.col("vid")).alias("label"))
+    )
+    out = truncate_plan(out)
+    if persist_result:
+        out = out.persist()
+        out.count()
+    mapping.unpersist()
+    rmin.unpersist()
+    runner.finalize()
+    return out
+
+
 def connected_components(
     graph: Graph,
     max_iter: int = 200,

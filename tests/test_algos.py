@@ -85,6 +85,32 @@ def test_cc_csr_kernel_equals_dataframe(spark):
     assert np.array_equal(base, cc_oracle(n, pairs))
 
 
+def test_cc_contract_fuzz_vs_union_find(spark):
+    # two-phase contraction CC (per-bucket vectorized Shiloach-Vishkin
+    # + dataframe CC on the star mapping) vs union-find, across bucket
+    # counts (1 bucket = single local solve; many buckets = heavy
+    # cross-bucket stitching) and graph shapes including chains that
+    # straddle bucket ranges
+    from essentials_spark.algos import connected_components_contract
+
+    rng = np.random.RandomState(4321)
+    for trial in range(4):
+        n = int(rng.randint(24, 64))
+        kind = trial % 2
+        if kind == 0:  # chain spanning all ranges + isolated tail
+            pairs = [(i, i + 1) for i in range(n - 4)]
+        else:
+            m = int(rng.randint(n // 2, 2 * n))
+            pairs = list(
+                {(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b}
+            )
+        g = graph_from_edges(spark, pairs, n_vertices=n)
+        exp = cc_oracle(n, [(u, v) for u, v in pairs])
+        for nb in (1, 3, 8):
+            got = _collect_by_vid(connected_components_contract(g, n_buckets=nb), "label")
+            assert np.array_equal(got, exp), f"trial {trial} nb {nb}"
+
+
 def test_cc_small_round_path_fuzz_vs_union_find(spark):
     # pins the broadcast (small_round) shape specifically: its
     # pointer-jump lookup is restricted to keys from this round's
