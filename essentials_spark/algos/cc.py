@@ -48,6 +48,7 @@ def connected_components_contract(
     runner: SuperstepRunner | None = None,
     max_iter: int = 200,
     persist_result: bool = True,
+    single_solve_max: int = 20_000_000,
 ) -> DataFrame:
     """Two-phase contraction CC — the fully-vectorized CSR-path answer
     to hook/jump staying dataframe-side in ``kernel='csr'``.
@@ -131,39 +132,65 @@ def connected_components_contract(
     mapping = truncate_plan(
         bucketed.groupBy("bucket").applyInPandas(local_cc, schema="vid long, root long")
     ).persist()
-    # per-vertex min root across the buckets it appears in — the
-    # designated phase-3 representative. r(v) is a component-mate of v
-    # and r(v) <= every root of v, so min-over-roots == min-over-vids
-    # telescopes up to the global component minimum.
-    rmin = truncate_plan(mapping.groupBy("vid").agg(F.min("root").alias("r"))).persist()
-    # root-scale contracted graph: for each (v, root_b(v)) incidence,
-    # the star edge (r(v), root_b(v)) links all of v's bucket roots.
-    # Rows with vid == root are exactly the cross-bucket links of a
-    # root that is itself dominated elsewhere — they MUST be kept.
-    star = (
-        mapping.join(rmin, "vid")
-        .filter(F.col("r") != F.col("root"))
-        .select(F.col("r").alias("src"), F.col("root").alias("dst"))
-        .distinct()
-    )
-    roots = mapping.select(F.col("root").alias("vid")).distinct()
     n_map = mapping.count()
-    runner.log(0, phase="contract", mapping_rows=n_map)
-    # phase 2 at root scale: a handful of supersteps on the star graph;
-    # 'shuffle' mode — a bucketed table write cannot amortize over so
-    # few rounds
-    labels2 = connected_components(
-        Graph(vertices=roots, edges=star.withColumn("weight", F.lit(1.0))),
-        max_iter=max_iter,
-        runner=runner,
-        edges_mode="shuffle",
-        persist_result=False,
-    )
-    n_roots = labels2.count()
+    # ONE n-scale shuffle extracts both phase-2 inputs: r(v) = min root
+    # across the buckets v appears in (the phase-3 representative —
+    # r(v) is a component-mate of v and min-over-roots telescopes up to
+    # the global component minimum) and v's full root set (bounded by
+    # n_buckets — even a hub appears in at most every bucket). The
+    # star edges (r(v), root_b(v)) link all of v's bucket roots; rows
+    # with vid == root are exactly the cross-bucket links of a root
+    # that is itself dominated elsewhere — they MUST be kept. A
+    # separate rmin + mapping⋈rmin join shape measured +3 s of pure
+    # n-scale exchange over this fused aggregate at 14.3M edges.
+    agg = truncate_plan(
+        mapping.groupBy("vid").agg(
+            F.min("root").alias("r"), F.collect_set("root").alias("roots_set")
+        )
+    ).persist()
+    mapping.unpersist()
+    rmin = agg.select("vid", "r")
+    star = truncate_plan(
+        agg.select("r", F.explode("roots_set").alias("dst"))
+        .filter(F.col("r") != F.col("dst"))
+        .select(F.col("r").alias("src"), "dst")
+        .distinct()
+    ).persist()
+    star_cnt = star.count()
+    runner.log(0, phase="contract", mapping_rows=n_map, star_edges=star_cnt)
+    # phase 2 at root scale. Multi-level solve choice: the star graph
+    # is usually 1-2 orders below n (for conversation graphs ~#convs),
+    # so below ``single_solve_max`` rows it is solved in ONE task by
+    # the SAME vectorized kernel — a superstep loop's per-round driver
+    # barriers (the measured ~11 s fixed cost of this function's first
+    # version) cannot amortize over so little data. Past the bound the
+    # dataframe engine takes over ('shuffle' mode: a bucketed table
+    # write cannot amortize over a handful of rounds either).
+    if star_cnt <= single_solve_max:
+        labels2 = truncate_plan(
+            star.withColumn("bucket", F.lit(0))
+            .groupBy("bucket")
+            .applyInPandas(local_cc, schema="vid long, root long")
+            .select("vid", F.col("root").alias("label"))
+        ).persist()
+        n_roots = labels2.count()  # roots touched by cross-bucket links
+    else:
+        roots = agg.select(F.explode("roots_set").alias("vid")).distinct()
+        labels2 = connected_components(
+            Graph(vertices=roots, edges=star.withColumn("weight", F.lit(1.0))),
+            max_iter=max_iter,
+            runner=runner,
+            edges_mode="shuffle",
+            persist_result=False,
+        )
+        n_roots = labels2.count()
     runner.log(0, phase="stitch", n_roots=n_roots)
-    # phase 3 rehydration: label(v) = phase2label(r(v)); isolated
-    # vertices (no mapping row) keep their own vid. rmin is already
-    # hash-partitioned by vid; the root lookup is root-scale (hinted).
+    # phase 3 rehydration: label(v) = phase2label(r(v)); a root absent
+    # from phase 2 (no cross-bucket links — the single-solve path emits
+    # only star-touched roots) IS its component's min, so fall back
+    # r(v); fully isolated vertices (no mapping row) keep their vid.
+    # rmin is already hash-partitioned by vid; the root lookup is
+    # root-scale (hinted).
     out = (
         graph.vertices.select("vid")
         .join(rmin, "vid", "left")
@@ -172,14 +199,18 @@ def connected_components_contract(
             "r",
             "left",
         )
-        .select("vid", F.coalesce(F.col("l2"), F.col("vid")).alias("label"))
+        .select("vid", F.coalesce(F.col("l2"), F.col("r"), F.col("vid")).alias("label"))
     )
     out = truncate_plan(out)
     if persist_result:
         out = out.persist()
         out.count()
-    mapping.unpersist()
-    rmin.unpersist()
+    agg.unpersist()
+    star.unpersist()
+    try:
+        labels2.unpersist()
+    except Exception:
+        pass
     runner.finalize()
     return out
 

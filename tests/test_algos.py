@@ -106,9 +106,14 @@ def test_cc_contract_fuzz_vs_union_find(spark):
             )
         g = graph_from_edges(spark, pairs, n_vertices=n)
         exp = cc_oracle(n, [(u, v) for u, v in pairs])
-        for nb in (1, 3, 8):
-            got = _collect_by_vid(connected_components_contract(g, n_buckets=nb), "label")
-            assert np.array_equal(got, exp), f"trial {trial} nb {nb}"
+        for nb, ssm in ((1, 10**9), (3, 10**9), (8, 10**9), (3, 0)):
+            # ssm=0 forces the dataframe phase-2 branch; huge ssm the
+            # single-task kernel solve — both must be exact
+            got = _collect_by_vid(
+                connected_components_contract(g, n_buckets=nb, single_solve_max=ssm),
+                "label",
+            )
+            assert np.array_equal(got, exp), f"trial {trial} nb {nb} ssm {ssm}"
 
 
 def test_cc_small_round_path_fuzz_vs_union_find(spark):
