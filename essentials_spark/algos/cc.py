@@ -49,6 +49,7 @@ def connected_components_contract(
     max_iter: int = 200,
     persist_result: bool = True,
     single_solve_max: int = 20_000_000,
+    bucket_row_cap: int = 32_000_000,
 ) -> DataFrame:
     """Two-phase contraction CC — the fully-vectorized CSR-path answer
     to hook/jump staying dataframe-side in ``kernel='csr'``.
@@ -82,10 +83,17 @@ def connected_components_contract(
 
     At 100 TB: phase 1 is one shuffle + memory-speed kernels per
     bucket; buckets should track cluster parallelism so each block
-    fits executor memory. Phase 2 runs at ROOT scale (one vertex per
-    local component — for conversation graphs, ~#conversations, an
-    order of magnitude below n); rehydration is one n-scale
-    co-partitioned join plus a root-scale lookup."""
+    fits executor memory. Because ``applyInPandas`` cannot split a
+    single group, a skewed range bucket (dense vid region, or
+    n_buckets ≪ m/mem) would otherwise OOM one executor — so any
+    bucket whose edge count exceeds ``bucket_row_cap`` is sub-bucketed
+    by an edge-hash salt (exact under any partition, see above; the
+    split bucket just contracts a little less). The sizes pass is a
+    map-side-partial count whose output is n_buckets driver rows.
+    Phase 2 runs at ROOT scale (one vertex per local component — for
+    conversation graphs, ~#conversations, an order of magnitude below
+    n); rehydration is one n-scale co-partitioned join plus a
+    root-scale lookup."""
     import numpy as np
     import pandas as pd
 
@@ -102,6 +110,31 @@ def connected_components_contract(
         "bucket",
         ((F.greatest("src", "dst") * n_buckets) / F.lit(max(n, 1))).cast("int"),
     )
+    # skew guard (docstring): sub-bucket any range bucket whose edge
+    # count exceeds the kernel's memory budget. xxhash64 pmod spreads a
+    # split bucket's edges evenly; unsplit buckets keep salt 0.
+    sizes = {
+        r["bucket"]: r["cnt"]
+        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    m = sum(sizes.values())
+    splits = {b: -(-c // bucket_row_cap) for b, c in sizes.items() if c > bucket_row_cap}
+    if splits:
+        split_df = spark.createDataFrame(
+            [(int(b), int(k)) for b, k in splits.items()], "bucket int, n_splits int"
+        )
+        bucketed = (
+            bucketed.join(F.broadcast(split_df), "bucket", "left")
+            .withColumn(
+                "salt",
+                F.coalesce(
+                    F.pmod(F.xxhash64("src", "dst"), F.col("n_splits")), F.lit(0)
+                ).cast("int"),
+            )
+            .drop("n_splits")
+        )
+    else:
+        bucketed = bucketed.withColumn("salt", F.lit(0))
 
     def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -130,7 +163,7 @@ def connected_components_contract(
         return pd.DataFrame({"vid": verts, "root": verts[lab]})
 
     mapping = truncate_plan(
-        bucketed.groupBy("bucket").applyInPandas(local_cc, schema="vid long, root long")
+        bucketed.groupBy("bucket", "salt").applyInPandas(local_cc, schema="vid long, root long")
     ).persist()
     n_map = mapping.count()
     # ONE n-scale shuffle extracts both phase-2 inputs: r(v) = min root
@@ -157,7 +190,15 @@ def connected_components_contract(
         .distinct()
     ).persist()
     star_cnt = star.count()
-    runner.log(0, phase="contract", mapping_rows=n_map, star_edges=star_cnt)
+    runner.log(
+        0,
+        phase="contract",
+        mapping_rows=n_map,
+        star_edges=star_cnt,
+        m_edges=m,
+        split_buckets=len(splits),
+        max_bucket_rows=max(sizes.values(), default=0),
+    )
     # phase 2 at root scale. Multi-level solve choice: the star graph
     # is usually 1-2 orders below n (for conversation graphs ~#convs),
     # so below ``single_solve_max`` rows it is solved in ONE task by

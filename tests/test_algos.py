@@ -116,6 +116,33 @@ def test_cc_contract_fuzz_vs_union_find(spark):
             assert np.array_equal(got, exp), f"trial {trial} nb {nb} ssm {ssm}"
 
 
+def test_cc_contract_skew_split_exact(spark):
+    # skew guard: a bucket over bucket_row_cap is sub-bucketed by an
+    # edge-hash salt (applyInPandas can't split one group — at 100 TB
+    # an unsplit dense-vid bucket would OOM its executor). Force every
+    # bucket to split (cap=4 rows) on a chain graph whose components
+    # straddle the sub-buckets, and require exact A/B with the
+    # superstep engine plus a metrics row recording the split.
+    from essentials_spark.algos import connected_components_contract
+    from essentials_spark.engine.superstep import SuperstepRunner
+
+    n = 48
+    pairs = [(i, i + 1) for i in range(n - 5)] + [(44, 45), (46, 47)]
+    g = graph_from_edges(spark, pairs, n_vertices=n)
+    exp = cc_oracle(n, pairs)
+    runner = SuperstepRunner(spark, "cc_contract_skew_test")
+    got = _collect_by_vid(
+        connected_components_contract(
+            g, n_buckets=3, runner=runner, bucket_row_cap=4, single_solve_max=10**9
+        ),
+        "label",
+    )
+    assert np.array_equal(got, exp)
+    contract_rows = [r for r in runner.metrics if r.get("phase") == "contract"]
+    assert contract_rows and contract_rows[0]["split_buckets"] >= 1
+    assert contract_rows[0]["m_edges"] == len(pairs) * 2  # symmetrized input
+
+
 def test_cc_small_round_path_fuzz_vs_union_find(spark):
     # pins the broadcast (small_round) shape specifically: its
     # pointer-jump lookup is restricted to keys from this round's
