@@ -156,6 +156,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vertex.join(kg.vkeys, "vid").select("skey", F.col("tc").cast("long").alias("tc"))
 
 
+def q_triangles_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # packed intersection kernels (wedge-gen + searchsorted membership;
+    # algos/tc.py kernel='csr') vs the same independent oracle as the
+    # join path — third A/B-gated CSR kernel after pagerank_csr and
+    # connected_components_csr
+    from essentials_spark.algos import triangle_count
+
+    kg = _keyed_graph(spark, sf_dir, membership=True)
+    per_vertex, _total = triangle_count(kg.graph, kernel="csr")
+    return per_vertex.join(kg.vkeys, "vid").select("skey", F.col("tc").cast("long").alias("tc"))
+
+
 def q_tc_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import triangle_count
 
@@ -746,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_cc,
         "label_propagation": q_lp,
         "triangle_count": q_triangles,
+        "triangle_count_csr": q_triangles_csr,
         "tc_total": q_tc_total,
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1524,6 +1537,7 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
         " SELECT v.vkey AS skey, coalesce(c.tc, 0) AS tc"
         " FROM verts v LEFT JOIN corners c ON c.vkey = v.vkey"
     )
+    sql["triangle_count_csr"] = sql["triangle_count"]
     sql["tc_total"] = (
         f"WITH {_PRELUDE_M}, {_TRI_BODY}"
         " SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) AS corner_total,"

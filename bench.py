@@ -215,11 +215,17 @@ def main() -> None:
         help="cc probe: message-round physical path",
     )
     ap.add_argument(
+        "--buckets", type=int, default=None,
+        help="contract probe: fixed phase-1 bucket count (pin this across "
+        "--cpus levels for a fair scaling comparison — tying buckets to "
+        "cpus changes the per-bucket work shape, not just the schedule)",
+    )
+    ap.add_argument(
         "--passes", type=int, default=2,
         help="suite timing passes; the min is reported (noise robustness)",
     )
     ap.add_argument(
-        "--probe", choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp"],
+        "--probe", choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc"],
         default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
@@ -230,7 +236,8 @@ def main() -> None:
         "contract = two-phase contraction CC (per-bucket vectorized "
         "Shiloach-Vishkin + star-mapping stitch); mst / color = at-scale "
         "spot checks; lp = label propagation in CONVERGENCE mode "
-        "(max_iter 20, delta-frontier shape ladder)",
+        "(max_iter 20, delta-frontier shape ladder); tc = triangle "
+        "count (--kernel csr for the packed intersection kernels)",
     )
     args = ap.parse_args()
 
@@ -331,17 +338,63 @@ def main() -> None:
         m_sym = canonicalize_edges(
             g.edges, symmetrize=True, dedup=True, drop_self_loops=True
         ).count()
-        t = timed_min(
-            lambda: connected_components_contract(
-                g, n_buckets=cpus, persist_result=False
-            ).count(),
-            args.passes,
-        )
+        from essentials_spark.engine.superstep import SuperstepRunner
+
+        n_buckets = args.buckets or cpus
+        phase_secs: list[dict] = []
+
+        def one_contract_pass():
+            runner = SuperstepRunner(spark, "bench_contract_probe")
+            connected_components_contract(
+                g, n_buckets=n_buckets, runner=runner, persist_result=False
+            ).count()
+            by_phase = {
+                r["phase"]: r["elapsed_sec"] for r in runner.metrics if "phase" in r
+            }
+            phase_secs.append(by_phase)
+
+        t = timed_min(one_contract_pass, args.passes)
+        phases = phase_secs[t["samples"].index(t["sec"])]
         print(json.dumps({
             "metric": "cc_contract_probe", "cpus": cpus, "sec": t["sec"],
             "samples": t["samples"], "competing_jvms": jvms,
-            "n_edges_sym": m_sym,
+            "n_buckets": n_buckets, "n_edges_sym": m_sym,
+            # cumulative elapsed at each phase boundary: 'contract' =
+            # phase-1 kernels + star extraction, 'stitch' adds the
+            # root-scale solve; the remainder to `sec` is rehydration
+            "phase_elapsed": phases,
             "edges_per_sec": round(m_sym / t["sec"]),
+        }))
+        spark.stop()
+        return
+
+    if args.probe == "tc":
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from essentials_spark.algos import triangle_count
+        from essentials_spark.graph.keyed import keyed_graph_from_transcripts
+        from essentials_spark.io.transcripts import synth_transcripts
+        from essentials_spark.session import get_spark
+
+        jvms = competing_jvms()
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-tc", shuffle_partitions=cpus)
+        n_convs = args.synthetic or 200_000
+        kg = keyed_graph_from_transcripts(synth_transcripts(spark, n_convs=n_convs, seed=42))
+        g = kg.graph
+        g.vertices.persist().count()
+        m = g.edges.persist().count()
+        totals: list[int] = []
+
+        def one_tc_pass():
+            _pv, total = triangle_count(g, kernel=args.kernel if args.kernel == "csr" else "dataframe")
+            totals.append(total)
+
+        t = timed_min(one_tc_pass, args.passes)
+        print(json.dumps({
+            "metric": "tc_probe", "cpus": cpus, "sec": t["sec"],
+            "samples": t["samples"], "competing_jvms": jvms,
+            "kernel": args.kernel, "n_edges": m, "corner_total": totals[-1],
+            "edges_per_sec": round(m / t["sec"]),
         }))
         spark.stop()
         return

@@ -19,6 +19,26 @@ distributed-TC mitigation for the same power-law blow-up the
 reference's merge-path load balancer fights). Then
   triangles = wedges(u->v, u->w with v<w) JOIN oriented(v->w)
 — two shuffle joins total, no iteration.
+
+``kernel='csr'`` swaps the wedge join + closing join for two packed
+NumPy kernels over hash-bucketed blocks — the reference's sorted
+neighbor-list intersection (graph/csr.hxx:110-167) made a Spark
+physical path, completing the CSR-kernel family (PR: spmv_push, CC:
+csr_min_push / contraction):
+
+  kernel A  per-bucket wedge generation: each u's out-neighbors are
+            sorted by (deg, vid) and all ordered pairs (b, c) emitted
+            via repeat/arange index algebra (zero per-row Python);
+  kernel B  cogroup(wedges by hash(b), oriented edges by hash(u)):
+            membership c ∈ N+(b) by np.searchsorted on the block's
+            sorted (u·M+v) key array (≙ the reference's binary-search
+            intersection, csr.hxx:126-150), matched corners counted
+            with np.unique.
+
+Both paths are A/B-exact (same orientation, same wedge set). The
+dataframe path stays the default: whole-stage codegen wins locally
+(same story as PR/CC kernels); the CSR path is the shape whose block
+residency and Arrow batch transfer survive a 1000-executor scale-out.
 """
 
 from __future__ import annotations
@@ -30,7 +50,12 @@ from essentials_spark.engine.superstep import truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
 
-def triangle_count(graph: Graph, pre_symmetrized: bool = False) -> tuple[DataFrame, int]:
+def triangle_count(
+    graph: Graph,
+    pre_symmetrized: bool = False,
+    kernel: str = "dataframe",
+    n_buckets: int | None = None,
+) -> tuple[DataFrame, int]:
     """Returns (per-vertex DataFrame (vid, tc: long), total).
 
     total == 3 x number of distinct triangles (reference convention).
@@ -57,17 +82,20 @@ def triangle_count(graph: Graph, pre_symmetrized: bool = False) -> tuple[DataFra
     )
     oriented = truncate_plan(oriented)
 
-    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("vdeg").alias("bdeg"))
-    e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("vdeg").alias("cdeg"))
-    wedges = e1.join(e2, "a").filter(F.struct("bdeg", "b") < F.struct("cdeg", "c"))
-    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    triangles = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    if kernel == "csr":
+        corners = _csr_corners(oriented, n_buckets)
+    else:
+        e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("vdeg").alias("bdeg"))
+        e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("vdeg").alias("cdeg"))
+        wedges = e1.join(e2, "a").filter(F.struct("bdeg", "b") < F.struct("cdeg", "c"))
+        closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        triangles = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
 
-    corners = (
-        triangles.select(F.explode(F.array("a", "b", "c")).alias("vid"))
-        .groupBy("vid")
-        .agg(F.count("*").alias("tc"))
-    )
+        corners = (
+            triangles.select(F.explode(F.array("a", "b", "c")).alias("vid"))
+            .groupBy("vid")
+            .agg(F.count("*").alias("tc"))
+        )
     per_vertex = (
         graph.vertices.select("vid")
         .join(corners, "vid", "left")
@@ -75,3 +103,90 @@ def triangle_count(graph: Graph, pre_symmetrized: bool = False) -> tuple[DataFra
     )
     total = per_vertex.agg(F.sum("tc")).collect()[0][0] or 0
     return per_vertex, int(total)
+
+
+def _csr_corners(oriented: DataFrame, n_buckets: int | None) -> DataFrame:
+    """Per-vertex corner counts via the packed intersection kernels
+    (module docstring). Input: the degree-oriented DAG (u, v, vdeg).
+
+    Data volume is identical to the join path (the wedge set W is
+    irreducible); what changes is the physical operator: wedges move
+    as Arrow batches and the closing check is a searchsorted against
+    the block's packed key array instead of a shuffled hash join of W
+    rows. At 100 TB the wedge batch for one bucket can exceed one
+    Arrow allocation — raise n_buckets so per-bucket Σ deg⁺(u)² stays
+    in memory (degree orientation bounds it by m·√m globally)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = oriented.sparkSession
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+
+    ob = oriented.withColumn(
+        "bucket", F.pmod(F.xxhash64("u"), F.lit(n_buckets)).cast("int")
+    )
+
+    def gen_wedges(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")}
+            )
+        # neighbor order must mirror the join path's wedge filter
+        # struct(bdeg,b) < struct(cdeg,c): sort each u's adjacency by
+        # (vdeg, v); i<j pairs then satisfy it by construction, and the
+        # closing edge — if it exists — is oriented b->c in the DAG
+        order = np.lexsort((pdf["v"].to_numpy(), pdf["vdeg"].to_numpy(), pdf["u"].to_numpy()))
+        u = pdf["u"].to_numpy()[order]
+        v = pdf["v"].to_numpy()[order]
+        _, starts, counts = np.unique(u, return_index=True, return_counts=True)
+        idx = np.arange(len(u), dtype=np.int64)
+        # rep[i] = later same-u elements: i pairs (as b) with each
+        rep = np.repeat(starts + counts, counts) - idx - 1
+        total = int(rep.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")}
+            )
+        cstart = np.repeat(idx + 1, rep)
+        run_off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(rep) - rep, rep)
+        return pd.DataFrame(
+            {"a": np.repeat(u, rep), "b": np.repeat(v, rep), "c": v[cstart + run_off]}
+        )
+
+    wedges = ob.groupBy("bucket").applyInPandas(gen_wedges, schema="a long, b long, c long")
+    wb = wedges.withColumn(
+        "bucket", F.pmod(F.xxhash64("b"), F.lit(n_buckets)).cast("int")
+    )
+    adj = oriented.select("u", "v").withColumn(
+        "bucket", F.pmod(F.xxhash64("u"), F.lit(n_buckets)).cast("int")
+    )
+
+    def close(wpdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vid": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")})
+        if len(wpdf) == 0 or len(apdf) == 0:
+            return empty
+        eu = apdf["u"].to_numpy()
+        ev = apdf["v"].to_numpy()
+        b = wpdf["b"].to_numpy()
+        c = wpdf["c"].to_numpy()
+        # composite key u*M+v: M bounds every id in play; ids are
+        # rank-of-skey vids, so M^2 < 2^63 holds to ~3e9 vertices —
+        # past that, split the probe into (searchsorted on u, then v)
+        M = int(max(ev.max(), c.max())) + 1
+        ekey = np.sort(eu * M + ev)
+        qkey = b * M + c
+        pos = np.searchsorted(ekey, qkey)
+        pos[pos >= len(ekey)] = 0
+        hit = ekey[pos] == qkey
+        if not hit.any():
+            return empty
+        vids = np.concatenate([wpdf["a"].to_numpy()[hit], b[hit], c[hit]])
+        uniq, cnt = np.unique(vids, return_counts=True)
+        return pd.DataFrame({"vid": uniq, "cnt": cnt})
+
+    partial = (
+        wb.groupBy("bucket")
+        .cogroup(adj.groupBy("bucket"))
+        .applyInPandas(lambda w, a: close(w, a), schema="vid long, cnt long")
+    )
+    return partial.groupBy("vid").agg(F.sum("cnt").alias("tc"))

@@ -322,6 +322,28 @@ def test_tc_random_graph_vs_oracle(spark):
     assert total == exp_total
 
 
+def test_tc_csr_kernel_matches_dataframe_path(spark, golden_tc_graph):
+    # A/B: packed intersection kernels (wedge-gen + searchsorted
+    # membership, csr.hxx:110-167 analogue) vs the wedge-join path,
+    # on the golden fixture and on random graphs dense enough that
+    # wedges straddle buckets
+    pv, total = triangle_count(golden_tc_graph, kernel="csr", n_buckets=3)
+    assert _collect_by_vid(pv, "tc").tolist() == [2, 1, 2, 1]
+    assert total == 6
+    rng = np.random.RandomState(11)
+    for n, m, nb in ((30, 120, 4), (60, 500, 1), (60, 500, 7)):
+        pairs = list(
+            {(int(min(u, v)), int(max(u, v))) for u, v in rng.randint(0, n, size=(m, 2)) if u != v}
+        )
+        g = graph_from_edges(spark, pairs, n_vertices=n)
+        base_pv, base_total = triangle_count(g)
+        csr_pv, csr_total = triangle_count(g, kernel="csr", n_buckets=nb)
+        assert csr_total == base_total
+        assert np.array_equal(
+            _collect_by_vid(csr_pv, "tc"), _collect_by_vid(base_pv, "tc")
+        ), f"n={n} nb={nb}"
+
+
 def test_prepared_graph_matches_standalone(spark, golden_tc_graph):
     """PreparedGraph (shared build-once static tables) must return the
     exact same results as the standalone algorithm entry points."""
