@@ -129,8 +129,18 @@ def run_suite(
         queries["tc"] = time.perf_counter() - t0
         eps["tc"] = m_sym_m / queries["tc"]
 
+        # two-phase contraction CC (round 4): reported OUTSIDE the
+        # 4-query total so suite totals stay round-comparable; the
+        # superstep path above remains the resumable engine default
+        from essentials_spark.algos import connected_components_contract
+
+        t0 = time.perf_counter()
+        connected_components_contract(kg.graph, persist_result=False).count()
+        cc_contract_sec = time.perf_counter() - t0
+
         sample_runs.append(
-            {"queries": queries, "eps": eps, "cc_iters": cc_iters, "total": sum(queries.values()), "tc": total}
+            {"queries": queries, "eps": eps, "cc_iters": cc_iters, "total": sum(queries.values()), "tc": total,
+             "cc_contract": cc_contract_sec}
         )
 
     pg.close()
@@ -145,6 +155,8 @@ def run_suite(
         "cc_iterations": best["cc_iters"],
         "pr_iterations": pr_iters,
         "tc_corner_total": int(best["tc"]),
+        "cc_contract_sec": round(min(s["cc_contract"] for s in sample_runs), 3),
+        "cc_contract_eps": round(m_sym / min(s["cc_contract"] for s in sample_runs)),
         "samples": [round(s["total"], 3) for s in sample_runs],
     }
 
@@ -219,6 +231,13 @@ def main() -> None:
         help="contract probe: fixed phase-1 bucket count (pin this across "
         "--cpus levels for a fair scaling comparison — tying buckets to "
         "cpus changes the per-bucket work shape, not just the schedule)",
+    )
+    ap.add_argument(
+        "--lp-graph", default="transcript", choices=["transcript", "community"],
+        help="lp probe input: 'transcript' = the synthetic conversation graph "
+        "(sync LP oscillates at ~n frontier — exercises the minority-frontier "
+        "guard); 'community' = clique communities (k=24) plus a 30k oscillating "
+        "chain tail — converges through the full->mid->small shape ladder",
     )
     ap.add_argument(
         "--passes", type=int, default=2,
@@ -409,9 +428,41 @@ def main() -> None:
 
         jvms = competing_jvms()
         spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{args.probe}", shuffle_partitions=cpus)
-        n_convs = args.synthetic or 200_000
-        kg = keyed_graph_from_transcripts(synth_transcripts(spark, n_convs=n_convs, seed=42))
-        g = kg.graph
+        if args.probe == "lp" and args.lp_graph == "community":
+            from pyspark.sql import functions as F
+
+            from essentials_spark.graph.derive import Graph
+
+            # clique communities: LP converges (clique adopts its min
+            # label in ~2 rounds) — the frontier collapses n -> n/k ->
+            # chain-only, walking the full->mid->small shape ladder.
+            # The 30k chain tail oscillates forever (sync LP 2-cycle),
+            # holding a small frontier so tail rounds stay broadcast-
+            # shaped until max_iter.
+            k = 24
+            n_clique = args.synthetic or 1_200_000
+            chain_len = 30_000
+            a = spark.range(n_clique).select(
+                F.col("id").alias("vid"), (F.col("id") / k).cast("long").alias("comm")
+            )
+            cliq = (
+                a.alias("x")
+                .join(a.alias("y"), "comm")
+                .filter(F.col("x.vid") < F.col("y.vid"))
+                .select(F.col("x.vid").alias("src"), F.col("y.vid").alias("dst"))
+            )
+            chain = spark.range(chain_len - 1).select(
+                (F.col("id") + n_clique).alias("src"),
+                (F.col("id") + n_clique + 1).alias("dst"),
+            )
+            g = Graph(
+                vertices=spark.range(n_clique + chain_len).select(F.col("id").alias("vid")),
+                edges=cliq.union(chain).withColumn("weight", F.lit(1.0)),
+            )
+        else:
+            n_convs = args.synthetic or 200_000
+            kg = keyed_graph_from_transcripts(synth_transcripts(spark, n_convs=n_convs, seed=42))
+            g = kg.graph
         g.vertices.persist().count()
         m = g.edges.persist().count()
         meta_per_pass: list[dict] = []
@@ -441,10 +492,11 @@ def main() -> None:
                 })
 
         t = timed_min(one_pass, args.passes)
+        extra = {"lp_graph": args.lp_graph} if args.probe == "lp" else {}
         print(json.dumps({
             "metric": f"{args.probe}_probe", "cpus": cpus, "sec": t["sec"],
             "samples": t["samples"], "competing_jvms": jvms,
-            "n_edges": m, **meta_per_pass[-1],
+            "n_edges": m, **extra, **meta_per_pass[-1],
         }))
         spark.stop()
         return
