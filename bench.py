@@ -59,7 +59,7 @@ def competing_jvms() -> int:
 def run_suite(
     spark, sf_dir: str | None, synthetic_convs: int | None, pr_iters: int = 10, passes: int = 2
 ) -> dict:
-    from essentials_spark.algos import triangle_count
+    from essentials_spark.algos import connected_components_contract, triangle_count
     from essentials_spark.engine.superstep import SuperstepRunner
 
     from essentials_spark.engine.superstep import truncate_plan
@@ -132,8 +132,6 @@ def run_suite(
         # two-phase contraction CC (round 4): reported OUTSIDE the
         # 4-query total so suite totals stay round-comparable; the
         # superstep path above remains the resumable engine default
-        from essentials_spark.algos import connected_components_contract
-
         t0 = time.perf_counter()
         connected_components_contract(kg.graph, persist_result=False).count()
         cc_contract_sec = time.perf_counter() - t0
@@ -405,7 +403,7 @@ def main() -> None:
         totals: list[int] = []
 
         def one_tc_pass():
-            _pv, total = triangle_count(g, kernel=args.kernel if args.kernel == "csr" else "dataframe")
+            _pv, total = triangle_count(g, kernel=args.kernel)
             totals.append(total)
 
         t = timed_min(one_tc_pass, args.passes)

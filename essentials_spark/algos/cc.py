@@ -112,10 +112,15 @@ def connected_components_contract(
     )
     # skew guard (docstring): sub-bucket any range bucket whose edge
     # count exceeds the kernel's memory budget. xxhash64 pmod spreads a
-    # split bucket's edges evenly; unsplit buckets keep salt 0.
+    # split bucket's edges evenly; unsplit buckets keep salt 0. The
+    # bucketed set is persisted across the sizes pass and the mapping
+    # job so the upstream edge derivation is scanned ONCE (MEMORY_AND_
+    # DISK — at 100 TB this spills to local disk, still cheaper than
+    # re-deriving); released as soon as the mapping materializes.
+    bucketed_base = bucketed.persist()
     sizes = {
         r["bucket"]: r["cnt"]
-        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+        for r in bucketed_base.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
     }
     m = sum(sizes.values())
     splits = {b: -(-c // bucket_row_cap) for b, c in sizes.items() if c > bucket_row_cap}
@@ -124,7 +129,7 @@ def connected_components_contract(
             [(int(b), int(k)) for b, k in splits.items()], "bucket int, n_splits int"
         )
         bucketed = (
-            bucketed.join(F.broadcast(split_df), "bucket", "left")
+            bucketed_base.join(F.broadcast(split_df), "bucket", "left")
             .withColumn(
                 "salt",
                 F.coalesce(
@@ -134,7 +139,7 @@ def connected_components_contract(
             .drop("n_splits")
         )
     else:
-        bucketed = bucketed.withColumn("salt", F.lit(0))
+        bucketed = bucketed_base.withColumn("salt", F.lit(0))
 
     def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -166,6 +171,7 @@ def connected_components_contract(
         bucketed.groupBy("bucket", "salt").applyInPandas(local_cc, schema="vid long, root long")
     ).persist()
     n_map = mapping.count()
+    bucketed_base.unpersist()
     # ONE n-scale shuffle extracts both phase-2 inputs: r(v) = min root
     # across the buckets v appears in (the phase-3 representative —
     # r(v) is a component-mate of v and min-over-roots telescopes up to

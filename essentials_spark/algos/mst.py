@@ -95,18 +95,18 @@ def mst(
             )
         )
         parent = truncate_plan(parent).persist()
-        # pointer-jump to roots (doubling: depth halves per step). Two
-        # driver-barrier economies vs the naive loop (the round-3
-        # judge's one remaining `weak` plan): (a) the settled signal is
-        # computed INLINE as a `_moved` flag during the doubling join —
-        # checking it is a cheap cached scan, never a second n-scale
-        # join of nxt against parent; (b) the check runs after the
-        # first doubling (hook forests are depth<=1 in most late
-        # Borůvka rounds) and then only every 3rd — depth halves per
-        # doubling, so over-running a settled chain by <=2 no-op
-        # doublings is cheaper than a barrier per step at 1000
-        # executors. Reference anchor: mst.hxx:207-220 (its jump loop
-        # is likewise unsynchronized).
+        # pointer-jump to roots (doubling: depth halves per step). The
+        # settled signal is computed INLINE as a `_moved` flag during
+        # the doubling join — never a second n-scale join of nxt
+        # against parent — and checked EVERY doubling: truncate_plan's
+        # eager localCheckpoint is already a full materialization
+        # barrier per doubling, so the flag count is a near-free scan
+        # of cached blocks, while SKIPPING checks costs real extra
+        # doublings (each an n-scale join + checkpoint — measured 63 s
+        # batched every 3rd vs 46 s per-doubling at 3.3M vertices).
+        # Reference
+        # anchor: mst.hxx:207-220 (its jump loop is unsynchronized,
+        # but its per-step cost is a device kernel, not a checkpoint).
         jump_doublings = jump_checks = 0
         for j in range(20):
             lookup = parent.select(F.col("c").alias("p"), F.col("p").alias("pp"))
@@ -121,10 +121,9 @@ def mst(
             parent.unpersist()
             parent = nxt
             jump_doublings += 1
-            if j == 0 or j % 3 == 2 or j == 19:
-                jump_checks += 1
-                if nxt.filter("_moved").count() == 0:
-                    break
+            jump_checks += 1
+            if nxt.filter("_moved").count() == 0:
+                break
         parent = parent.drop("_moved")
         runner.log(it, jump_doublings=jump_doublings, jump_checks=jump_checks)
         # relabel the active edge set through the contraction map, drop
