@@ -367,6 +367,18 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(kg.vkeys, "vid").select("skey", F.col("core").cast("long").alias("core"))
 
 
+def q_kcore_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed local-fixpoint kernel path (algos/kcore.py
+    kcore_hindex_local: per-bucket chaotic h-index iteration, boundary
+    estimates exchanged per global round) against the SAME
+    algorithm-independent fixpoint SQL oracle as the other two paths."""
+    from essentials_spark.algos import kcore
+
+    kg = _keyed_graph(spark, sf_dir)
+    out = kcore(kg.graph, method="local")
+    return out.join(kg.vkeys, "vid").select("skey", F.col("core").cast("long").alias("core"))
+
+
 def q_cc_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC with the MIN-semiring packed-CSR message kernel
     (graph/csr_blocks.csr_min_push ≙ atomic::min, reference
@@ -731,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_norm": q_hits,
         "kcore_decomposition": q_kcore,
         "kcore_peel": q_kcore_peel,
+        "kcore_local": q_kcore_local,
         "connected_components_csr": q_cc_csr,
         "connected_components_contract": q_cc_contract,
         "betweenness_3src": q_bc,
@@ -1455,6 +1468,8 @@ def oracle_sql() -> dict[str, str]:
     sql["kcore_decomposition"] = _kcore_sql()
     # peeling engine path vs the same h-index oracle (independent x2)
     sql["kcore_peel"] = _kcore_sql()
+    # bucketed local-fixpoint kernel path vs the same oracle (x3)
+    sql["kcore_local"] = _kcore_sql()
     sql["betweenness_3src"] = _bc_sql()
     sql["mst_total_weight"] = _mst_sql()
 

@@ -242,7 +242,8 @@ def main() -> None:
         help="suite timing passes; the min is reported (noise robustness)",
     )
     ap.add_argument(
-        "--probe", choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc"],
+        "--probe",
+        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore"],
         default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
@@ -254,7 +255,12 @@ def main() -> None:
         "Shiloach-Vishkin + star-mapping stitch); mst / color = at-scale "
         "spot checks; lp = label propagation in CONVERGENCE mode "
         "(max_iter 20, delta-frontier shape ladder); tc = triangle "
-        "count (--kernel csr for the packed intersection kernels)",
+        "count (--kernel csr for the packed intersection kernels); "
+        "kcore = coreness (--method hindex|local|peel)",
+    )
+    ap.add_argument(
+        "--method", default="hindex", choices=["hindex", "local", "peel"],
+        help="kcore probe: fixpoint variant (local = bucketed local-fixpoint kernels)",
     )
     args = ap.parse_args()
 
@@ -416,9 +422,10 @@ def main() -> None:
         spark.stop()
         return
 
-    if args.probe in ("mst", "color", "lp"):
+    if args.probe in ("mst", "color", "lp", "kcore"):
         cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from pyspark.sql import functions as F
         from essentials_spark.engine.superstep import SuperstepRunner
         from essentials_spark.graph.keyed import keyed_graph_from_transcripts
         from essentials_spark.io.transcripts import synth_transcripts
@@ -427,8 +434,6 @@ def main() -> None:
         jvms = competing_jvms()
         spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{args.probe}", shuffle_partitions=cpus)
         if args.probe == "lp" and args.lp_graph == "community":
-            from pyspark.sql import functions as F
-
             from essentials_spark.graph.derive import Graph
 
             # clique communities: LP converges (clique adopts its min
@@ -479,6 +484,19 @@ def main() -> None:
                     _color(g, runner=runner).select("color").distinct().count()
                 )
                 meta_per_pass.append({"n_colors": n_colors})
+            elif args.probe == "kcore":
+                from essentials_spark.algos import kcore as _kcore
+
+                maxc = (
+                    _kcore(g, method=args.method, runner=runner)
+                    .agg(F.max("core"))
+                    .collect()[0][0]
+                )
+                meta_per_pass.append({
+                    "method": args.method,
+                    "max_core": int(maxc or 0),
+                    "rounds": max((r["iteration"] for r in runner.metrics), default=0),
+                })
             else:  # lp convergence mode
                 from essentials_spark.algos import label_propagation as _lp
 

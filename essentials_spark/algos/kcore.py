@@ -17,6 +17,11 @@ Two algorithms, identical results:
   costs O(max_core + #waves) driver round-trips; h-index doesn't.
 - ``method='peel'``: direct reference-parity peeling, kept as the
   structurally independent A/B cross-check (tests compare the two).
+- ``method='local'`` (:func:`kcore_hindex_local`): the same h-index
+  fixpoint with the iteration pushed into per-bucket vectorized
+  kernels run to LOCAL fixpoint per global round (async/chaotic
+  schedule of the same monotone operator — identical results, far
+  fewer driver-synchronized rounds when neighbors are bucket-local).
 
 Scale shape (both): the symmetrized edge table is persisted ONCE as a
 src-bucketed table. h-index rounds recompute H only for vertices with
@@ -53,12 +58,17 @@ def kcore(
     at k = max_k and survivors keep it; h-index runs to its fixpoint
     and clamps) — it is NOT an h-index round budget, so the two paths
     keep identical semantics for any max_k."""
-    if method == "hindex":
-        out = kcore_hindex(
-            graph, runner=runner,
-            pre_symmetrized=pre_symmetrized, edges_mode=edges_mode,
-            fused_iters=fused_iters,
-        )
+    if method in ("hindex", "local"):
+        if method == "hindex":
+            out = kcore_hindex(
+                graph, runner=runner,
+                pre_symmetrized=pre_symmetrized, edges_mode=edges_mode,
+                fused_iters=fused_iters,
+            )
+        else:
+            out = kcore_hindex_local(
+                graph, runner=runner, pre_symmetrized=pre_symmetrized
+            )
         # unconditional clamp (no-op when cores are below the cap):
         # peel stops at k = max_k and caps survivors, so h-index must
         # cap at ANY max_k — including >= 1000 — or the A/B cross-check
@@ -260,6 +270,188 @@ def kcore_hindex(
 
     out = state.select("vid", F.col("c").cast("int").alias("core"))
     runner.finalize()
+    return out
+
+
+def kcore_hindex_local(
+    graph: Graph,
+    n_buckets: int | None = None,
+    runner: SuperstepRunner | None = None,
+    pre_symmetrized: bool = False,
+    max_rounds: int = 200,
+    local_iter_cap: int = 1000,
+    persist_result: bool = True,
+) -> DataFrame:
+    """Bucketed LOCAL-fixpoint h-index — the coreness analogue of the
+    contraction-CC idea (cc.py): push the iteration into per-bucket
+    vectorized kernels so the number of GLOBAL (driver-synchronized,
+    shuffle-paying) rounds collapses.
+
+    Edges are RANGE-bucketed by dst; since the table is symmetrized, a
+    bucket holds ALL in-edges of its vertices, and vids are
+    rank-of-skey (graph/keyed.py) so a conversation's chain is bucket-
+    local. Per global round each bucket iterates the neighbor-h-index
+    operator to its LOCAL fixpoint in one Arrow batch — in-bucket
+    neighbor estimates are read live, out-of-bucket ones stay frozen
+    at the round's boundary snapshot. Exactness: the h-index operator
+    is monotone and every estimate starts at deg(v) >= coreness(v), so
+    any chaotic update schedule keeps estimates upper bounds and
+    non-increasing, and the global loop stops only at the (unique)
+    greatest fixpoint = the coreness vector — the standard async
+    coreness argument (Montresor et al. 2011, and the same reasoning
+    as Lü et al.'s sync fixpoint). A per-iteration min() clamp makes
+    the monotone decrease explicit.
+
+    Per global round the cluster exchanges: the boundary estimates
+    (distinct cross-bucket (bucket, src) pairs — for conversation
+    graphs a small fraction of m) and the n-scale state cogroup. The
+    54 window-aggregate rounds of :func:`kcore_hindex` at 3.3M
+    vertices become a handful of rounds of memory-speed kernels."""
+    import numpy as np
+    import pandas as pd
+
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "kcore_local")
+    edges = graph.edges if pre_symmetrized else canonicalize_edges(
+        graph.edges, symmetrize=True, dedup=True, drop_self_loops=True
+    )
+    edges = truncate_plan(edges.select("src", "dst")).persist()
+    m = edges.count()
+    vmax1 = (graph.vertices.agg(F.max("vid")).collect()[0][0] or 0) + 1
+    nb = n_buckets or spark.sparkContext.defaultParallelism
+
+    def _bk(col: str):
+        return ((F.col(col) * nb) / F.lit(vmax1)).cast("int")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["bucket", "dsts", "srcs"])
+        order = np.argsort(pdf["dst"].to_numpy(), kind="stable")
+        return pd.DataFrame({
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "dsts": [pdf["dst"].to_numpy()[order]],
+            "srcs": [pdf["src"].to_numpy()[order]],
+        })
+
+    blocks = (
+        edges.withColumn("bucket", _bk("dst"))
+        .groupBy("bucket")
+        .applyInPandas(pack, schema="bucket int, dsts array<long>, srcs array<long>")
+        .persist()
+    )
+    blocks.count()
+    # boundary: cross-bucket sources whose estimates each round ships
+    cross = truncate_plan(
+        edges.filter(_bk("src") != _bk("dst"))
+        .select(_bk("dst").alias("bucket"), "src")
+        .distinct()
+    ).persist()
+    b_rows = cross.count()
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "vid")
+    state = truncate_plan(
+        graph.vertices.select("vid")
+        .join(deg, "vid", "left")
+        .select("vid", F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("c"))
+    ).persist()
+    n = state.count()
+    edges.unpersist()  # blocks + cross + state carry everything the loop needs
+    if runner.fingerprint is None:
+        runner.fingerprint = f"kcore_local:n={n}:m={m}:nb={nb}"
+    runner.log(0, phase="layout", boundary_rows=b_rows, m_edges=m)
+
+    def kernel(block_pdf: pd.DataFrame, vals_pdf: pd.DataFrame) -> pd.DataFrame:
+        loc = vals_pdf[vals_pdf["loc"]]
+        base_vid = loc["vid"].to_numpy()
+        base_c = loc["c"].to_numpy()
+        if len(block_pdf) == 0 or len(vals_pdf) == 0:
+            return pd.DataFrame({"vid": base_vid, "c": base_c, "changed": np.zeros(len(base_vid), dtype="int32")})
+        row = block_pdf.iloc[0]
+        dst = np.asarray(row["dsts"], dtype=np.int64)
+        src = np.asarray(row["srcs"], dtype=np.int64)
+        vocab = np.unique(np.concatenate([dst, src]))
+        di = np.searchsorted(vocab, dst)
+        si = np.searchsorted(vocab, src)
+        est = np.zeros(len(vocab), dtype=np.int64)
+        vv = vals_pdf["vid"].to_numpy()
+        cc_ = vals_pdf["c"].to_numpy()
+        pos = np.searchsorted(vocab, vv)
+        ok = (pos < len(vocab))
+        pos_c = np.clip(pos, 0, len(vocab) - 1)
+        ok &= vocab[pos_c] == vv
+        est[pos_c[ok]] = cc_[ok]
+        # in-kernel delta frontier: after the first sweep only dsts
+        # with >= 1 changed neighbor are recomputed — H needs their
+        # FULL in-neighborhood, which the (sorted) block provides, so
+        # the sub-iteration sorts only the affected edge subset (the
+        # same restriction argument as the dataframe ladder's rounds)
+        changed_flag = np.ones(len(vocab), dtype=bool)
+        for _ in range(local_iter_cap):
+            emask = changed_flag[si]
+            if not emask.any():
+                break
+            aff = np.zeros(len(vocab), dtype=bool)
+            aff[di[emask]] = True
+            emask = aff[di]  # ALL in-edges of every affected dst
+            adi = di[emask]  # still sorted (di sorted, mask order-preserving)
+            asi = si[emask]
+            udst, starts = np.unique(adi, return_index=True)
+            sv = est[asi]
+            order = np.lexsort((-sv, adi))
+            svs = sv[order]
+            rn = np.arange(len(adi), dtype=np.int64) - np.repeat(
+                starts, np.diff(np.append(starts, len(adi)))
+            ) + 1
+            h = np.maximum.reduceat(np.minimum(rn, svs), starts)
+            new = np.minimum(h, est[udst])  # explicit monotone clamp
+            moved = new < est[udst]
+            if not moved.any():
+                break
+            est[udst] = new
+            changed_flag = np.zeros(len(vocab), dtype=bool)
+            changed_flag[udst[moved]] = True
+        # emit every LOCAL vertex: kernel value if it appears in the
+        # block's vocab (i.e. has edges), else its input c (isolated)
+        bpos = np.searchsorted(vocab, base_vid)
+        bok = bpos < len(vocab)
+        bpos_c = np.clip(bpos, 0, len(vocab) - 1)
+        bok &= vocab[bpos_c] == base_vid
+        out_c = np.where(bok, est[bpos_c], base_c)
+        return pd.DataFrame({
+            "vid": base_vid,
+            "c": out_c,
+            "changed": (out_c != base_c).astype("int32"),
+        })
+
+    rounds = 0
+    while rounds < max_rounds:
+        local_side = state.select(_bk("vid").alias("bucket"), "vid", "c", F.lit(True).alias("loc"))
+        bound_side = cross.join(state, cross.src == state.vid).select(
+            "bucket", F.col("src").alias("vid"), "c", F.lit(False).alias("loc")
+        )
+        out = (
+            blocks.groupby("bucket")
+            .cogroup(local_side.unionByName(bound_side).groupby("bucket"))
+            .applyInPandas(kernel, schema="vid long, c long, changed int")
+        )
+        new_state = runner.materialize(out, rounds + 1)
+        n_changed = int(new_state.agg(F.sum("changed")).collect()[0][0] or 0)
+        rounds += 1
+        runner.log(rounds, changed=n_changed, boundary_rows=b_rows)
+        state.unpersist()
+        state = new_state.drop("changed").persist()
+        if n_changed == 0:
+            break
+
+    out = state.select("vid", F.col("c").cast("int").alias("core"))
+    runner.finalize()
+    blocks.unpersist()
+    cross.unpersist()
+    if not persist_result:
+        try:
+            state.unpersist()
+        except Exception:
+            pass
     return out
 
 

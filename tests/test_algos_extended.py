@@ -116,6 +116,37 @@ def test_kcore_hindex_vs_peel_planted_clique(spark):
     assert all(hi[v] == k - 1 for v in range(k))
 
 
+def test_kcore_local_fixpoint_vs_hindex(spark):
+    # bucketed local-fixpoint kernel (method='local') vs the window-
+    # aggregate fixpoint and peeling — three structurally independent
+    # paths, exact agreement required. Shapes chosen to stress the
+    # boundary exchange: a clique STRADDLING bucket ranges, chains
+    # crossing every range boundary, and a hub linking ranges.
+    from essentials_spark.algos.kcore import kcore_hindex_local
+
+    rng = np.random.RandomState(17)
+    k = 9
+    # clique on vids spread across the whole range => all-boundary
+    clique_v = [int(v) for v in np.linspace(0, 79, k).astype(int)]
+    clique = [(a, b) for i, a in enumerate(clique_v) for b in clique_v[i + 1:]]
+    chain = [(i, i + 1) for i in range(80)]  # crosses every bucket edge
+    hub = [(3, int(v)) for v in rng.randint(0, 80, size=12) if v != 3]
+    pairs = list({*clique, *chain, *hub})
+    g = graph_from_edges(spark, pairs, n_vertices=81)
+    hi = {r["vid"]: r["core"] for r in kcore(g, method="hindex").collect()}
+    for nb in (1, 4, 9):
+        lo = {
+            r["vid"]: r["core"]
+            for r in kcore_hindex_local(g, n_buckets=nb).collect()
+        }
+        assert lo == hi, f"nb={nb}"
+    pe = {r["vid"]: r["core"] for r in kcore(g, method="peel").collect()}
+    assert pe == hi
+    # wrapper clamp parity
+    cl = {r["vid"]: r["core"] for r in kcore(g, method="local", max_k=2).collect()}
+    assert cl == {v: min(c, 2) for v, c in hi.items()}
+
+
 def test_color_valid_and_deterministic(spark):
     rng = np.random.RandomState(3)
     n = 25
