@@ -139,6 +139,27 @@ def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "component")
 
 
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped CC maintenance (algos/cc.incremental_cc_update)
+    vs the SAME batch fixpoint oracle: the edge table is fed in two
+    ARBITRARY micro-batches (split by edge-hash parity — adversarial:
+    components form across both), labels updated per batch; the final
+    labels must equal batch CC on the union. Vertex ids are the batch
+    graph's (an id service in production); what is incremental is the
+    LABEL state."""
+    from essentials_spark.algos import incremental_cc_update
+
+    kg = _keyed_graph(spark, sf_dir)
+    e = kg.graph.edges
+    parity = F.pmod(F.xxhash64("src", "dst"), F.lit(2))
+    labels = kg.graph.vertices.select("vid", F.col("vid").alias("label"))
+    for p in (0, 1):
+        batch = e.filter(parity == p).select("src", "dst")
+        labels = incremental_cc_update(labels, batch)
+    lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("component"))
+    return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "component")
+
+
 def q_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import label_propagation
 
@@ -769,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_csr": q_pagerank_csr,
         "connected_components": q_cc,
+        "connected_components_incremental": q_cc_incremental,
         "label_propagation": q_lp,
         "triangle_count": q_triangles,
         "triangle_count_csr": q_triangles_csr,
@@ -1526,6 +1548,8 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
     # oracle, two physical paths (dataframe-join vs packed-CSR SpMV)
     sql["pagerank_csr"] = _pagerank_sql()
     sql["connected_components"] = _cc_sql()
+    # incremental micro-batch maintenance vs the same batch fixpoint
+    sql["connected_components_incremental"] = _cc_sql()
     # MIN-semiring CSR kernel: same converged labels, different
     # physical path for the hash-min message round
     sql["connected_components_csr"] = _cc_sql()

@@ -13,8 +13,9 @@ on the loop time only.
 
 Scaling mode (--scaling): re-invokes itself at two parallelism levels
 (cores as the N vs 4N executor proxy, per BASELINE.md) on the same
-input and writes BENCH/BASELINE.md with throughput at both and the
-scaling efficiency. Use --synthetic N to run the scaling experiment on
+input and prints one JSON report with throughput at both levels and
+the per-query scaling efficiency (recorded in BENCH/BASELINE.md §3).
+Use --synthetic N to run the scaling experiment on
 a larger deterministic synthetic transcript table (compute-bound, so
 the measurement reflects the engine rather than fixed job overhead).
 """

@@ -6,7 +6,11 @@ reference's algorithm directory (include/gunrock/algorithms/).
 """
 
 from essentials_spark.algos.pagerank import pagerank  # noqa: F401
-from essentials_spark.algos.cc import connected_components, connected_components_contract  # noqa: F401
+from essentials_spark.algos.cc import (  # noqa: F401
+    connected_components,
+    connected_components_contract,
+    incremental_cc_update,
+)
 from essentials_spark.algos.lp import label_propagation  # noqa: F401
 from essentials_spark.algos.tc import triangle_count  # noqa: F401
 from essentials_spark.algos.traversal import bfs, sssp  # noqa: F401

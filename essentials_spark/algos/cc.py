@@ -42,6 +42,121 @@ from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
 
+def _shiloach_vishkin_kernel(pdf):
+    """Solve one edge batch's components outright in NumPy: hash-min
+    via np.minimum.at (≙ atomic::min, reference mst.hxx:173-199) +
+    label[label] pointer-doubling collapse (mst.hxx:207-220), iterated
+    to fixpoint. Input pdf needs src/dst columns (extra grouping
+    columns are ignored); returns (vid, root) with root = component
+    min vid. Duplicate- and direction-insensitive."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) == 0:
+        return pd.DataFrame({"vid": pd.Series(dtype="int64"), "root": pd.Series(dtype="int64")})
+    a = pdf["src"].to_numpy()
+    b = pdf["dst"].to_numpy()
+    verts = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(verts, a)
+    bi = np.searchsorted(verts, b)
+    # verts sorted ascending -> index order == vid order, so min
+    # over indices is min over vids
+    lab = np.arange(len(verts), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ai, lab[bi])
+        np.minimum.at(new, bi, lab[ai])
+        # pointer-doubling collapse to the current fixpoint
+        while True:
+            n2 = new[new]
+            if np.array_equal(n2, new):
+                break
+            new = n2
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return pd.DataFrame({"vid": verts, "root": verts[lab]})
+
+
+def incremental_cc_update(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    single_solve_max: int = 20_000_000,
+) -> DataFrame:
+    """Exact incremental CC maintenance (streaming micro-batch shape).
+
+    ``labels``: current canonical (min-vid) component labels
+    (vid: long, label: long). ``new_edges``: a batch of NEW edges
+    (src, dst) — endpoints unseen by ``labels`` are admitted as fresh
+    self-labeled vertices. Returns updated (vid, label) EQUAL to
+    ``connected_components`` on the union graph.
+
+    Merge algebra: new edges only ever MERGE components. Relabel the
+    batch through the current labels (a component is its min-vid
+    representative, so relabeled pairs connect representatives), drop
+    the intra-component pairs, and solve the resulting ROOT-SCALE
+    graph with the same vectorized kernel contraction CC uses; compose
+    label'(v) = sol(label(v)). Canonicality is preserved: the merged
+    root is the min over merged components' min-vids = the union
+    component's min vid.
+
+    Per batch the n-scale state is joined twice (relabel + compose),
+    never iterated; everything else is batch- or root-scale. Batches
+    past ``single_solve_max`` relabeled pairs fall back to the full
+    two-phase contraction solve instead of the one-task kernel.
+    Reference anchor: mst.hxx's supervertex contraction is the same
+    union algebra."""
+    fresh = (
+        new_edges.select(F.col("src").alias("vid"))
+        .union(new_edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .join(labels.select("vid"), "vid", "left_anti")
+        .select("vid", F.col("vid").alias("label"))
+    )
+    base = truncate_plan(labels.unionByName(fresh)).persist()
+    e2 = truncate_plan(
+        new_edges
+        .join(base.select(F.col("vid").alias("src"), F.col("label").alias("lsrc")), "src")
+        .join(base.select(F.col("vid").alias("dst"), F.col("label").alias("ldst")), "dst")
+        .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    ).persist()
+    e2_rows = e2.count()
+    if e2_rows == 0:
+        out = truncate_plan(base.select("vid", "label"))
+        base.unpersist()
+        e2.unpersist()
+        return out
+    if e2_rows <= single_solve_max:
+        sol = (
+            e2.withColumn("bucket", F.lit(0))
+            .groupBy("bucket")
+            .applyInPandas(_shiloach_vishkin_kernel, schema="vid long, root long")
+        )
+    else:
+        roots = e2.select(F.col("src").alias("vid")).union(
+            e2.select(F.col("dst").alias("vid"))
+        ).distinct()
+        sol = connected_components_contract(
+            Graph(vertices=roots, edges=e2.withColumn("weight", F.lit(1.0))),
+            persist_result=False,
+        ).select("vid", F.col("label").alias("root"))
+    # untouched components (no batch edge) keep their label: left join;
+    # sol is root-scale — broadcast below the state-broadcast bound
+    sol_side = hint_state_join(
+        sol.select(F.col("vid").alias("label"), "root"),
+        2 * e2_rows if e2_rows <= single_solve_max else None,  # |sol| <= 2|e2|
+    )
+    out = truncate_plan(
+        base.join(sol_side, "label", "left")
+        .select("vid", F.coalesce(F.col("root"), F.col("label")).alias("label"))
+    )
+    base.unpersist()
+    e2.unpersist()
+    return out
+
+
 def connected_components_contract(
     graph: Graph,
     n_buckets: int | None = None,
@@ -141,31 +256,7 @@ def connected_components_contract(
     else:
         bucketed = bucketed_base.withColumn("salt", F.lit(0))
 
-    def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({"vid": pd.Series(dtype="int64"), "root": pd.Series(dtype="int64")})
-        a = pdf["src"].to_numpy()
-        b = pdf["dst"].to_numpy()
-        verts = np.unique(np.concatenate([a, b]))
-        ai = np.searchsorted(verts, a)
-        bi = np.searchsorted(verts, b)
-        # verts sorted ascending -> index order == vid order, so min
-        # over indices is min over vids
-        lab = np.arange(len(verts), dtype=np.int64)
-        while True:
-            new = lab.copy()
-            np.minimum.at(new, ai, lab[bi])
-            np.minimum.at(new, bi, lab[ai])
-            # pointer-doubling collapse to the current fixpoint
-            while True:
-                n2 = new[new]
-                if np.array_equal(n2, new):
-                    break
-                new = n2
-            if np.array_equal(new, lab):
-                break
-            lab = new
-        return pd.DataFrame({"vid": verts, "root": verts[lab]})
+    local_cc = _shiloach_vishkin_kernel
 
     mapping = truncate_plan(
         bucketed.groupBy("bucket", "salt").applyInPandas(local_cc, schema="vid long, root long")

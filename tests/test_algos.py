@@ -143,6 +143,47 @@ def test_cc_contract_skew_split_exact(spark):
     assert contract_rows[0]["m_edges"] == len(pairs) * 2  # symmetrized input
 
 
+def test_incremental_cc_update_fuzz(spark):
+    # streaming micro-batch CC maintenance: feed a random graph's
+    # edges in k arbitrary batches (later batches introduce unseen
+    # vertices); after every batch the labels must equal union-find on
+    # the union of all edges so far — exactness is per-batch, not just
+    # final. Also pins the no-op batch (all intra-component pairs).
+    from pyspark.sql import functions as F
+
+    from essentials_spark.algos import incremental_cc_update
+
+    rng = np.random.RandomState(99)
+    for trial in range(3):
+        n = int(rng.randint(30, 70))
+        m = int(rng.randint(n, 3 * n))
+        pairs = list({(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b})
+        rng.shuffle(pairs)
+        k = 3
+        cuts = sorted(rng.choice(range(1, len(pairs)), size=k - 1, replace=False))
+        batches = [pairs[i:j] for i, j in zip([0] + list(cuts), list(cuts) + [len(pairs)])]
+        labels = spark.createDataFrame(
+            [(v, v) for v in range(n)], "vid long, label long"
+        )
+        seen: list = []
+        for batch in batches:
+            seen += batch
+            bdf = spark.createDataFrame(batch, "src long, dst long")
+            labels = incremental_cc_update(labels, bdf)
+            got = {r["vid"]: r["label"] for r in labels.collect()}
+            exp = cc_oracle(n, seen)
+            assert got == {v: int(exp[v]) for v in range(n)}, f"trial {trial}"
+        # no-op batch: re-feed already-merged pairs — labels unchanged
+        bdf = spark.createDataFrame(batches[0], "src long, dst long")
+        labels2 = incremental_cc_update(labels, bdf)
+        assert {r["vid"]: r["label"] for r in labels2.collect()} == got
+    # fresh-vertex batch: edges among entirely unseen vids
+    labels = spark.createDataFrame([(0, 0), (1, 1)], "vid long, label long")
+    bdf = spark.createDataFrame([(100, 101), (101, 0)], "src long, dst long")
+    out = {r["vid"]: r["label"] for r in incremental_cc_update(labels, bdf).collect()}
+    assert out == {0: 0, 1: 1, 100: 0, 101: 0}
+
+
 def test_cc_small_round_path_fuzz_vs_union_find(spark):
     # pins the broadcast (small_round) shape specifically: its
     # pointer-jump lookup is restricted to keys from this round's
