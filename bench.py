@@ -263,6 +263,14 @@ def main() -> None:
         "--method", default="hindex", choices=["hindex", "local", "peel"],
         help="kcore probe: fixpoint variant (local = bucketed local-fixpoint kernels)",
     )
+    ap.add_argument(
+        "--mst-jump", default="auto", choices=["auto", "kernel", "loop"],
+        help="mst probe: hook-forest collapse path (auto = gated single-task kernel)",
+    )
+    ap.add_argument(
+        "--mst-prefilter", action="store_true",
+        help="mst probe: bucketed local-MSF filter pass before the Borůvka rounds",
+    )
     args = ap.parse_args()
 
     if args.scaling:
@@ -476,8 +484,15 @@ def main() -> None:
             if args.probe == "mst":
                 from essentials_spark.algos import mst as _mst
 
-                _chosen, total = _mst(g, runner=runner)
-                meta_per_pass.append({"mst_total_weight": total})
+                _chosen, total = _mst(
+                    g, runner=runner, jump=args.mst_jump, prefilter=args.mst_prefilter
+                )
+                meta = {"mst_total_weight": total, "jump": args.mst_jump,
+                        "prefilter": args.mst_prefilter}
+                pre = [m for m in runner.metrics if m.get("phase") == "prefilter"]
+                if pre:
+                    meta["prefilter_edges"] = (pre[0]["edges_in"], pre[0]["edges_out"])
+                meta_per_pass.append(meta)
             elif args.probe == "color":
                 from essentials_spark.algos import color as _color
 

@@ -253,21 +253,17 @@ def test_mst_total_weight(spark):
     chosen, total = mst(g, runner=runner)
     assert total == pytest.approx(0.5 + 1.0 + 3.0)  # kruskal: 0-2, 0-1, 2-3
     assert chosen.count() == 3
-    # per-doubling settled-checks on the inline _moved flag: the loop
-    # must stop at the first settled doubling (truncate_plan's eager
-    # checkpoint is the real per-doubling barrier; an extra doubling
-    # costs an n-scale join, an extra flag count costs a cached scan —
-    # measured 63->46 s at 3.3M vertices vs every-3rd batching)
-    for m in runner.metrics:
-        if "jump_doublings" in m:
-            d, c = m["jump_doublings"], m["jump_checks"]
-            assert c == d, (d, c)
+    # default jump='auto' on a small graph must take the single-task
+    # hook-collapse kernel, never the doubling-join ladder
+    assert any(m.get("jump_kernel") for m in runner.metrics)
+    assert not any("jump_doublings" in m for m in runner.metrics)
 
 
 def test_mst_deep_chain_jump_batched(spark):
-    # long path: round-1 hook forest is a deep pointer chain, forcing
-    # multiple doublings — exact weight must survive the per-doubling
-    # settled checks and the inline _moved flag
+    # long path, forced jump='loop': round-1 hook forest is a deep
+    # pointer chain, forcing multiple doublings — exact weight must
+    # survive the per-doubling settled checks and the inline _moved
+    # flag (the above-single_solve_max fallback path)
     from essentials_spark.engine.superstep import SuperstepRunner
 
     n = 33
@@ -275,10 +271,88 @@ def test_mst_deep_chain_jump_batched(spark):
     weights = [1.0 + (i % 5) for i in range(n - 1)]
     g = graph_from_edges(spark, pairs, weights=weights, n_vertices=n)
     runner = SuperstepRunner(spark, "mst_chain")
-    chosen, total = mst(g, runner=runner)
+    chosen, total = mst(g, runner=runner, jump="loop")
     assert total == pytest.approx(sum(weights))  # a path IS its own MST
     assert chosen.count() == n - 1
     assert any(m.get("jump_doublings", 0) >= 2 for m in runner.metrics)
+    # per-doubling settled-checks on the inline _moved flag: the loop
+    # must stop at the first settled doubling
+    for m in runner.metrics:
+        if "jump_doublings" in m:
+            assert m["jump_checks"] == m["jump_doublings"]
+
+
+def _kruskal_msf(pairs, weights):
+    """Independent union-find oracle: unique MSF total weight under
+    the engine's (weight, src, dst) total order."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total = 0.0
+    n_chosen = 0
+    und = {}
+    for (a, b), w in zip(pairs, weights):
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        und[k] = min(und.get(k, float("inf")), w)
+    for w, a, b in sorted((w, a, b) for (a, b), w in und.items()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            total += w
+            n_chosen += 1
+    return total, n_chosen
+
+
+def test_mst_kernel_loop_prefilter_agree_fuzz(spark):
+    # all three physical paths (kernel jump, loop jump, prefilter+kernel)
+    # must reproduce the union-find oracle exactly, including ties
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 40
+        m = 90
+        raw = [
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        ]
+        # unique pairs: graph_from_edges dropDuplicates picks an
+        # arbitrary row per (src, dst), so duplicate pairs with
+        # different weights would make the input ill-defined.
+        # integer weights force ties so the lexicographic tiebreak is
+        # exercised
+        pairs = sorted(set(raw))
+        weights = [float(w) for w in rng.integers(1, 6, size=len(pairs))]
+        oracle_total, oracle_cnt = _kruskal_msf(pairs, weights)
+        g = graph_from_edges(spark, pairs, weights=weights, n_vertices=n)
+        for kw in ({"jump": "kernel"}, {"jump": "loop"}, {"prefilter": True, "n_buckets": 4}):
+            chosen, total = mst(g, **kw)
+            assert total == pytest.approx(oracle_total), (trial, kw)
+            assert chosen.count() == oracle_cnt, (trial, kw)
+
+
+def test_mst_prefilter_drops_cycle_edges(spark):
+    # dense block (many bucket-local cycles) + bridge: prefilter must
+    # strictly shrink the edge set yet keep the exact MSF
+    from essentials_spark.engine.superstep import SuperstepRunner
+
+    pairs = [(i, j) for i in range(10) for j in range(i + 1, 10)] + [(9, 10), (10, 11)]
+    weights = [float(1 + ((i * 7 + j) % 4)) for i, j in pairs]
+    oracle_total, oracle_cnt = _kruskal_msf(pairs, weights)
+    g = graph_from_edges(spark, pairs, weights=weights, n_vertices=12)
+    runner = SuperstepRunner(spark, "mst_pref")
+    chosen, total = mst(g, runner=runner, prefilter=True, n_buckets=2)
+    assert total == pytest.approx(oracle_total)
+    assert chosen.count() == oracle_cnt
+    pre = [m for m in runner.metrics if m.get("phase") == "prefilter"]
+    assert pre and pre[0]["edges_out"] < pre[0]["edges_in"]
 
 
 def test_geolocate_spreads(spark):
