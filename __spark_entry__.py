@@ -189,6 +189,32 @@ def q_triangles_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vertex.join(kg.vkeys, "vid").select("skey", F.col("tc").cast("long").alias("tc"))
 
 
+def q_tc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped TC maintenance (algos/tc.incremental_tc_update)
+    vs the SAME batch oracle as triangle_count: the membership graph's
+    edges arrive in two ARBITRARY micro-batches (edge-hash parity —
+    adversarial: triangles straddle the split, exercising all three
+    t1/t2/t3 classes), counts updated per batch; the final per-vertex
+    corners must equal batch TC on the union."""
+    from essentials_spark.algos import incremental_tc_update
+
+    kg = _keyed_graph(spark, sf_dir, membership=True)
+    e = kg.graph.edges
+    parity = F.pmod(F.xxhash64("src", "dst"), F.lit(2))
+    pv = spark.createDataFrame([], "vid long, tc long")
+    state = spark.createDataFrame([], "src long, dst long")
+    for p in (0, 1):
+        batch = e.filter(parity == p).select("src", "dst")
+        pv, state = incremental_tc_update(pv, state, batch)
+    # isolated vertices never enter a batch — rebase on the full vertex set
+    full = (
+        kg.graph.vertices.select("vid")
+        .join(pv, "vid", "left")
+        .select("vid", F.coalesce(F.col("tc"), F.lit(0)).cast("long").alias("tc"))
+    )
+    return full.join(kg.vkeys, "vid").select("skey", F.col("tc").cast("long").alias("tc"))
+
+
 def q_tc_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import triangle_count
 
@@ -794,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_lp,
         "triangle_count": q_triangles,
         "triangle_count_csr": q_triangles_csr,
+        "triangle_count_incremental": q_tc_incremental,
         "tc_total": q_tc_total,
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1577,6 +1604,7 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
         " FROM verts v LEFT JOIN corners c ON c.vkey = v.vkey"
     )
     sql["triangle_count_csr"] = sql["triangle_count"]
+    sql["triangle_count_incremental"] = sql["triangle_count"]
     sql["tc_total"] = (
         f"WITH {_PRELUDE_M}, {_TRI_BODY}"
         " SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) AS corner_total,"

@@ -190,3 +190,112 @@ def _csr_corners(oriented: DataFrame, n_buckets: int | None) -> DataFrame:
         .applyInPandas(lambda w, a: close(w, a), schema="vid long, cnt long")
     )
     return partial.groupBy("vid").agg(F.sum("cnt").alias("tc"))
+
+
+def incremental_tc_update(
+    per_vertex: DataFrame,
+    edges: DataFrame,
+    new_edges: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact incremental triangle-count maintenance (streaming
+    micro-batch shape, the TC companion to cc.incremental_cc_update).
+
+    ``per_vertex``: current corner counts (vid, tc). ``edges``: the
+    current CANONICAL undirected edge set (src < dst, deduped, no
+    self-loops) the counts were computed on. ``new_edges``: a raw
+    batch (any direction, dups ok). Returns (per_vertex', edges')
+    EQUAL to ``triangle_count`` on the union graph.
+
+    New edges only CREATE triangles, and every new triangle contains
+    1, 2, or 3 batch edges — enumerated disjointly (batch edges are
+    first anti-joined against the current set, so batch and static
+    sets are disjoint):
+
+      t1 (one batch edge (u,v)): third corner w with BOTH (u,w) and
+         (v,w) static — enumerate w over N_static(u), close on the
+         static (v,w); each such triangle has a unique batch edge, so
+         it is found exactly once;
+      t2 (two batch edges): a batch wedge (w,u),(w,v) closed by a
+         STATIC (u,v) — the wedge center is unique per triangle;
+      t3 (all three): plain ``triangle_count`` on the batch subgraph.
+
+    Corner deltas are additive across the three disjoint classes, so
+    per-vertex counts update by one groupBy-sum; the total stays
+    3 x #triangles by construction. Scale shape: every join is
+    batch-side against the static table (in production the static
+    side is the bucketed symmetrized table every other algorithm
+    shares — engine/static_table.py), the static set is never
+    re-enumerated, and the t3 solve is batch-scale. Reference anchor:
+    tc.hxx:68-129 semantics; the per-batch maintenance algebra is the
+    standard streaming-TC decomposition.
+    """
+    spark = edges.sparkSession
+    if "weight" not in new_edges.columns:
+        new_edges = new_edges.withColumn("weight", F.lit(1.0))
+    batch = (
+        canonicalize_edges(new_edges, symmetrize=True, dedup=True, drop_self_loops=True)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    batch = truncate_plan(batch).persist()
+    sym = truncate_plan(
+        edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    ).persist()
+
+    # t1: w ∈ N_static(u) with (v, w) static
+    cand = batch.join(
+        sym.select(F.col("src").alias("src"), F.col("dst").alias("w")), "src"
+    ).select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+    t1 = cand.join(
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    # t2: batch wedge centered w, closed by a static (u, v)
+    bsym = batch.unionByName(
+        batch.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    wedge = (
+        bsym.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+        .join(bsym.select(F.col("src").alias("w"), F.col("dst").alias("v")), "w")
+        .filter(F.col("u") < F.col("v"))
+    )
+    t2 = wedge.join(edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+                    ["u", "v"], "left_semi").select("u", "v", "w")
+    # t3: triangles inside the batch subgraph
+    bverts = truncate_plan(
+        batch.select(F.col("src").alias("vid"))
+        .unionByName(batch.select(F.col("dst").alias("vid")))
+        .distinct()
+    ).persist()
+    t3_pv, _t3_total = triangle_count(
+        Graph(vertices=bverts, edges=batch.withColumn("weight", F.lit(1.0)))
+    )
+
+    corners = (
+        t1.select(F.explode(F.array("u", "v", "w")).alias("vid"))
+        .unionByName(t2.select(F.explode(F.array("u", "v", "w")).alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("d"))
+        .unionByName(t3_pv.filter(F.col("tc") > 0).select("vid", F.col("tc").alias("d")))
+        .groupBy("vid")
+        .agg(F.sum("d").alias("delta"))
+    )
+    base = (
+        per_vertex.select("vid", "tc")
+        .unionByName(bverts.select("vid", F.lit(0).cast("long").alias("tc")))
+        .groupBy("vid")
+        .agg(F.max("tc").alias("tc"))
+    )
+    out_pv = truncate_plan(
+        base.join(corners, "vid", "left")
+        .select("vid", (F.col("tc") + F.coalesce(F.col("delta"), F.lit(0))).cast("long").alias("tc"))
+    )
+    out_edges = truncate_plan(edges.select("src", "dst").unionByName(batch))
+    batch.unpersist()
+    sym.unpersist()
+    bverts.unpersist()
+    return out_pv, out_edges

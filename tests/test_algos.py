@@ -363,6 +363,48 @@ def test_tc_random_graph_vs_oracle(spark):
     assert total == exp_total
 
 
+def test_tc_incremental_matches_batch_fuzz(spark):
+    # exact micro-batch maintenance: random graphs fed in 1/2/3
+    # arbitrary batches must reproduce batch TC per vertex; hash-style
+    # splits put triangles across batches, exercising all three
+    # new-triangle classes (1, 2, or 3 batch edges)
+    from essentials_spark.algos import incremental_tc_update
+
+    rng = np.random.RandomState(7)
+    n = 24
+    for n_batches in (1, 2, 3):
+        pairs = sorted(
+            {(int(min(u, v)), int(max(u, v))) for u, v in rng.randint(0, n, size=(110, 2)) if u != v}
+        )
+        exp, exp_total = tc_oracle(n, pairs)
+        pv = spark.createDataFrame([], "vid long, tc long")
+        state = spark.createDataFrame([], "src long, dst long")
+        for b in range(n_batches):
+            chunk = [p for i, p in enumerate(pairs) if (i * 2654435761 + i * i) % n_batches == b]
+            batch = spark.createDataFrame(chunk, "src long, dst long")
+            pv, state = incremental_tc_update(pv, state, batch)
+        got = {r["vid"]: r["tc"] for r in pv.collect()}
+        for vid in range(n):
+            assert got.get(vid, 0) == exp[vid], (n_batches, vid)
+        assert sum(got.values()) == exp_total
+
+
+def test_tc_incremental_dup_and_directions(spark):
+    # batches re-sending known edges (both directions, dups, self
+    # loops) must not change counts
+    from essentials_spark.algos import incremental_tc_update
+
+    pv = spark.createDataFrame([], "vid long, tc long")
+    state = spark.createDataFrame([], "src long, dst long")
+    tri = [(0, 1), (1, 2), (0, 2)]
+    pv, state = incremental_tc_update(pv, state, spark.createDataFrame(tri, "src long, dst long"))
+    assert {r["vid"]: r["tc"] for r in pv.collect()} == {0: 1, 1: 1, 2: 1}
+    noise = [(1, 0), (2, 1), (2, 2), (0, 1), (0, 1)]
+    pv, state = incremental_tc_update(pv, state, spark.createDataFrame(noise, "src long, dst long"))
+    assert {r["vid"]: r["tc"] for r in pv.collect()} == {0: 1, 1: 1, 2: 1}
+    assert state.count() == 3
+
+
 def test_tc_csr_kernel_matches_dataframe_path(spark, golden_tc_graph):
     # A/B: packed intersection kernels (wedge-gen + searchsorted
     # membership, csr.hxx:110-167 analogue) vs the wedge-join path,
