@@ -486,6 +486,35 @@ def q_mst_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mst_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped MSF maintenance (algos/mst.incremental_msf_update)
+    vs the SAME invariant oracle as mst_total_weight: the weighted edge
+    table arrives in two ARBITRARY micro-batches (edge-hash parity —
+    adversarial: tree paths and cycles straddle the split, so batch-2
+    edges both extend and REPLACE batch-1 forest edges), the forest
+    re-sparsified per batch (T <- MSF(T ∪ batch), exact by the cycle
+    property); the final forest's weight multiset must equal batch MSF
+    on the union."""
+    from essentials_spark.algos import incremental_msf_update
+
+    kg = _keyed_graph(spark, sf_dir)
+    k = kg.vkeys
+    keyed = (
+        kg.graph.edges.join(k.select(F.col("vid").alias("src"), F.col("skey").alias("sk")), "src")
+        .join(k.select(F.col("vid").alias("dst"), F.col("skey").alias("dk")), "dst")
+        .select("src", "dst", _md5_weight(F.col("sk"), F.col("dk")).alias("weight"))
+    )
+    parity = F.pmod(F.xxhash64("src", "dst"), F.lit(2))
+    forest = spark.createDataFrame([], "src long, dst long, weight double")
+    total = 0.0
+    for p in (0, 1):
+        batch = keyed.filter(parity == p)
+        forest, total = incremental_msf_update(forest, batch)
+    return spark.createDataFrame(
+        [(int(forest.count()), float(total))], "n_chosen bigint, mst_total double"
+    )
+
+
 def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avg / stddev degree over ALL vertices incl. isolated
     # (reference include/gunrock/graph/graph.hxx:326-356)
@@ -795,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_contract": q_cc_contract,
         "betweenness_3src": q_bc,
         "mst_total_weight": q_mst_total,
+        "mst_incremental": q_mst_incremental,
         "degree_stats": q_degree_stats,
         "color_validity": q_color_validity,
         "geolocate_spread": q_geolocate,
@@ -1521,6 +1551,8 @@ def oracle_sql() -> dict[str, str]:
     sql["kcore_local"] = _kcore_sql()
     sql["betweenness_3src"] = _bc_sql()
     sql["mst_total_weight"] = _mst_sql()
+    # incremental micro-batch maintenance vs the same MSF invariant
+    sql["mst_incremental"] = _mst_sql()
 
     sql["degree_stats"] = (
         f"WITH {_PRELUDE},"

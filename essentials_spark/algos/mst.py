@@ -349,3 +349,54 @@ def mst(
     total = chosen.agg(F.sum("weight")).collect()[0][0] or 0.0
     runner.finalize()
     return chosen, float(total)
+
+
+def incremental_msf_update(
+    forest: DataFrame,
+    new_edges: DataFrame,
+    **mst_kwargs,
+) -> tuple[DataFrame, float]:
+    """Exact incremental MSF maintenance (streaming micro-batch shape,
+    the MST companion to cc.incremental_cc_update /
+    tc.incremental_tc_update).
+
+    ``forest``: the current minimum spanning forest's chosen edges
+    (src, dst, weight) — what :func:`mst` returned for everything seen
+    so far (empty DataFrame for the first batch). ``new_edges``: a
+    batch of NEW edges (src, dst, weight), any direction, parallel
+    edges welcome. Returns (chosen, total) EQUAL to ``mst`` on the
+    union of all edges ever fed.
+
+    Sparsification lemma (cycle property under the engine's strict
+    (weight, src, dst) total order on canonical pairs — the same order
+    every mst path pins, so the MSF is unique): any edge of E1 outside
+    MSF(E1) is the maximum edge of a cycle inside E1 ⊆ E1 ∪ E2 and so
+    is outside MSF(E1 ∪ E2); hence
+
+        MSF(E1 ∪ E2) = MSF(MSF(E1) ∪ E2)
+
+    and by induction a forest maintained as T ← MSF(T ∪ batch) is the
+    exact MSF of the union at every step. (This is the classic
+    Eppstein/offline-sparsification identity — also the invariant
+    behind the filtering pre-pass ``_local_msf_kernel`` above, applied
+    across time instead of across buckets.)
+
+    Scale shape: each update runs Borůvka over |T| + |batch| ≤
+    (n - 1) + |batch| edges instead of the full accumulated m — on
+    m ≫ n graphs (similarity/link graphs, the regimes the reference's
+    mst.cu targets) the per-batch cost is decoupled from history size.
+    The n-scale forest is re-read per batch but never the raw edge
+    history; no state beyond the forest itself is kept.
+
+    Reference anchor: mst.hxx:105-261 (the batch algorithm this
+    maintains); streaming shape per SURVEY §2's micro-batch
+    maintenance family."""
+    union = forest.select("src", "dst", "weight").unionByName(
+        new_edges.select("src", "dst", "weight")
+    )
+    verts = (
+        union.select(F.col("src").alias("vid"))
+        .union(union.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return mst(Graph(vertices=verts, edges=union), **mst_kwargs)

@@ -459,3 +459,54 @@ def test_geolocate_weiszfeld_coincident_point(spark):
     }
     exp = _np_weiszfeld([(10.0, 20.0), (20.0, 20.0), (30.0, 20.0)])
     assert got[4] == pytest.approx(exp, abs=1e-9)
+
+
+def test_incremental_msf_matches_batch_fuzz(spark):
+    # T <- MSF(T ∪ batch) over random splits must reproduce the
+    # union-find oracle on the union exactly, including ties (integer
+    # weights) and forest-edge REPLACEMENT (a later batch's lighter
+    # edge displacing a chosen one)
+    from essentials_spark.algos import incremental_msf_update
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 40
+        m = 100
+        raw = [
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        ]
+        pairs = sorted(set(raw))
+        weights = [float(w) for w in rng.integers(1, 6, size=len(pairs))]
+        oracle_total, oracle_cnt = _kruskal_msf(pairs, weights)
+        batch_of = rng.integers(0, 3, size=len(pairs))
+        forest = spark.createDataFrame([], "src long, dst long, weight double")
+        total = 0.0
+        for b in range(3):
+            rows = [
+                (int(p[0]), int(p[1]), w)
+                for p, w, bi in zip(pairs, weights, batch_of)
+                if bi == b
+            ]
+            batch = spark.createDataFrame(rows or [], "src long, dst long, weight double")
+            forest, total = incremental_msf_update(forest, batch)
+        assert total == pytest.approx(oracle_total), trial
+        assert forest.count() == oracle_cnt, trial
+
+
+def test_incremental_msf_replaces_heavy_edge(spark):
+    # triangle fed heavy-edges-first: batch 1 forest = {ab(5), bc(4)};
+    # batch 2's ac(1) must evict ab — the maintained forest is the
+    # union MSF, not a greedy superset
+    from essentials_spark.algos import incremental_msf_update
+
+    forest = spark.createDataFrame([], "src long, dst long, weight double")
+    b1 = spark.createDataFrame([(0, 1, 5.0), (1, 2, 4.0)], "src long, dst long, weight double")
+    forest, total = incremental_msf_update(forest, b1)
+    assert total == 9.0 and forest.count() == 2
+    b2 = spark.createDataFrame([(0, 2, 1.0)], "src long, dst long, weight double")
+    forest, total = incremental_msf_update(forest, b2)
+    assert total == 5.0 and forest.count() == 2
+    kept = {(r["src"], r["dst"]) for r in forest.collect()}
+    assert kept == {(0, 2), (1, 2)}
