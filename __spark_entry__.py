@@ -20,6 +20,15 @@ from pyspark.sql import functions as F
 
 ALPHA = 0.85
 PR_ITERS = 20
+# pagerank_incremental gates the CONVERGED fixpoint, not a fixed
+# iterate: Spark warm-solves to tol=PR_CONV_TOL (fixpoint error <=
+# alpha/(1-alpha)*tol ~ 5.7e-13), the oracle unrolls PR_CONV_ITERS
+# power iterations (error <= 2*alpha^200 ~ 1.5e-14). Both land within
+# ~6e-13 of the true fixpoint, whose minimum distance to a ppm
+# rounding boundary at sf0.01 is 8.4e-12 (measured; >10x headroom),
+# so round(score*1e6) is deterministic on both sides.
+PR_CONV_TOL = 1e-13
+PR_CONV_ITERS = 200
 CC_ROUNDS = 26  # Spark CC converges by ~19 supersteps at sf0.01; margin on top
 LP_ROUNDS = 5
 ANN_K = 5
@@ -123,6 +132,48 @@ def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kg = _keyed_graph(spark, sf_dir)
     ranks = pagerank(kg.graph, alpha=ALPHA, tol=0.0, max_iter=PR_ITERS, kernel="csr", fused_iters=5)
+    return ranks.join(kg.vkeys, "vid").select(
+        "skey", F.round(F.col("rank") * 1e6).cast("long").alias("score_ppm")
+    )
+
+
+def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped PageRank maintenance (algos/pagerank.
+    incremental_pagerank_update + incremental_weighted_edges) vs a
+    converged-fixpoint oracle: two thirds of the edge table are solved
+    cold at the practical tol, the final third arrives as a micro-batch
+    — the static spread table is updated BATCH-LOCALLY (only touched
+    sources rescale; pr.hxx:77-91's build step made restartable) and
+    the ranks warm-start from the previous fixpoint. The fixpoint is
+    init-independent, so the result must equal a deeply-unrolled cold
+    power iteration on the union (PR_CONV_ITERS; margin note at
+    PR_CONV_TOL)."""
+    from essentials_spark.algos import (
+        incremental_pagerank_update,
+        incremental_weighted_edges,
+        outweights,
+        pagerank,
+    )
+    from essentials_spark.algos.pagerank import weighted_pagerank_edges
+    from essentials_spark.engine.superstep import truncate_plan
+    from essentials_spark.graph.derive import Graph
+
+    kg = _keyed_graph(spark, sf_dir)
+    e = kg.graph.edges
+    third = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
+    g01 = Graph(vertices=kg.graph.vertices, edges=e.filter(third < 2))
+    w01 = truncate_plan(weighted_pagerank_edges(g01, ALPHA))
+    ow01 = outweights(g01)
+    r0 = pagerank(
+        g01, alpha=ALPHA, tol=1e-6, max_iter=200, fused_iters=5,
+        static_edges_w=w01, persist_result=False,
+    )
+    batch = e.filter(third == 2)
+    w_full, _ow_full = incremental_weighted_edges(w01, ow01, batch, ALPHA)
+    ranks = incremental_pagerank_update(
+        kg.graph, r0, alpha=ALPHA, tol=PR_CONV_TOL, max_iter=400, fused_iters=5,
+        static_edges_w=truncate_plan(w_full),
+    )
     return ranks.join(kg.vkeys, "vid").select(
         "skey", F.round(F.col("rank") * 1e6).cast("long").alias("score_ppm")
     )
@@ -845,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "pagerank": q_pagerank,
         "pagerank_csr": q_pagerank_csr,
+        "pagerank_incremental": q_pagerank_incremental,
         "connected_components": q_cc,
         "connected_components_incremental": q_cc_incremental,
         "label_propagation": q_lp,
@@ -919,7 +971,7 @@ _PRELUDE_M = (
 )
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(iters: int = PR_ITERS) -> str:
     parts = [
         _PRELUDE,
         "outw AS (SELECT src, CAST(count(*) AS DOUBLE) AS ow FROM edges_k GROUP BY src)",
@@ -927,7 +979,7 @@ def _pagerank_sql() -> str:
         f"ew AS (SELECT e.src, e.dst, {ALPHA} / o.ow AS coef FROM edges_k e JOIN outw o USING (src))",
         "p0 AS (SELECT vkey, 1.0 / nn.n AS score FROM verts, nn)",
     ]
-    for i in range(PR_ITERS):
+    for i in range(iters):
         parts.append(
             f"d{i} AS (SELECT coalesce(sum(p.score), 0.0) * {ALPHA} AS dsum"
             f" FROM p{i} p LEFT JOIN outw o ON o.src = p.vkey WHERE o.src IS NULL)"
@@ -943,7 +995,7 @@ def _pagerank_sql() -> str:
     body = ",\n".join(parts)
     return (
         f"WITH {body}\n"
-        f"SELECT vkey AS skey, CAST(round(score * 1e6) AS BIGINT) AS score_ppm FROM p{PR_ITERS}"
+        f"SELECT vkey AS skey, CAST(round(score * 1e6) AS BIGINT) AS score_ppm FROM p{iters}"
     )
 
 
@@ -1606,6 +1658,9 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
     # the CSR kernel must reproduce the SAME unrolled iterates — one
     # oracle, two physical paths (dataframe-join vs packed-CSR SpMV)
     sql["pagerank_csr"] = _pagerank_sql()
+    # incremental micro-batch maintenance vs the converged fixpoint
+    # (deep unroll; see the PR_CONV_TOL margin note)
+    sql["pagerank_incremental"] = _pagerank_sql(iters=PR_CONV_ITERS)
     sql["connected_components"] = _cc_sql()
     # incremental micro-batch maintenance vs the same batch fixpoint
     sql["connected_components_incremental"] = _cc_sql()

@@ -244,7 +244,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--probe",
-        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore"],
+        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ"],
         default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
@@ -257,7 +257,9 @@ def main() -> None:
         "spot checks; lp = label propagation in CONVERGENCE mode "
         "(max_iter 20, delta-frontier shape ladder); tc = triangle "
         "count (--kernel csr for the packed intersection kernels); "
-        "kcore = coreness (--method hindex|local|peel)",
+        "kcore = coreness (--method hindex|local|peel); "
+        "princ = incremental PageRank maintenance (warm-start re-solve "
+        "on a 10%% micro-batch vs a cold solve on the union)",
     )
     ap.add_argument(
         "--method", default="hindex", choices=["hindex", "local", "peel"],
@@ -348,6 +350,59 @@ def main() -> None:
             "edges_per_sec": round(m_sym * iters / t["sec"]),
         }))
         pg.close()
+        spark.stop()
+        return
+
+    if args.probe == "princ":
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from pyspark.sql import functions as F
+
+        from essentials_spark.algos import incremental_pagerank_update, pagerank
+        from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+        from essentials_spark.graph.derive import Graph
+        from essentials_spark.graph.keyed import keyed_graph_from_transcripts
+        from essentials_spark.io.transcripts import synth_transcripts
+        from essentials_spark.session import get_spark
+
+        jvms = competing_jvms()
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-princ", shuffle_partitions=cpus)
+        n_convs = args.synthetic or 200_000
+        kg = keyed_graph_from_transcripts(synth_transcripts(spark, n_convs=n_convs, seed=42))
+        g = kg.graph
+        g.vertices.persist().count()
+        m = g.edges.persist().count()
+        # 10% of edges arrive as the micro-batch; prev = fixpoint on the rest
+        tenth = F.pmod(F.xxhash64("src", "dst"), F.lit(10))
+        g90 = Graph(vertices=g.vertices, edges=g.edges.filter(tenth != 0))
+        prev = truncate_plan(pagerank(g90, tol=1e-6, fused_iters=5, persist_result=False))
+        prev.persist().count()
+        iters: dict[str, list[int]] = {"cold": [], "warm": []}
+
+        def one_pr_pass(warm: bool):
+            tag = "warm" if warm else "cold"
+            runner = SuperstepRunner(spark, f"bench_princ_{tag}")
+            if warm:
+                incremental_pagerank_update(
+                    g, prev, tol=1e-6, fused_iters=5, runner=runner, persist_result=False
+                ).count()
+            else:
+                pagerank(
+                    g, tol=1e-6, fused_iters=5, runner=runner, persist_result=False
+                ).count()
+            iters[tag].append(max((r["iteration"] for r in runner.metrics), default=1))
+
+        t_cold = timed_min(lambda: one_pr_pass(False), args.passes)
+        t_warm = timed_min(lambda: one_pr_pass(True), args.passes)
+        print(json.dumps({
+            "metric": "pr_incremental_probe", "cpus": cpus, "competing_jvms": jvms,
+            "n_edges": m, "batch_fraction": 0.1,
+            "cold_sec": t_cold["sec"], "cold_samples": t_cold["samples"],
+            "cold_iters": iters["cold"][t_cold["samples"].index(t_cold["sec"])],
+            "warm_sec": t_warm["sec"], "warm_samples": t_warm["samples"],
+            "warm_iters": iters["warm"][t_warm["samples"].index(t_warm["sec"])],
+            "speedup": round(t_cold["sec"] / t_warm["sec"], 2),
+        }))
         spark.stop()
         return
 

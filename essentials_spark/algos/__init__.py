@@ -5,7 +5,12 @@ label_propagation, triangle_count. The wider envelope mirrors the
 reference's algorithm directory (include/gunrock/algorithms/).
 """
 
-from essentials_spark.algos.pagerank import pagerank  # noqa: F401
+from essentials_spark.algos.pagerank import (  # noqa: F401
+    incremental_pagerank_update,
+    incremental_weighted_edges,
+    outweights,
+    pagerank,
+)
 from essentials_spark.algos.cc import (  # noqa: F401
     connected_components,
     connected_components_contract,

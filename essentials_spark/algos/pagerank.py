@@ -57,6 +57,7 @@ def pagerank(
     fused_iters: int = 1,
     static_edges_w: DataFrame | None = None,
     persist_result: bool = True,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (vid: long, rank: double).
 
@@ -107,10 +108,25 @@ def pagerank(
 
     n = verts.count()
     init_rank = 1.0 / n
-    ranks = state.withColumn("rank", F.lit(init_rank))
+    if init_ranks is not None:
+        # warm start (incremental maintenance): ANY init converges to
+        # the same fixpoint — the iteration is a contraction with
+        # factor alpha and its restart term pulls sum(rank) -> 1
+        # geometrically (sum' - 1 = alpha * (sum - 1)) — so warm
+        # starting changes ITERATION COUNT, never the answer. Vertices
+        # unseen by the previous solve start at the uniform prior.
+        ranks = (
+            state.join(init_ranks.select("vid", F.col("rank").alias("_r0")), "vid", "left")
+            .select(
+                "vid", "dangling", F.coalesce(F.col("_r0"), F.lit(init_rank)).alias("rank")
+            )
+        )
+    else:
+        ranks = state.withColumn("rank", F.lit(init_rank))
 
     if runner.fingerprint is None:
-        runner.fingerprint = f"pagerank:n={n}:m={m}:alpha={alpha}:tol={tol}"
+        warm = ":warm" if init_ranks is not None else ""
+        runner.fingerprint = f"pagerank:n={n}:m={m}:alpha={alpha}:tol={tol}{warm}"
     resumed = runner.latest()
     iteration = 0
     converged = False
@@ -213,3 +229,108 @@ def pagerank(
         except Exception:
             pass
     return out
+
+
+def incremental_weighted_edges(
+    prev_w: DataFrame,
+    prev_outw: DataFrame,
+    new_edges: DataFrame,
+    alpha: float = 0.85,
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain the static spread table under edge insertions —
+    batch-local work, no full rebuild.
+
+    ``prev_w``: the current (src, dst, coef) table (what
+    :func:`weighted_pagerank_edges` built). ``prev_outw``: the
+    companion (src, outw) out-weight table (``outweights``).
+    ``new_edges``: a batch of NEW (src, dst, weight) rows. Returns
+    (w', outw') equal (to float rounding) to rebuilding both from the
+    union edge set.
+
+    coef = alpha * w / outw(src) depends on the edge's own weight and
+    its SOURCE's total out-weight only, so a batch invalidates exactly
+    the rows of sources it touches: those rescale by
+    outw_old/outw_new (coef_old * outw_old/outw_new =
+    alpha*w/outw_new), every other row passes through untouched, and
+    the batch's own rows enter at alpha*w/outw_new. The factor table
+    is batch-source-scale — broadcast — so the maintenance costs one
+    scan of prev_w plus batch-scale work; nothing m-scale shuffles.
+    (At 10^12 edges the union output should be re-persisted bucketed
+    by src every O(1/batch-fraction) batches — unions accumulate scan
+    fragments, not shuffles; see engine/static_table.py.)
+
+    Reference anchor: pr.hxx:77-91 computes iweights once at build
+    time; this is that build step made restartable per micro-batch."""
+    douts = new_edges.groupBy("src").agg(F.sum("weight").alias("_dout"))
+    # batch-source-scale: outw_old (0 for brand-new sources) + delta
+    factors = (
+        douts.join(prev_outw, "src", "left")
+        .select(
+            "src",
+            F.coalesce(F.col("outw"), F.lit(0.0)).alias("_ow_old"),
+            (F.coalesce(F.col("outw"), F.lit(0.0)) + F.col("_dout")).alias("_ow_new"),
+        )
+    )
+    outw_new = (
+        prev_outw.join(factors.select("src", "_ow_new"), "src", "left")
+        .select("src", F.coalesce(F.col("_ow_new"), F.col("outw")).alias("outw"))
+        .unionByName(
+            factors.join(prev_outw, "src", "left_anti").select(
+                "src", F.col("_ow_new").alias("outw")
+            )
+        )
+    )
+    rescaled = (
+        prev_w.join(F.broadcast(factors), "src", "left")
+        .select(
+            "src", "dst",
+            F.when(
+                F.col("_ow_new").isNotNull(),
+                F.col("coef") * F.col("_ow_old") / F.col("_ow_new"),
+            ).otherwise(F.col("coef")).alias("coef"),
+        )
+    )
+    fresh = (
+        new_edges.join(F.broadcast(factors.select("src", "_ow_new")), "src")
+        .select(
+            "src", "dst",
+            (F.lit(alpha) * F.col("weight") / F.col("_ow_new")).alias("coef"),
+        )
+    )
+    return rescaled.unionByName(fresh), outw_new
+
+
+def outweights(graph: Graph) -> DataFrame:
+    """(src, outw) companion table for :func:`incremental_weighted_edges`."""
+    return graph.edges.groupBy("src").agg(F.sum("weight").alias("outw"))
+
+
+def incremental_pagerank_update(
+    graph: Graph,
+    prev_ranks: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    **kw,
+) -> DataFrame:
+    """Exact incremental PageRank maintenance (streaming micro-batch
+    shape, the PR companion to cc.incremental_cc_update).
+
+    ``graph``: the union graph after applying the batch (PageRank is a
+    GLOBAL fixpoint — unlike CC/TC/MSF there is no edge-local merge
+    algebra, so each update re-solves, but from the previous fixpoint
+    instead of the uniform prior). ``prev_ranks``: the ranks before
+    the batch (vid, rank); new vertices warm-start at the uniform
+    prior. Returns exactly what ``pagerank(graph, ...)`` returns — the
+    fixpoint is init-independent (see the warm-start note in
+    :func:`pagerank`) — in
+
+        ceil(log(||p_prev - p*|| / tol) / log(1/alpha))
+
+    supersteps instead of the cold count: iterations scale with how
+    much the batch MOVED the fixpoint, not with history size. Pair
+    with :func:`incremental_weighted_edges` (pass the maintained table
+    as ``static_edges_w``) so the build phase is batch-local too.
+
+    Reference anchor: pr.hxx:106-153 — the same enact loop, entered
+    with plast = the previous solution."""
+    return pagerank(graph, alpha=alpha, tol=tol, init_ranks=prev_ranks, **kw)

@@ -455,3 +455,66 @@ def test_fused_iters_clamped_and_equivalent(spark, golden_tc_graph):
     a = {r["vid"]: r["rank"] for r in pagerank(g, max_iter=6, tol=0.0, fused_iters=1).collect()}
     b = {r["vid"]: r["rank"] for r in pagerank(g, max_iter=6, tol=0.0, fused_iters=100).collect()}
     assert set(a) == set(b) and all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_incremental_weighted_edges_matches_rebuild(spark):
+    # touched sources rescale, untouched pass through, new sources and
+    # brand-new vertices enter — the maintained table must equal a
+    # full rebuild on the union (to float rounding)
+    from essentials_spark.algos import incremental_weighted_edges, outweights
+    from essentials_spark.algos.pagerank import weighted_pagerank_edges
+    from essentials_spark.graph.derive import Graph
+
+    def g(pairs_w, nv):
+        e = spark.createDataFrame(
+            [(a, b, w) for a, b, w in pairs_w], "src long, dst long, weight double"
+        )
+        v = spark.createDataFrame([(i,) for i in range(nv)], "vid long")
+        return Graph(vertices=v, edges=e)
+
+    e1 = [(0, 1, 1.0), (0, 2, 2.0), (1, 2, 1.0), (3, 0, 4.0)]
+    batch = [(0, 3, 3.0), (2, 0, 1.0), (4, 1, 2.0)]  # 0 touched, 2 fresh-src, 4 new vid
+    g1 = g(e1, 5)
+    w1 = weighted_pagerank_edges(g1, 0.85)
+    ow1 = outweights(g1)
+    bdf = spark.createDataFrame(batch, "src long, dst long, weight double")
+    w2, ow2 = incremental_weighted_edges(w1, ow1, bdf, 0.85)
+    rebuilt = weighted_pagerank_edges(g(e1 + batch, 5), 0.85)
+    got = {(r["src"], r["dst"]): r["coef"] for r in w2.collect()}
+    want = {(r["src"], r["dst"]): r["coef"] for r in rebuilt.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-15), k
+    ow_got = {r["src"]: r["outw"] for r in ow2.collect()}
+    ow_want = {r["src"]: r["outw"] for r in outweights(g(e1 + batch, 5)).collect()}
+    assert ow_got == ow_want
+
+
+def test_incremental_pagerank_warm_start_exact_and_fewer_iters(spark):
+    # warm-started maintenance must land on the same fixpoint as a
+    # cold solve on the union (init-independence) in fewer supersteps
+    from essentials_spark.algos import incremental_pagerank_update
+    from essentials_spark.engine.superstep import SuperstepRunner
+
+    rng = np.random.default_rng(5)
+    n = 60
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, size=(160, 2)) if a != b})
+    batch_flag = rng.random(len(pairs)) < 0.1  # ~10% arrive late
+    base = [p for p, f in zip(pairs, batch_flag) if not f]
+    late = [p for p, f in zip(pairs, batch_flag) if f]
+    g0 = graph_from_edges(spark, base, directed=True, n_vertices=n)
+    g1 = graph_from_edges(spark, pairs, directed=True, n_vertices=n)
+    prev = pagerank(g0, tol=1e-10)
+    r_cold_runner = SuperstepRunner(spark, "pr_cold")
+    cold = pagerank(g1, tol=1e-10, runner=r_cold_runner)
+    r_warm_runner = SuperstepRunner(spark, "pr_warm")
+    warm = incremental_pagerank_update(g1, prev, tol=1e-10, runner=r_warm_runner)
+    c = {r["vid"]: r["rank"] for r in cold.collect()}
+    w = {r["vid"]: r["rank"] for r in warm.collect()}
+    assert set(c) == set(w)
+    for vid in c:
+        assert w[vid] == pytest.approx(c[vid], abs=1e-9), vid
+    iters_cold = max(m["iteration"] for m in r_cold_runner.metrics)
+    iters_warm = max(m["iteration"] for m in r_warm_runner.metrics)
+    assert iters_warm < iters_cold, (iters_warm, iters_cold)
+    assert late  # the batch actually moved the fixpoint
