@@ -266,6 +266,10 @@ def main() -> None:
         help="kcore probe: fixpoint variant (local = bucketed local-fixpoint kernels)",
     )
     ap.add_argument(
+        "--batch-pct", type=int, default=10,
+        help="princ probe: micro-batch size as a percent of the edge table",
+    )
+    ap.add_argument(
         "--mst-jump", default="auto", choices=["auto", "kernel", "loop"],
         help="mst probe: hook-forest collapse path (auto = gated single-task kernel)",
     )
@@ -372,11 +376,30 @@ def main() -> None:
         g = kg.graph
         g.vertices.persist().count()
         m = g.edges.persist().count()
-        # 10% of edges arrive as the micro-batch; prev = fixpoint on the rest
-        tenth = F.pmod(F.xxhash64("src", "dst"), F.lit(10))
-        g90 = Graph(vertices=g.vertices, edges=g.edges.filter(tenth != 0))
+        # --batch-pct %% of edges arrive as the micro-batch; prev =
+        # fixpoint on the rest
+        pct = F.pmod(F.xxhash64("src", "dst"), F.lit(100))
+        g90 = Graph(vertices=g.vertices, edges=g.edges.filter(pct >= args.batch_pct))
+        batch = g.edges.filter(pct < args.batch_pct)
         prev = truncate_plan(pagerank(g90, tol=1e-6, fused_iters=5, persist_result=False))
         prev.persist().count()
+
+        # static spread-table maintenance (batch-local, broadcast-join)
+        # vs a full rebuild (two m-scale shuffles)
+        from essentials_spark.algos import incremental_weighted_edges, outweights
+        from essentials_spark.algos.pagerank import weighted_pagerank_edges
+
+        w90 = truncate_plan(weighted_pagerank_edges(g90))
+        w90.persist().count()
+        ow90 = truncate_plan(outweights(g90))
+        ow90.persist().count()
+        t0 = time.perf_counter()
+        w_m, _ow_m = incremental_weighted_edges(w90, ow90, batch)
+        w_m.count()  # the m-scale object; the outw companion is src-scale
+        t_maintain = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        weighted_pagerank_edges(g).count()
+        t_rebuild = time.perf_counter() - t0
         iters: dict[str, list[int]] = {"cold": [], "warm": []}
 
         def one_pr_pass(warm: bool):
@@ -396,7 +419,9 @@ def main() -> None:
         t_warm = timed_min(lambda: one_pr_pass(True), args.passes)
         print(json.dumps({
             "metric": "pr_incremental_probe", "cpus": cpus, "competing_jvms": jvms,
-            "n_edges": m, "batch_fraction": 0.1,
+            "n_edges": m, "batch_fraction": args.batch_pct / 100.0,
+            "table_maintain_sec": round(t_maintain, 3),
+            "table_rebuild_sec": round(t_rebuild, 3),
             "cold_sec": t_cold["sec"], "cold_samples": t_cold["samples"],
             "cold_iters": iters["cold"][t_cold["samples"].index(t_cold["sec"])],
             "warm_sec": t_warm["sec"], "warm_samples": t_warm["samples"],

@@ -2,6 +2,7 @@
 
 from essentials_spark.streaming.ingest import (  # noqa: F401
     TRANSCRIPT_DDL,
+    GraphMaintenance,
     incremental_key_edges,
     stream_transcripts,
     windowed_tool_counts,

@@ -163,3 +163,106 @@ def conversation_sessions(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+class GraphMaintenance:
+    """foreachBatch fold: maintain graph-analytic state incrementally
+    as derived edge micro-batches arrive.
+
+    Wires the streaming edge derivation (:func:`incremental_key_edges`)
+    to the exact micro-batch maintenance family — connected components
+    (algos/cc.incremental_cc_update), triangle corners
+    (algos/tc.incremental_tc_update), and the minimum spanning forest
+    (algos/mst.incremental_msf_update) — so the maintained state after
+    every micro-batch equals the batch algorithm on all edges seen.
+
+    Vertex identity: streaming arrivals make rank-of-skey dense ids
+    unstable (a new key shifts every later rank), so vids here are
+    ``xxhash64(skey)`` — the stand-in for a production id service;
+    stable under any arrival order, collision odds ~ n^2 / 2^64.
+    Component labels are therefore min-HASH-id per component:
+    arrival-order-independent, but not the min-skey canonical form the
+    batch entries use (join back through a key table when canonical
+    labels are needed).
+
+    Delivery semantics: foreachBatch is at-least-once (the sink
+    commits AFTER the fold returns). All three folds are IDEMPOTENT —
+    CC merges are, TC anti-joins the batch against its edge state, and
+    re-fed MSF edges are either already in the forest or provably
+    outside it — so replaying a batch after a crash cannot corrupt the
+    state (pinned in tests/test_streaming.py). State lives on the
+    driver between batches (persisted DataFrames); production would
+    write each fold's output to a transactional (Iceberg) state table
+    keyed by batch_id alongside the stream checkpoint.
+    """
+
+    def __init__(self, spark: SparkSession, maintain=("cc", "tc", "msf")):
+        from essentials_spark.engine.superstep import truncate_plan  # noqa: F401
+
+        self.spark = spark
+        self.maintain = tuple(maintain)
+        self.labels = spark.createDataFrame([], "vid long, label long")
+        self.tc_per_vertex = spark.createDataFrame([], "vid long, tc long")
+        self.tc_edges = spark.createDataFrame([], "src long, dst long")
+        self.forest = spark.createDataFrame([], "src long, dst long, weight double")
+        self.msf_total = 0.0
+        self.n_batches = 0
+
+    def fold(self, key_edge_batch: DataFrame, batch_id: int | None = None) -> None:
+        """Apply one micro-batch of (src_key, dst_key[, weight]) rows."""
+        from essentials_spark.algos import (
+            incremental_cc_update,
+            incremental_msf_update,
+            incremental_tc_update,
+        )
+        from essentials_spark.engine.superstep import truncate_plan
+
+        e = key_edge_batch.select(
+            F.xxhash64("src_key").alias("src"),
+            F.xxhash64("dst_key").alias("dst"),
+            *([F.col("weight")] if "weight" in key_edge_batch.columns else []),
+        )
+        e = truncate_plan(e).persist()
+        olds = []
+        if "cc" in self.maintain:
+            olds.append(self.labels)
+            self.labels = truncate_plan(
+                incremental_cc_update(self.labels, e.select("src", "dst"))
+            ).persist()
+        if "tc" in self.maintain:
+            olds += [self.tc_per_vertex, self.tc_edges]
+            pv, st = incremental_tc_update(
+                self.tc_per_vertex, self.tc_edges, e.select("src", "dst")
+            )
+            self.tc_per_vertex = truncate_plan(pv).persist()
+            self.tc_edges = truncate_plan(st).persist()
+        if "msf" in self.maintain:
+            olds.append(self.forest)
+            w = e if "weight" in e.columns else e.withColumn(
+                "weight", (F.pmod(F.xxhash64("src", "dst"), F.lit(1000)) / 100.0 + 1.0)
+            )
+            forest, total = incremental_msf_update(self.forest, w)
+            self.forest = truncate_plan(forest).persist()
+            self.msf_total = total
+        self.n_batches += 1
+        e.unpersist()
+        for df in olds:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    def run_available(self, in_path: str, checkpoint: str) -> None:
+        """One availableNow pass: derive edges from new transcript
+        files and fold them; re-running resumes from the stream
+        checkpoint (file-source exactly-once into an at-least-once,
+        idempotent fold)."""
+        q = (
+            incremental_key_edges(stream_transcripts(self.spark, in_path))
+            .drop("ts")
+            .writeStream.foreachBatch(lambda df, bid: self.fold(df, bid))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

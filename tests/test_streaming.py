@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 from essentials_spark.io.transcripts import synth_transcripts
 from essentials_spark.streaming.ingest import run_edges_to_parquet, stream_transcripts, windowed_tool_counts
 
@@ -105,3 +107,78 @@ def test_conversation_sessions_stateful(spark, tmp_path):
     assert a["n_turns"] == 4 and a["n_tool_calls"] == 2
     assert a["duration_s"] == 90.0
     assert "C" not in got  # tail session still open (state held, not emitted)
+
+
+def test_graph_maintenance_stream_matches_batch(spark, tmp_path):
+    # two arrival waves through the real stream path (availableNow +
+    # checkpoint); maintained CC labels, TC corners, and MSF must equal
+    # the batch algorithms on everything seen — and replaying a batch
+    # (at-least-once delivery) must be a no-op on all three states
+    from pyspark.sql import functions as F
+
+    from essentials_spark.algos import connected_components, mst, triangle_count
+    from essentials_spark.graph.derive import Graph
+    from essentials_spark.graph.keyed import keyed_graph_from_transcripts
+    from essentials_spark.streaming import GraphMaintenance
+
+    t = synth_transcripts(spark, n_convs=40, seed=9)
+    in_dir, ckpt = str(tmp_path / "gm_in"), str(tmp_path / "gm_ck")
+    gm = GraphMaintenance(spark)
+    t.filter("conv_id < 'conv00000020'").write.parquet(in_dir)
+    gm.run_available(in_dir, ckpt)
+    t.filter("conv_id >= 'conv00000020'").write.mode("append").parquet(in_dir)
+    gm.run_available(in_dir, ckpt)
+    assert gm.n_batches == 2
+
+    # third wave folded directly: conv-membership edges (conv|x -> turn)
+    # close triangles with the adjacency chain, so the TC state is
+    # exercised non-trivially (the pure chain+tool-star graph has none)
+    from essentials_spark.graph.keyed import _skey_turn
+
+    member = t.select(
+        F.concat(F.lit("conv|"), F.col("conv_id")).alias("src_key"),
+        _skey_turn(F.col("conv_id"), F.col("turn_idx")).alias("dst_key"),
+    )
+    gm.fold(member)
+
+    # batch truth on the same hashed-id graph
+    ke = keyed_graph_from_transcripts(t).key_edges.unionByName(member)
+    he = ke.select(
+        F.xxhash64("src_key").alias("src"), F.xxhash64("dst_key").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    hv = (
+        he.select(F.col("src").alias("vid"))
+        .union(he.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    g = Graph(vertices=hv, edges=he)
+
+    cc = connected_components(g)
+    assert {(r["vid"], r["label"]) for r in cc.collect()} == {
+        (r["vid"], r["label"]) for r in gm.labels.collect()
+    }
+
+    pv, _tot = triangle_count(g)
+    want_tc = {r["vid"]: r["tc"] for r in pv.filter("tc > 0").collect()}
+    got_tc = {r["vid"]: r["tc"] for r in gm.tc_per_vertex.filter("tc > 0").collect()}
+    assert want_tc == got_tc
+    assert want_tc  # membership edges DID close triangles
+
+    wexpr = (F.pmod(F.xxhash64("src", "dst"), F.lit(1000)) / 100.0 + 1.0)
+    gw = Graph(vertices=hv, edges=he.select("src", "dst", wexpr.alias("weight")))
+    chosen, total = mst(gw)
+    assert gm.msf_total == pytest.approx(total)
+    assert gm.forest.count() == chosen.count()
+
+    # idempotency: re-fold wave 2's key edges verbatim
+    replay = ke.join(
+        ke.filter(F.col("src_key") >= "turn|conv00000020"), ["src_key", "dst_key"], "left_semi"
+    )
+    labels0 = {(r["vid"], r["label"]) for r in gm.labels.collect()}
+    tc0 = got_tc
+    msf0 = gm.msf_total
+    gm.fold(replay)
+    assert {(r["vid"], r["label"]) for r in gm.labels.collect()} == labels0
+    assert {r["vid"]: r["tc"] for r in gm.tc_per_vertex.filter("tc > 0").collect()} == tc0
+    assert gm.msf_total == pytest.approx(msf0)
