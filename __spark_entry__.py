@@ -240,6 +240,80 @@ def q_triangles_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vertex.join(kg.vkeys, "vid").select("skey", F.col("tc").cast("long").alias("tc"))
 
 
+def q_ktruss_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the membership graph (algos/ktruss.py — iterative
+    support peeling over the same degree-oriented triangle enumeration
+    as triangle_count): the maximal subgraph where every edge closes a
+    triangle, after the removal cascade. Oracle: the peel unrolled."""
+    from essentials_spark.algos import ktruss
+
+    kg = _keyed_graph(spark, sf_dir, membership=True)
+    t = ktruss(kg.graph, 3)
+    return (
+        t.join(kg.vkeys.select(F.col("vid").alias("src"), F.col("skey").alias("src_key")), "src")
+        .join(kg.vkeys.select(F.col("vid").alias("dst"), F.col("skey").alias("dst_key")), "dst")
+        .select("src_key", "dst_key")
+    )
+
+
+def q_ktruss_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the membership graph — a 3-round removal CASCADE at
+    sf0.01 (support-2 edges lose their triangles once the support-1
+    fans peel) that must empty out on both sides; a sharp test of the
+    peeling fixpoint rather than one support pass."""
+    from essentials_spark.algos import ktruss
+
+    kg = _keyed_graph(spark, sf_dir, membership=True)
+    t = ktruss(kg.graph, 4)
+    return (
+        t.join(kg.vkeys.select(F.col("vid").alias("src"), F.col("skey").alias("src_key")), "src")
+        .join(kg.vkeys.select(F.col("vid").alias("dst"), F.col("skey").alias("dst_key")), "dst")
+        .select("src_key", "dst_key")
+    )
+
+
+def q_ktruss_4_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the WINDOWED turn graph (turns within distance <=3 in
+    the same conversation, via three linear lead() passes — never a
+    per-conversation quadratic self-join) unioned with turn->tool
+    links. The window cliques keep every turn-turn edge (interior
+    support >=4, boundary >=2) while tool edges survive only where two
+    window-adjacent turns share the same tool — so unlike ktruss_4's
+    cascade-to-empty, this peel returns a large non-identity edge set
+    with real drops, exercising the support values, not just the empty
+    fixpoint. Vertices stay string-keyed: ktruss's orientation algebra
+    (struct(deg, vid) ordering) is type-agnostic, so no dense-id pass
+    is needed."""
+    from pyspark.sql import Window as W
+
+    from essentials_spark.algos import ktruss
+    from essentials_spark.graph.derive import Graph
+    from essentials_spark.io.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    turn = F.concat(
+        F.lit("turn|"), F.col("conv_id"), F.lit(":"),
+        F.lpad(F.col("turn_idx").cast("string"), 6, "0"),
+    )
+    base = t.select("conv_id", "turn_idx", turn.alias("vkey"), "tool")
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    win = None
+    for d in (1, 2, 3):
+        e = (
+            base.select(F.col("vkey").alias("src"), F.lead("vkey", d).over(w).alias("dst"))
+            .filter(F.col("dst").isNotNull())
+        )
+        win = e if win is None else win.unionByName(e)
+    toole = base.filter(F.col("tool").isNotNull()).select(
+        F.col("vkey").alias("src"), F.concat(F.lit("tool|"), F.col("tool")).alias("dst")
+    )
+    edges = win.unionByName(toole).withColumn("weight", F.lit(1.0))
+    g = Graph(vertices=edges.select(F.col("src").alias("vid")).limit(0), edges=edges)
+    return ktruss(g, 4).select(
+        F.col("src").alias("src_key"), F.col("dst").alias("dst_key")
+    )
+
+
 def q_tc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped TC maintenance (algos/tc.incremental_tc_update)
     vs the SAME batch oracle as triangle_count: the membership graph's
@@ -902,6 +976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_lp,
         "triangle_count": q_triangles,
         "triangle_count_csr": q_triangles_csr,
+        "ktruss_3": q_ktruss_3,
+        "ktruss_4": q_ktruss_4,
+        "ktruss_4_window": q_ktruss_4_window,
         "triangle_count_incremental": q_tc_incremental,
         "tc_total": q_tc_total,
         "doc_stats": q_doc_stats,
@@ -1293,6 +1370,36 @@ corners AS (
   ) GROUP BY v
 )
 """
+
+
+def _ktruss_sql(k: int, rounds: int, prelude: str | None = None, t0: str | None = None) -> str:
+    """Unrolled k-truss peel: per round, enumerate triangles
+    (x < y < z) on the current edge set, count per-edge support, keep
+    support >= k-2. Defaults to the membership graph's canonical edge
+    set; pass (prelude, t0) for a different base graph."""
+    parts = [
+        prelude if prelude is not None else _PRELUDE_M,
+        f"t0 AS ({t0})" if t0 is not None else "t0 AS (SELECT src, dst FROM sym WHERE src < dst)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"tri{i} AS (SELECT a.src AS x, a.dst AS y, b.dst AS z"
+            f" FROM t{i} a JOIN t{i} b ON b.src = a.dst"
+            f" JOIN t{i} c ON c.src = a.src AND c.dst = b.dst)"
+        )
+        parts.append(
+            f"sup{i} AS (SELECT src, dst, count(*) AS s FROM ("
+            f"SELECT x AS src, y AS dst FROM tri{i}"
+            f" UNION ALL SELECT y, z FROM tri{i}"
+            f" UNION ALL SELECT x, z FROM tri{i}) GROUP BY src, dst)"
+        )
+        parts.append(
+            f"t{i + 1} AS (SELECT e.src, e.dst FROM t{i} e"
+            f" JOIN sup{i} s ON s.src = e.src AND s.dst = e.dst"
+            f" WHERE s.s >= {k - 2})"
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT src AS src_key, dst AS dst_key FROM t{rounds}"
 
 
 def _minhash_ctes(src: str = "documents", num_perm: int = 64, bands: int = 16, k: int = 3,
@@ -1692,6 +1799,30 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
     )
     sql["triangle_count_csr"] = sql["triangle_count"]
     sql["triangle_count_incremental"] = sql["triangle_count"]
+    # support peeling unrolled past the measured cascade depth (2 for
+    # k=3, 3 for k=4 at sf0.01); extra rounds are identity at the
+    # fixpoint, so over-unrolling is safe
+    sql["ktruss_3"] = _ktruss_sql(3, 6)
+    sql["ktruss_4"] = _ktruss_sql(4, 6)
+    # windowed variant: turn pairs within lead distance 1..3 per
+    # conversation plus turn->tool links, canonicalized with
+    # least/greatest ('tool|' sorts BELOW 'turn|', so tool edges flip)
+    sql["ktruss_4_window"] = _ktruss_sql(
+        4,
+        6,
+        prelude=_PRELUDE,
+        t0=(
+            "SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM ("
+            "  SELECT vkey AS src, lead(vkey, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst FROM turnv"
+            "  UNION ALL"
+            "  SELECT vkey, lead(vkey, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) FROM turnv"
+            "  UNION ALL"
+            "  SELECT vkey, lead(vkey, 3) OVER (PARTITION BY conv_id ORDER BY turn_idx) FROM turnv"
+            "  UNION ALL"
+            "  SELECT src, dst FROM toole"
+            ") WHERE dst IS NOT NULL AND src <> dst"
+        ),
+    )
     sql["tc_total"] = (
         f"WITH {_PRELUDE_M}, {_TRI_BODY}"
         " SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) AS corner_total,"

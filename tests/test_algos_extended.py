@@ -510,3 +510,58 @@ def test_incremental_msf_replaces_heavy_edge(spark):
     assert total == 5.0 and forest.count() == 2
     kept = {(r["src"], r["dst"]) for r in forest.collect()}
     assert kept == {(0, 2), (1, 2)}
+
+
+def _ktruss_oracle(pairs, k):
+    # brute-force peel on sets
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b])
+            for a, b in edges
+        }
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return edges
+        edges = edges - drop
+
+
+def test_ktruss_known_graphs(spark):
+    from essentials_spark.algos import ktruss
+
+    # K4: every edge in 2 triangles -> 4-truss is all 6 edges
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = graph_from_edges(spark, k4, n_vertices=4)
+    got = {(r["src"], r["dst"]) for r in ktruss(g, 4).collect()}
+    assert got == set(k4)
+    # K4 minus one edge: supports {2,1,1,1,1} -> cascade empties it
+    k4m = [e for e in k4 if e != (0, 1)]
+    g2 = graph_from_edges(spark, k4m, n_vertices=4)
+    assert ktruss(g2, 4).count() == 0
+    # 3-truss = edges in >=1 triangle after cascade; k<=2 = everything
+    tri_plus_tail = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    g3 = graph_from_edges(spark, tri_plus_tail, n_vertices=4)
+    assert {(r["src"], r["dst"]) for r in ktruss(g3, 3).collect()} == {(0, 1), (0, 2), (1, 2)}
+    assert ktruss(g3, 2).count() == 4
+
+
+def test_ktruss_matches_bruteforce_fuzz(spark):
+    from essentials_spark.algos import ktruss
+
+    rng = np.random.default_rng(13)
+    for trial in range(2):
+        n = 24
+        pairs = sorted({
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, n, size=(120, 2))
+            if a != b
+        })
+        g = graph_from_edges(spark, pairs, n_vertices=n)
+        for k in (3, 4, 5):
+            want = _ktruss_oracle(pairs, k)
+            got = {(r["src"], r["dst"]) for r in ktruss(g, k).collect()}
+            assert got == want, (trial, k)
