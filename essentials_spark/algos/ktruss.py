@@ -9,17 +9,29 @@ tc.hxx:68-129); this extends it with the same remove-filter peeling
 discipline its k-core and MST enactors use (filter/remove semantics,
 operators/filter/filter.hxx) applied to EDGES.
 
-Spark plan per round: per-edge support via the identical degree-
-oriented wedge join triangle_count uses (orientation bounds every
-wedge fan-out to O(sqrt m) — algos/tc.py module docstring), the
-triangle set exploded to its three canonical edges and counted, then
-one semi-join keeps edges with support >= k-2. The edge set CONTRACTS
-every round (like mst's active set), so late rounds are cheap; the
-loop is a driver fixpoint with one count per round. Only edges that
-lost a triangle can newly drop, so a delta recompute is possible at
-100 TB; the full recompute keeps rounds O(cascade depth) and every
-round's cost proportional to the CURRENT subgraph, which is the
-dominant effect (peeling kills hub fans first).
+Two physical paths, A/B-exact (fuzz-pinned):
+
+- ``delta=False`` (full recompute): per round, per-edge support via
+  the identical degree-oriented wedge join triangle_count uses
+  (orientation bounds every wedge fan-out to O(sqrt m) — algos/tc.py
+  module docstring), then one semi-join keeps edges with support
+  >= k-2. Every round costs O(current subgraph).
+
+- ``delta=True`` (default — the 100 TB shape, same discipline as the
+  engine's CC/kcore/geo delta frontiers): support is computed in FULL
+  once, then MAINTAINED. A dropped edge only destroys the triangles
+  it sits in, so each round enumerates exactly those (dropped edges
+  pivoted on their lower-degree endpoint — degree table maintained
+  incrementally, never recomputed — joined against the adjacency
+  once, closure semi-checked, canonical-triangle dedup so a triangle
+  losing 2-3 edges decrements survivors ONCE), and subtracts. Round r
+  costs O(|dropped_r| x avg-degree), not O(|G_r|): after the first
+  pass the cascade is frontier-scale, the exact pattern that made
+  full-recompute tails the dominant cost in CC before round 3.
+
+Peeling order cannot matter (removing an unqualified edge never
+qualifies another; supports only decrease), so both paths return the
+unique maximal subgraph.
 """
 
 from __future__ import annotations
@@ -76,15 +88,15 @@ def ktruss(
     k: int,
     max_iter: int = 200,
     runner: SuperstepRunner | None = None,
+    delta: bool = True,
 ) -> DataFrame:
     """Edges (src, dst; canonical src < dst) of the k-truss.
 
     Peels edges with support < k-2 until the support condition holds
-    for every survivor; the result is the unique maximal such
-    subgraph (peeling order cannot matter: removing an unqualified
-    edge never qualifies another, supports only decrease). k <= 2
-    returns the whole canonical edge set (every edge is trivially in
-    a 2-truss)."""
+    for every survivor. k <= 2 returns the whole canonical edge set
+    (every edge is trivially in a 2-truss). ``delta`` selects the
+    maintained-support path (default; see module docstring) vs the
+    per-round full recompute — both return identical edge sets."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "ktruss")
     und = canonicalize_edges(
@@ -92,26 +104,115 @@ def ktruss(
     ).filter(F.col("src") < F.col("dst")).select("src", "dst")
     und = truncate_plan(und).persist()
     n_prev = und.count()
-    if k <= 2:
+    if k <= 2 or n_prev == 0:
         runner.finalize()
         return und
+    if not delta:
+        it = 0
+        while it < max_iter:
+            it += 1
+            sup = edge_support(und)
+            keep = truncate_plan(
+                und.join(
+                    sup.filter(F.col("sup") >= k - 2).select("src", "dst"),
+                    ["src", "dst"],
+                    "left_semi",
+                )
+            ).persist()
+            n_keep = keep.count()
+            runner.log(it, edges=n_keep, dropped=n_prev - n_keep)
+            und.unpersist()
+            und = keep
+            if n_keep == n_prev or n_keep == 0:
+                break
+            n_prev = n_keep
+        runner.finalize()
+        return und
+
+    # delta path: one full support pass, then maintain. Edges in no
+    # triangle carry sup 0 (edge_support omits them).
+    sup = truncate_plan(
+        und.join(edge_support(und), ["src", "dst"], "left")
+        .select("src", "dst", F.coalesce("sup", F.lit(0)).alias("sup"))
+    ).persist()
+    deg = truncate_plan(
+        und.select(F.col("src").alias("vid"))
+        .unionByName(und.select(F.col("dst").alias("vid")))
+        .groupBy("vid").agg(F.count("*").alias("deg"))
+    ).persist()
     it = 0
     while it < max_iter:
         it += 1
-        sup = edge_support(und)
-        keep = truncate_plan(
-            und.join(
-                sup.filter(F.col("sup") >= k - 2).select("src", "dst"),
-                ["src", "dst"],
-                "left_semi",
-            )
-        ).persist()
-        n_keep = keep.count()
-        runner.log(it, edges=n_keep, dropped=n_prev - n_keep)
-        und.unpersist()
-        und = keep
-        if n_keep == n_prev or n_keep == 0:
+        drop = truncate_plan(sup.filter(F.col("sup") < k - 2).select("src", "dst")).persist()
+        n_drop = drop.count()
+        if n_drop == 0:
+            drop.unpersist()
             break
+        keep = truncate_plan(und.join(drop, ["src", "dst"], "left_anti")).persist()
+        n_keep = n_prev - n_drop  # drop is a subset of und: no extra count
+        runner.log(it, edges=n_keep, dropped=n_drop)
+        # enumerate EXACTLY the destroyed triangles: each dropped edge
+        # pivoted on its lower-degree endpoint, one adjacency join
+        # against the pre-removal graph, closure semi-check, then
+        # canonical-triangle dedup (a triangle losing 2-3 edges must
+        # decrement its surviving edges once, not twice).
+        dd = (
+            drop
+            .join(deg.select(F.col("vid").alias("src"), F.col("deg").alias("sdeg")), "src")
+            .join(deg.select(F.col("vid").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+        )
+        lower_first = F.struct("sdeg", "src") < F.struct("ddeg", "dst")
+        piv = dd.select(
+            F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("p"),
+            F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("q"),
+        )
+        sym = und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        cand = (
+            piv.join(sym.select(F.col("src").alias("p"), F.col("dst").alias("w")), "p")
+            .filter(F.col("w") != F.col("q"))
+        )
+        tri = cand.join(
+            und.select(F.col("src").alias("c1"), F.col("dst").alias("c2")),
+            (F.least("q", "w") == F.col("c1")) & (F.greatest("q", "w") == F.col("c2")),
+            "left_semi",
+        )
+        tri_c = tri.select(F.array_sort(F.array("p", "q", "w")).alias("t")).distinct()
+        dec = (
+            tri_c.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("t")[0].alias("src"), F.col("t")[1].alias("dst")),
+                        F.struct(F.col("t")[0].alias("src"), F.col("t")[2].alias("dst")),
+                        F.struct(F.col("t")[1].alias("src"), F.col("t")[2].alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .groupBy("src", "dst").agg(F.count("*").alias("d"))
+        )
+        new_sup = truncate_plan(
+            sup.join(drop, ["src", "dst"], "left_anti")
+            .join(dec, ["src", "dst"], "left")
+            .select("src", "dst", (F.col("sup") - F.coalesce("d", F.lit(0))).alias("sup"))
+        ).persist()
+        # degree maintenance: each dropped edge lowers both endpoints
+        # by 1 — |drop|-scale, never an m-scale regroup
+        ddelta = (
+            drop.select(F.col("src").alias("vid"))
+            .unionByName(drop.select(F.col("dst").alias("vid")))
+            .groupBy("vid").agg(F.count("*").alias("dd"))
+        )
+        new_deg = truncate_plan(
+            deg.join(ddelta, "vid", "left")
+            .select("vid", (F.col("deg") - F.coalesce("dd", F.lit(0))).alias("deg"))
+        ).persist()
+        for df in (und, sup, deg, drop):
+            df.unpersist()
+        und, sup, deg = keep, new_sup, new_deg
         n_prev = n_keep
+        if n_keep == 0:
+            break
+    sup.unpersist()
+    deg.unpersist()
     runner.finalize()
     return und

@@ -565,3 +565,6 @@ def test_ktruss_matches_bruteforce_fuzz(spark):
             want = _ktruss_oracle(pairs, k)
             got = {(r["src"], r["dst"]) for r in ktruss(g, k).collect()}
             assert got == want, (trial, k)
+            # A/B: the full-recompute path must return the identical set
+            full = {(r["src"], r["dst"]) for r in ktruss(g, k, delta=False).collect()}
+            assert full == want, (trial, k, "delta=False")
