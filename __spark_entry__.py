@@ -284,33 +284,32 @@ def q_ktruss_4_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint. Vertices stay string-keyed: ktruss's orientation algebra
     (struct(deg, vid) ordering) is type-agnostic, so no dense-id pass
     is needed."""
-    from pyspark.sql import Window as W
-
     from essentials_spark.algos import ktruss
-    from essentials_spark.graph.derive import Graph
+    from essentials_spark.graph.keyed import windowed_turn_graph
     from essentials_spark.io.transcripts import transcripts_from_events
 
     t = transcripts_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    turn = F.concat(
-        F.lit("turn|"), F.col("conv_id"), F.lit(":"),
-        F.lpad(F.col("turn_idx").cast("string"), 6, "0"),
-    )
-    base = t.select("conv_id", "turn_idx", turn.alias("vkey"), "tool")
-    w = W.partitionBy("conv_id").orderBy("turn_idx")
-    win = None
-    for d in (1, 2, 3):
-        e = (
-            base.select(F.col("vkey").alias("src"), F.lead("vkey", d).over(w).alias("dst"))
-            .filter(F.col("dst").isNotNull())
-        )
-        win = e if win is None else win.unionByName(e)
-    toole = base.filter(F.col("tool").isNotNull()).select(
-        F.col("vkey").alias("src"), F.concat(F.lit("tool|"), F.col("tool")).alias("dst")
-    )
-    edges = win.unionByName(toole).withColumn("weight", F.lit(1.0))
-    g = Graph(vertices=edges.select(F.col("src").alias("vid")).limit(0), edges=edges)
+    g = windowed_turn_graph(t, window=3, include_tools=True)
     return ktruss(g, 4).select(
         F.col("src").alias("src_key"), F.col("dst").alias("dst_key")
+    )
+
+
+def q_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge trussness of the windowed turn graph via ONE ascending
+    delta-maintained peel (algos/ktruss.truss_decomposition): the
+    k-truss fixpoint's exact support state seeds the k+1 peel, so the
+    whole decomposition costs one full support pass + O(total drops).
+    k_max=6 matches the oracle's unroll depth; both sides cap
+    survivors at 6 (kcore-style cap semantics)."""
+    from essentials_spark.algos import truss_decomposition
+    from essentials_spark.graph.keyed import windowed_turn_graph
+    from essentials_spark.io.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    g = windowed_turn_graph(t, window=3, include_tools=True)
+    return truss_decomposition(g, k_max=6).select(
+        F.col("src").alias("src_key"), F.col("dst").alias("dst_key"), "trussness"
     )
 
 
@@ -979,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_3": q_ktruss_3,
         "ktruss_4": q_ktruss_4,
         "ktruss_4_window": q_ktruss_4_window,
+        "truss_decomposition": q_truss_decomposition,
         "triangle_count_incremental": q_tc_incremental,
         "tc_total": q_tc_total,
         "doc_stats": q_doc_stats,
@@ -1402,6 +1402,65 @@ def _ktruss_sql(k: int, rounds: int, prelude: str | None = None, t0: str | None 
     return f"WITH {body}\nSELECT src AS src_key, dst AS dst_key FROM t{rounds}"
 
 
+# canonical edge set of the windowed (w=3) turn graph + tool links —
+# 'tool|' sorts BELOW 'turn|', so tool edges flip under least/greatest
+_T0_WINDOWED = (
+    "SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM ("
+    "  SELECT vkey AS src, lead(vkey, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst FROM turnv"
+    "  UNION ALL"
+    "  SELECT vkey, lead(vkey, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) FROM turnv"
+    "  UNION ALL"
+    "  SELECT vkey, lead(vkey, 3) OVER (PARTITION BY conv_id ORDER BY turn_idx) FROM turnv"
+    "  UNION ALL"
+    "  SELECT src, dst FROM toole"
+    ") WHERE dst IS NOT NULL AND src <> dst"
+)
+
+
+def _truss_round_ctes(src: str, tag: str, k: int) -> tuple[list[str], str]:
+    """One support-and-keep peel round starting from CTE ``src``."""
+    tri, sup, nxt = f"tri_{tag}", f"sup_{tag}", f"p_{tag}"
+    return [
+        f"{tri} AS (SELECT a.src AS x, a.dst AS y, b.dst AS z"
+        f" FROM {src} a JOIN {src} b ON b.src = a.dst"
+        f" JOIN {src} c ON c.src = a.src AND c.dst = b.dst)",
+        f"{sup} AS (SELECT src, dst, count(*) AS s FROM ("
+        f"SELECT x AS src, y AS dst FROM {tri}"
+        f" UNION ALL SELECT y, z FROM {tri}"
+        f" UNION ALL SELECT x, z FROM {tri}) GROUP BY src, dst)",
+        f"{nxt} AS (SELECT e.src, e.dst FROM {src} e"
+        f" JOIN {sup} s ON s.src = e.src AND s.dst = e.dst"
+        f" WHERE s.s >= {k - 2})",
+    ], nxt
+
+
+def _truss_decomposition_sql(k_hi: int, rounds: int, prelude: str, t0: str) -> str:
+    """Ascending chained peel: the k fixpoint seeds the k+1 peel (same
+    nesting the Spark path exploits); trussness = 2 + number of
+    fixpoint sets containing the edge. ``rounds`` per k must exceed
+    the cascade depth — extra rounds are identity at the fixpoint."""
+    parts = [prelude, f"e0 AS ({t0})"]
+    cur = "e0"
+    fixpoints = []
+    for k in range(3, k_hi + 1):
+        for i in range(rounds):
+            ctes, cur = _truss_round_ctes(cur, f"{k}_{i}", k)
+            parts.extend(ctes)
+        fixpoints.append((k, cur))
+    flags = " + ".join(
+        f"(CASE WHEN f{k}.src IS NOT NULL THEN 1 ELSE 0 END)" for k, _ in fixpoints
+    )
+    joins = " ".join(
+        f"LEFT JOIN {name} f{k} ON f{k}.src = e.src AND f{k}.dst = e.dst"
+        for k, name in fixpoints
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT e.src AS src_key, e.dst AS dst_key,"
+        f" CAST(2 + {flags} AS INT) AS trussness FROM e0 e {joins}"
+    )
+
+
 def _minhash_ctes(src: str = "documents", num_perm: int = 64, bands: int = 16, k: int = 3,
                   cap: int = 64, chain_width: int = 2, min_sim: float = 0.5,
                   cc_rounds: int = 12) -> str:
@@ -1807,21 +1866,11 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
     # windowed variant: turn pairs within lead distance 1..3 per
     # conversation plus turn->tool links, canonicalized with
     # least/greatest ('tool|' sorts BELOW 'turn|', so tool edges flip)
-    sql["ktruss_4_window"] = _ktruss_sql(
-        4,
-        6,
-        prelude=_PRELUDE,
-        t0=(
-            "SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM ("
-            "  SELECT vkey AS src, lead(vkey, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst FROM turnv"
-            "  UNION ALL"
-            "  SELECT vkey, lead(vkey, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) FROM turnv"
-            "  UNION ALL"
-            "  SELECT vkey, lead(vkey, 3) OVER (PARTITION BY conv_id ORDER BY turn_idx) FROM turnv"
-            "  UNION ALL"
-            "  SELECT src, dst FROM toole"
-            ") WHERE dst IS NOT NULL AND src <> dst"
-        ),
+    sql["ktruss_4_window"] = _ktruss_sql(4, 6, prelude=_PRELUDE, t0=_T0_WINDOWED)
+    # ascending chained peel, 8 rounds per k (cascade depth margin);
+    # k_hi=6 matches the Spark entry's k_max cap
+    sql["truss_decomposition"] = _truss_decomposition_sql(
+        6, 8, prelude=_PRELUDE, t0=_T0_WINDOWED
     )
     sql["tc_total"] = (
         f"WITH {_PRELUDE_M}, {_TRI_BODY}"

@@ -244,7 +244,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--probe",
-        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ"],
+        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss"],
         default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
@@ -259,7 +259,9 @@ def main() -> None:
         "count (--kernel csr for the packed intersection kernels); "
         "kcore = coreness (--method hindex|local|peel); "
         "princ = incremental PageRank maintenance (warm-start re-solve "
-        "on a 10%% micro-batch vs a cold solve on the union)",
+        "on a 10%% micro-batch vs a cold solve on the union); "
+        "ktruss = 4-truss peel on the windowed turn graph (delta-"
+        "maintained support vs per-round full recompute, A/B timed)",
     )
     ap.add_argument(
         "--method", default="hindex", choices=["hindex", "local", "peel"],
@@ -427,6 +429,52 @@ def main() -> None:
             "warm_sec": t_warm["sec"], "warm_samples": t_warm["samples"],
             "warm_iters": iters["warm"][t_warm["samples"].index(t_warm["sec"])],
             "speedup": round(t_cold["sec"] / t_warm["sec"], 2),
+        }))
+        spark.stop()
+        return
+
+    if args.probe == "ktruss":
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from essentials_spark.algos import ktruss
+        from essentials_spark.engine.superstep import SuperstepRunner
+        from essentials_spark.graph.keyed import windowed_turn_graph
+        from essentials_spark.io.transcripts import synth_transcripts
+        from essentials_spark.session import get_spark
+
+        jvms = competing_jvms()
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-ktruss", shuffle_partitions=cpus)
+        n_convs = args.synthetic or 100_000
+        # the triangle-dense view: windowed (w=3) turn cliques + the
+        # Zipf tool hub. Power-law conv lengths mean short convs
+        # cascade out under k=4, so the peel has real multi-round work.
+        g = windowed_turn_graph(
+            synth_transcripts(spark, n_convs=n_convs, seed=42), window=3
+        )
+        g.edges.persist()
+        m = g.edges.count()
+        rounds_per_pass: dict[str, list[dict]] = {"delta": [], "full": []}
+
+        def one_ktruss_pass(use_delta: bool):
+            tag = "delta" if use_delta else "full"
+            runner = SuperstepRunner(spark, f"bench_ktruss_{tag}")
+            ktruss(g, 4, runner=runner, delta=use_delta).count()
+            rounds_per_pass[tag].append({
+                "rounds": max((r["iteration"] for r in runner.metrics), default=0),
+                "dropped": sum(r.get("dropped", 0) for r in runner.metrics),
+            })
+
+        t_delta = timed_min(lambda: one_ktruss_pass(True), args.passes)
+        t_full = timed_min(lambda: one_ktruss_pass(False), args.passes)
+        rd = rounds_per_pass["delta"][t_delta["samples"].index(t_delta["sec"])]
+        print(json.dumps({
+            "metric": "ktruss_probe", "cpus": cpus, "competing_jvms": jvms,
+            "k": 4, "n_edges_canonical": m,
+            "delta_sec": t_delta["sec"], "delta_samples": t_delta["samples"],
+            "full_sec": t_full["sec"], "full_samples": t_full["samples"],
+            "rounds": rd["rounds"], "edges_dropped": rd["dropped"],
+            "edges_per_sec_delta": round(m / t_delta["sec"]),
+            "speedup_delta_vs_full": round(t_full["sec"] / t_delta["sec"], 2),
         }))
         spark.stop()
         return

@@ -16,7 +16,7 @@ from essentials_spark.algos.cc import (  # noqa: F401
     connected_components_contract,
     incremental_cc_update,
 )
-from essentials_spark.algos.ktruss import edge_support, ktruss  # noqa: F401
+from essentials_spark.algos.ktruss import edge_support, ktruss, truss_decomposition  # noqa: F401
 from essentials_spark.algos.lp import label_propagation  # noqa: F401
 from essentials_spark.algos.tc import incremental_tc_update, triangle_count  # noqa: F401
 from essentials_spark.algos.traversal import bfs, sssp  # noqa: F401

@@ -131,6 +131,16 @@ def ktruss(
 
     # delta path: one full support pass, then maintain. Edges in no
     # triangle carry sup 0 (edge_support omits them).
+    sup, deg = _init_support_state(und)
+    und, sup, deg, _n = _peel_delta(und, sup, deg, k, n_prev, runner, max_iter)
+    sup.unpersist()
+    deg.unpersist()
+    runner.finalize()
+    return und
+
+
+def _init_support_state(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One full support pass + the symmetric degree table, persisted."""
     sup = truncate_plan(
         und.join(edge_support(und), ["src", "dst"], "left")
         .select("src", "dst", F.coalesce("sup", F.lit(0)).alias("sup"))
@@ -140,6 +150,27 @@ def ktruss(
         .unionByName(und.select(F.col("dst").alias("vid")))
         .groupBy("vid").agg(F.count("*").alias("deg"))
     ).persist()
+    return sup, deg
+
+
+def _peel_delta(
+    und: DataFrame,
+    sup: DataFrame,
+    deg: DataFrame,
+    k: int,
+    n_edges: int,
+    runner: SuperstepRunner,
+    max_iter: int,
+    keep_drops: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Run the threshold-k delta peel to its fixpoint.
+
+    (und, sup, deg) must be persisted with sup/deg exact for und; the
+    returned triple is again persisted-and-exact, so successive calls
+    with increasing k (truss decomposition) continue seamlessly. When
+    ``keep_drops`` is given, each round's dropped-edge DataFrame is
+    appended to it still persisted (caller unpersists)."""
+    n_prev = n_edges
     it = 0
     while it < max_iter:
         it += 1
@@ -150,7 +181,7 @@ def ktruss(
             break
         keep = truncate_plan(und.join(drop, ["src", "dst"], "left_anti")).persist()
         n_keep = n_prev - n_drop  # drop is a subset of und: no extra count
-        runner.log(it, edges=n_keep, dropped=n_drop)
+        runner.log(it, k=k, edges=n_keep, dropped=n_drop)
         # enumerate EXACTLY the destroyed triangles: each dropped edge
         # pivoted on its lower-degree endpoint, one adjacency join
         # against the pre-removal graph, closure semi-check, then
@@ -206,13 +237,79 @@ def ktruss(
             deg.join(ddelta, "vid", "left")
             .select("vid", (F.col("deg") - F.coalesce("dd", F.lit(0))).alias("deg"))
         ).persist()
-        for df in (und, sup, deg, drop):
+        for df in (und, sup, deg):
             df.unpersist()
+        if keep_drops is None:
+            drop.unpersist()
+        else:
+            keep_drops.append(drop)
         und, sup, deg = keep, new_sup, new_deg
         n_prev = n_keep
         if n_keep == 0:
             break
-    sup.unpersist()
-    deg.unpersist()
+    return und, sup, deg, n_prev
+
+
+def truss_decomposition(
+    graph: Graph,
+    k_max: int | None = None,
+    max_iter: int = 200,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """(src, dst, trussness) for every canonical edge of the graph.
+
+    trussness(e) = max k such that e is in the k-truss; every edge is
+    trivially in the 2-truss, so trussness >= 2. Computed as ONE
+    ascending peel over the delta-maintained support state: the
+    threshold-k fixpoint's (und, sup, deg) triple is exactly the
+    k-truss subgraph with exact supports, so the k+1 peel resumes from
+    it with zero recomputation — the whole decomposition costs one
+    full support pass plus O(total drops x degree), the edge-analogue
+    of kcore's ascending peel (algos/kcore.py, reference
+    algorithms/kcore.hxx:112-199 semantics applied to edges). With
+    ``k_max`` set, survivors report the capped value k_max
+    (kcore-style cap semantics)."""
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "truss_decomposition")
+    und = canonicalize_edges(
+        graph.edges, symmetrize=True, dedup=True, drop_self_loops=True
+    ).filter(F.col("src") < F.col("dst")).select("src", "dst")
+    und = truncate_plan(und).persist()
+    n = und.count()
+    if n == 0 or (k_max is not None and k_max <= 2):
+        out = und.withColumn("trussness", F.lit(min(k_max or 2, 2)).cast("int"))
+        runner.finalize()
+        return out
+    sup, deg = _init_support_state(und)
+    pieces: list[DataFrame] = []
+    cleanup: list[DataFrame] = []
+    k = 3
+    while n > 0 and (k_max is None or k <= k_max):
+        drops: list[DataFrame] = []
+        und, sup, deg, n = _peel_delta(
+            und, sup, deg, k, n, runner, max_iter, keep_drops=drops
+        )
+        if drops:
+            dropped = drops[0]
+            for d in drops[1:]:
+                dropped = dropped.unionByName(d)
+            piece = truncate_plan(
+                dropped.withColumn("trussness", F.lit(k - 1).cast("int"))
+            ).persist()
+            piece.count()  # materialize so the round drops can be released
+            pieces.append(piece)
+            cleanup.extend(drops)
+        k += 1
+    if n > 0:  # k_max cap reached: survivors carry the capped value
+        pieces.append(und.withColumn("trussness", F.lit(k_max).cast("int")))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    out = truncate_plan(out)
+    for df in cleanup + pieces + [und, sup, deg]:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     runner.finalize()
-    return und
+    return out

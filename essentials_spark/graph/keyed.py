@@ -89,3 +89,48 @@ def keyed_graph_from_events(
     return keyed_graph_from_transcripts(
         transcripts_from_events(events), include_conv_membership=include_conv_membership
     )
+
+
+def windowed_turn_graph(
+    transcripts: DataFrame, window: int = 3, include_tools: bool = True
+) -> Graph:
+    """String-keyed graph of turns within ``window`` of each other in
+    the same conversation (plus turn->tool links).
+
+    Built with ``window`` linear lead() passes — never a
+    per-conversation quadratic self-join, so a 10^6-turn conversation
+    costs O(turns x window), not O(turns^2). Vertex ids stay the
+    sortable string keys (no dense-id pass: every consumer of this
+    graph — k-truss peeling, truss-style cohesion analyses — uses
+    orientation algebra that is vertex-type-agnostic). The windowed
+    cliques make this the triangle-dense view of a transcript corpus:
+    the natural input for edge-cohesion operators, where the plain
+    chain adjacency (keyed_graph_from_transcripts) is triangle-free
+    outside tool sharing.
+    """
+    from pyspark.sql import Window as W
+
+    base = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        _skey_turn(F.col("conv_id"), F.col("turn_idx")).alias("vkey"),
+        "tool",
+    )
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    parts = [
+        base.select(F.col("vkey").alias("src"), F.lead("vkey", d).over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        for d in range(1, window + 1)
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    if include_tools:
+        edges = edges.unionByName(
+            base.filter(F.col("tool").isNotNull()).select(
+                F.col("vkey").alias("src"),
+                F.concat(F.lit("tool|"), F.col("tool")).alias("dst"),
+            )
+        )
+    edges = edges.withColumn("weight", F.lit(1.0))
+    return Graph(vertices=edges.select(F.col("src").alias("vid")).limit(0), edges=edges)

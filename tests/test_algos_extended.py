@@ -568,3 +568,41 @@ def test_ktruss_matches_bruteforce_fuzz(spark):
             # A/B: the full-recompute path must return the identical set
             full = {(r["src"], r["dst"]) for r in ktruss(g, k, delta=False).collect()}
             assert full == want, (trial, k, "delta=False")
+
+
+def test_truss_decomposition_fuzz(spark):
+    from essentials_spark.algos import truss_decomposition
+
+    rng = np.random.default_rng(29)
+    n = 20
+    pairs = sorted({
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, n, size=(110, 2))
+        if a != b
+    })
+    g = graph_from_edges(spark, pairs, n_vertices=n)
+    got = {(r["src"], r["dst"]): r["trussness"] for r in truss_decomposition(g).collect()}
+    # brute-force: trussness(e) = max k with e in the k-truss
+    want = {}
+    k = 2
+    edges = set(pairs)
+    while edges:
+        for e in edges:
+            want[e] = k
+        k += 1
+        edges = _ktruss_oracle(edges, k)
+    assert got == want
+    # capped: survivors at k_max report k_max, below-cap values unchanged
+    cap = 3
+    got_cap = {(r["src"], r["dst"]): r["trussness"] for r in truss_decomposition(g, k_max=cap).collect()}
+    assert got_cap == {e: min(t, cap) for e, t in want.items()}
+
+
+def test_truss_decomposition_k4_clique(spark):
+    from essentials_spark.algos import truss_decomposition
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(3, 4), (4, 5)]
+    g = graph_from_edges(spark, k4 + tail, n_vertices=6)
+    got = {(r["src"], r["dst"]): r["trussness"] for r in truss_decomposition(g).collect()}
+    assert got == {**{e: 4 for e in k4}, **{e: 2 for e in tail}}
