@@ -220,6 +220,23 @@ def q_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "lp_label")
 
 
+def q_lp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_propagation on the packed-CSR kernel path
+    (csr_blocks.csr_label_counts): full rounds compute (dst, label)
+    message counts as gather/expand/run-length NumPy passes over the
+    same bucketed blocks PR/CC kernel from — the north rule's
+    vectorized Arrow/pandas superstep shape, now covering all four
+    named primitives. Same oracle as label_propagation."""
+    from essentials_spark.algos import label_propagation
+
+    kg = _keyed_graph(spark, sf_dir)
+    labels = label_propagation(
+        kg.graph, max_iter=LP_ROUNDS, fused_iters=LP_ROUNDS, kernel="csr"
+    )
+    lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("lp_label"))
+    return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "lp_label")
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import triangle_count
 
@@ -973,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_cc,
         "connected_components_incremental": q_cc_incremental,
         "label_propagation": q_lp,
+        "label_propagation_csr": q_lp_csr,
         "triangle_count": q_triangles,
         "triangle_count_csr": q_triangles_csr,
         "ktruss_3": q_ktruss_3,
@@ -1837,6 +1855,7 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
     # — third physical path, same canonical min-vid labels
     sql["connected_components_contract"] = _cc_sql()
     sql["label_propagation"] = _lp_sql()
+    sql["label_propagation_csr"] = sql["label_propagation"]
     sql["bfs_hops"] = _bfs_sql()
     sql["sssp_md5w"] = _sssp_sql()
     sql["ppr_push"] = _ppr_sql()

@@ -223,7 +223,7 @@ def main() -> None:
     ap.add_argument("--hi", type=int, default=32, help="scaling mode: 4N cores")
     ap.add_argument(
         "--kernel", default="dataframe", choices=["dataframe", "csr"],
-        help="cc probe: message-round physical path",
+        help="cc/tc/lp probes: physical path (dataframe vs packed-CSR kernels)",
     )
     ap.add_argument(
         "--buckets", type=int, default=None,
@@ -644,8 +644,12 @@ def main() -> None:
             else:  # lp convergence mode
                 from essentials_spark.algos import label_propagation as _lp
 
-                _lp(g, max_iter=20, runner=runner, persist_result=False).count()
+                _lp(
+                    g, max_iter=20, runner=runner, persist_result=False,
+                    kernel=args.kernel,
+                ).count()
                 meta_per_pass.append({
+                    "kernel": args.kernel,
                     "rounds": max((r["iteration"] for r in runner.metrics), default=0),
                     "shapes": [r.get("shape") for r in runner.metrics if "shape" in r],
                     "frontiers": [r.get("frontier_rows") for r in runner.metrics if "frontier_rows" in r],

@@ -70,6 +70,8 @@ def label_propagation(
     fused_iters: int = 1,
     persist_result: bool = True,
     small_round_max: int | None = None,
+    kernel: str = "dataframe",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Returns (vid: long, label: long). Labels init to vid.
     ``persist_result=False`` releases the result's CacheManager pin
@@ -77,7 +79,13 @@ def label_propagation(
     ``small_round_max``: frontier row count below which the broadcast
     (small) shape is considered (default: STATE_BROADCAST_MAX_ROWS//8,
     kcore_hindex's bound). Tests pass 0 to force full/mid shapes or a
-    huge value to force the small shape."""
+    huge value to force the small shape.
+    ``kernel='csr'``: FULL rounds compute the (dst, label) message
+    counts as a vectorized gather/expand/run-length kernel over the
+    packed CSR blocks (csr_blocks.csr_label_counts) instead of the
+    join + groupBy — the same A/B-exact physical alternative CC and PR
+    ship; mid/small delta rounds stay dataframe-side (their restricted
+    streams are frontier-scale, where the block scan would dominate)."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "lp")
 
@@ -86,6 +94,16 @@ def label_propagation(
     )
     edges = prepare_static_edges(edges.select("src", "dst"), runner, keys="src", mode=edges_mode, name_hint="lp")
     m = edges.count()
+
+    blocks = None
+    if kernel == "csr":
+        from essentials_spark.graph.csr_blocks import build_csr_blocks, csr_label_counts
+
+        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+        blocks = prepare_static_edges(
+            build_csr_blocks(edges.withColumn("coef", F.lit(1.0)), n_buckets),
+            runner, keys="bucket", n_buckets=n_buckets, name_hint="lp_blocks",
+        )
 
     labels = truncate_plan(graph.vertices.select("vid", F.col("vid").alias("label")))
     n = labels.count()
@@ -158,6 +176,10 @@ def label_propagation(
             joined = edges.join(
                 hint_state_join(cur.select(F.col("vid").alias("src"), "label"), n), "src"
             ).join(hint_state_join(affected, None), "dst")
+        elif blocks is not None:
+            # full round on the CSR kernel path: the message counts
+            # come out of the packed blocks, no edge-side join at all
+            joined = None
         else:
             # adaptive state-join hint (see engine/static_table.py):
             # label state is vertex-scale forever — broadcast only when
@@ -165,7 +187,12 @@ def label_propagation(
             joined = edges.join(
                 hint_state_join(cur.select(F.col("vid").alias("src"), "label"), n), "src"
             )
-        counts = joined.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
+        if joined is None:
+            from essentials_spark.graph.csr_blocks import csr_label_counts
+
+            counts = csr_label_counts(blocks, cur.select("vid", "label"), n_buckets)
+        else:
+            counts = joined.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
         # most frequent label, min-label tiebreak: max of (cnt, -label)
         best = (
             counts.groupBy("dst")

@@ -180,3 +180,70 @@ def csr_min_push(
         kernel, schema="dst long, partial long"
     )
     return partials.groupBy("dst").agg(F.min("partial").alias("nbr_min"))
+
+
+def csr_label_counts(blocks: DataFrame, labels: DataFrame, n_buckets: int) -> DataFrame:
+    """One LP message phase over CSR blocks: (dst, label, cnt) counts.
+
+    The mode-of-neighbors semiring has no scalar scatter op, so the
+    kernel produces bucket-local (dst, label) run-length counts —
+    gather label per src (searchsorted), expand by degree, lexsort the
+    (dst, label) composite, run-length encode at the boundaries — and
+    the single shuffle sums them per (dst, label) across buckets (the
+    same volume the dataframe path ships after its map-side combine).
+    Srcs absent from ``labels`` contribute nothing (≙ the dataframe
+    path's inner join), so a restricted label stream works unchanged.
+    The mode/tiebreak decision stays dataframe-side (algos/lp.py) —
+    it is label-cardinality-scale, not edge-scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    labs = labels.select(
+        F.pmod(F.col("vid"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "vid",
+        F.col("label").alias("val"),
+    )
+
+    def kernel(block_pdf: pd.DataFrame, labs_pdf: pd.DataFrame):
+        empty = pd.DataFrame({
+            "dst": pd.Series(dtype="int64"),
+            "label": pd.Series(dtype="int64"),
+            "cnt": pd.Series(dtype="int64"),
+        })
+        if len(block_pdf) == 0 or len(labs_pdf) == 0:
+            return empty
+        row = block_pdf.iloc[0]
+        srcs = np.asarray(row["srcs"], dtype=np.int64)
+        offsets = np.asarray(row["offsets"], dtype=np.int64)
+        dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
+        dst_index = np.asarray(row["dst_index"], dtype=np.int64)
+
+        vv = labs_pdf["vid"].to_numpy()
+        xs = labs_pdf["val"].to_numpy()
+        vorder = np.argsort(vv)
+        vv_sorted = vv[vorder]
+        pos = np.clip(np.searchsorted(vv_sorted, srcs), 0, len(vv_sorted) - 1)
+        found = vv_sorted[pos] == srcs
+        lab_per_src = xs[vorder][pos]
+
+        degrees = np.diff(offsets)
+        valid = np.repeat(found, degrees)
+        d = dst_index[valid]
+        lab = np.repeat(lab_per_src, degrees)[valid]
+        if len(d) == 0:
+            return empty
+        order = np.lexsort((lab, d))
+        d = d[order]
+        lab = lab[order]
+        bnd = np.empty(len(d), dtype=bool)
+        bnd[0] = True
+        bnd[1:] = (d[1:] != d[:-1]) | (lab[1:] != lab[:-1])
+        starts = np.flatnonzero(bnd)
+        cnt = np.diff(np.append(starts, len(d)))
+        return pd.DataFrame({"dst": dst_ids[d[starts]], "label": lab[starts], "cnt": cnt})
+
+    partials = blocks.groupby("bucket").cogroup(labs.groupby("bucket")).applyInPandas(
+        kernel, schema="dst long, label long, cnt long"
+    )
+    return partials.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))

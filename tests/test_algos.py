@@ -305,6 +305,8 @@ def test_lp_fuzz_all_shapes_vs_oracle(spark):
             {"small_round_max": 0},
             {"small_round_max": 10**9},
             {"fused_iters": 3},
+            {"kernel": "csr", "n_buckets": 4, "small_round_max": 0},
+            {"kernel": "csr", "n_buckets": 4, "fused_iters": 3},
         ):
             got = _collect_by_vid(label_propagation(g, max_iter=7, **kw), "label")
             assert np.array_equal(got, exp), f"trial {trial} kw {kw}"
