@@ -130,9 +130,37 @@ def ktruss(
         return und
 
     # delta path: one full support pass, then maintain. Edges in no
-    # triangle carry sup 0 (edge_support omits them).
-    sup, deg = _init_support_state(und)
-    und, sup, deg, _n = _peel_delta(und, sup, deg, k, n_prev, runner, max_iter)
+    # triangle carry sup 0 (edge_support omits them). The support
+    # table IS the resume state: its keys are the surviving edge set
+    # and degrees are derivable, so a durable runner checkpoint of sup
+    # restarts the peel mid-cascade (fingerprint-gated, engine
+    # contract — engine/superstep.py).
+    if runner.fingerprint is None:
+        runner.fingerprint = f"ktruss:k={k}:m={n_prev}"
+    it0 = 0
+    resumed = runner.latest()
+    if resumed is not None:
+        it0, sup, meta = resumed
+        sup = sup.persist()
+        und.unpersist()
+        und = truncate_plan(sup.select("src", "dst")).persist()
+        n_prev = und.count()
+        if meta.get("converged") or n_prev == 0:
+            sup.unpersist()
+            runner.finalize()
+            return und
+        deg = truncate_plan(
+            und.select(F.col("src").alias("vid"))
+            .unionByName(und.select(F.col("dst").alias("vid")))
+            .groupBy("vid").agg(F.count("*").alias("deg"))
+        ).persist()
+    else:
+        sup, deg = _init_support_state(und)
+    und, sup, deg, _n, it_end = _peel_delta(
+        und, sup, deg, k, n_prev, runner, max_iter, iter_base=it0
+    )
+    if runner.checkpoint_dir:
+        runner.materialize(sup, it_end, force=True, meta={"converged": True, "k": k})
     sup.unpersist()
     deg.unpersist()
     runner.finalize()
@@ -162,17 +190,24 @@ def _peel_delta(
     runner: SuperstepRunner,
     max_iter: int,
     keep_drops: list[DataFrame] | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    iter_base: int = 0,
+    state_fn=None,
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
     """Run the threshold-k delta peel to its fixpoint.
 
     (und, sup, deg) must be persisted with sup/deg exact for und; the
     returned triple is again persisted-and-exact, so successive calls
     with increasing k (truss decomposition) continue seamlessly. When
     ``keep_drops`` is given, each round's dropped-edge DataFrame is
-    appended to it still persisted (caller unpersists)."""
+    appended to it still persisted (caller unpersists). ``iter_base``
+    offsets the logged/checkpointed iteration counter across calls;
+    when the runner has a checkpoint_dir, every checkpoint_every-th
+    round durably writes ``state_fn(sup)`` (default: sup itself) so an
+    interrupted peel resumes mid-cascade. Returns the triple plus
+    (surviving edges, last global iteration)."""
     n_prev = n_edges
-    it = 0
-    while it < max_iter:
+    it = iter_base
+    while it < iter_base + max_iter:
         it += 1
         drop = truncate_plan(sup.filter(F.col("sup") < k - 2).select("src", "dst")).persist()
         n_drop = drop.count()
@@ -245,9 +280,13 @@ def _peel_delta(
             keep_drops.append(drop)
         und, sup, deg = keep, new_sup, new_deg
         n_prev = n_keep
+        if runner.checkpoint_dir and it % runner.checkpoint_every == 0:
+            runner.materialize(
+                state_fn(sup) if state_fn else sup, it, meta={"k": k}
+            )
         if n_keep == 0:
             break
-    return und, sup, deg, n_prev
+    return und, sup, deg, n_prev, it
 
 
 def truss_decomposition(
@@ -268,7 +307,15 @@ def truss_decomposition(
     of kcore's ascending peel (algos/kcore.py, reference
     algorithms/kcore.hxx:112-199 semantics applied to edges). With
     ``k_max`` set, survivors report the capped value k_max
-    (kcore-style cap semantics)."""
+    (kcore-style cap semantics).
+
+    Resumable: the runner's durable checkpoints store ONE DataFrame —
+    settled edges (trussness set, sup null) unioned with the active
+    support table (sup set, trussness null) — plus the current k in
+    the checkpoint meta, so an interrupted decomposition restarts
+    mid-peel at the right threshold with every already-settled edge
+    intact (a round's dropped edges have their trussness the moment
+    they drop, so the state closure folds them in immediately)."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "truss_decomposition")
     und = canonicalize_edges(
@@ -280,14 +327,66 @@ def truss_decomposition(
         out = und.withColumn("trussness", F.lit(min(k_max or 2, 2)).cast("int"))
         runner.finalize()
         return out
-    sup, deg = _init_support_state(und)
+    if runner.fingerprint is None:
+        runner.fingerprint = f"truss:kmax={k_max}:m={n}"
     pieces: list[DataFrame] = []
     cleanup: list[DataFrame] = []
     k = 3
+    gl = 0
+    resumed = runner.latest()
+    if resumed is not None:
+        gl, state, meta = resumed
+        if meta.get("converged"):
+            und.unpersist()
+            runner.finalize()
+            return state.select("src", "dst", "trussness")
+        k = int(meta.get("k", 3))
+        state = state.persist()
+        settled = truncate_plan(
+            state.filter(F.col("trussness").isNotNull()).select("src", "dst", "trussness")
+        ).persist()
+        settled.count()
+        pieces.append(settled)
+        sup = truncate_plan(
+            state.filter(F.col("trussness").isNull()).select("src", "dst", "sup")
+        ).persist()
+        und.unpersist()
+        und = truncate_plan(sup.select("src", "dst")).persist()
+        n = und.count()
+        deg = truncate_plan(
+            und.select(F.col("src").alias("vid"))
+            .unionByName(und.select(F.col("dst").alias("vid")))
+            .groupBy("vid").agg(F.count("*").alias("deg"))
+        ).persist()
+        state.unpersist()
+    else:
+        sup, deg = _init_support_state(und)
+
+    def _mk_state(drops_ref: list[DataFrame], k_now: int):
+        def _state(sup_df: DataFrame) -> DataFrame:
+            st = sup_df.select("src", "dst", "sup").withColumn(
+                "trussness", F.lit(None).cast("int")
+            )
+            for p in pieces:
+                st = st.unionByName(
+                    p.select("src", "dst", F.lit(None).cast("long").alias("sup"), "trussness")
+                )
+            for d in drops_ref:
+                st = st.unionByName(
+                    d.select(
+                        "src", "dst",
+                        F.lit(None).cast("long").alias("sup"),
+                        F.lit(k_now - 1).cast("int").alias("trussness"),
+                    )
+                )
+            return st
+        return _state
+
     while n > 0 and (k_max is None or k <= k_max):
         drops: list[DataFrame] = []
-        und, sup, deg, n = _peel_delta(
-            und, sup, deg, k, n, runner, max_iter, keep_drops=drops
+        und, sup, deg, n, gl = _peel_delta(
+            und, sup, deg, k, n, runner, max_iter,
+            keep_drops=drops, iter_base=gl, state_fn=_mk_state(drops, k),
         )
         if drops:
             dropped = drops[0]
@@ -306,6 +405,13 @@ def truss_decomposition(
     for p in pieces[1:]:
         out = out.unionByName(p)
     out = truncate_plan(out)
+    if runner.checkpoint_dir:
+        runner.materialize(
+            out.select(
+                "src", "dst", F.lit(None).cast("long").alias("sup"), "trussness"
+            ),
+            gl + 1, force=True, meta={"converged": True, "k": k},
+        )
     for df in cleanup + pieces + [und, sup, deg]:
         try:
             df.unpersist()

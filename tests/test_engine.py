@@ -154,3 +154,61 @@ def test_reap_stale_tables_age_gated(spark):
         assert spark.catalog.tableExists(st.table)  # young + live: untouched
     finally:
         st.drop()
+
+
+def test_ktruss_resume_mid_cascade_exact(spark, tmp_path):
+    """Kill the delta peel after its first durable support checkpoint:
+    the resumed run restores (edges, supports) mid-cascade and must
+    finish with the identical k-truss edge set."""
+    import glob
+    import shutil
+
+    from essentials_spark.algos import ktruss
+
+    # window-3 chain (k=5 cascades d3 -> d2 -> d1 over 3+ rounds,
+    # emptying the chain) + a K6 clique that survives (support 4)
+    chain = [(i, i + d) for i in range(30) for d in (1, 2, 3) if i + d < 30]
+    k6 = [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]
+    g = graph_from_edges(spark, chain + k6, n_vertices=106)
+    ck = str(tmp_path / "ckkt")
+    r1 = SuperstepRunner(spark, "ktruss", checkpoint_dir=ck, checkpoint_every=1)
+    a = {(r["src"], r["dst"]) for r in ktruss(g, 5, runner=r1).collect()}
+    assert a == set(k6)
+    iters = sorted(glob.glob(ck + "/ktruss/iter=*"))
+    assert len(iters) >= 2, "need a mid-cascade checkpoint to delete after"
+    for d in iters[1:]:
+        shutil.rmtree(d)
+    r2 = SuperstepRunner(spark, "ktruss", checkpoint_dir=ck, checkpoint_every=1)
+    b = {(r["src"], r["dst"]) for r in ktruss(g, 5, runner=r2).collect()}
+    assert a == b
+
+
+def test_truss_decomposition_resume_exact(spark, tmp_path):
+    """Kill the ascending decomposition mid-peel: the single-DataFrame
+    state (settled trussness union active supports, k in meta) must
+    restore and finish with identical per-edge trussness."""
+    import glob
+    import shutil
+
+    from essentials_spark.algos import truss_decomposition
+
+    chain = [(i, i + d) for i in range(30) for d in (1, 2, 3) if i + d < 30]
+    k6 = [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]
+    g = graph_from_edges(spark, chain + k6, n_vertices=106)
+    want = {
+        **{tuple(e): 4 for e in chain},
+        **{tuple(e): 6 for e in k6},
+    }
+    ck = str(tmp_path / "cktd")
+    r1 = SuperstepRunner(spark, "truss", checkpoint_dir=ck, checkpoint_every=1)
+    a = {(r["src"], r["dst"]): r["trussness"]
+         for r in truss_decomposition(g, runner=r1).collect()}
+    assert a == want
+    iters = sorted(glob.glob(ck + "/truss/iter=*"))
+    assert len(iters) >= 2, "need a mid-run checkpoint to delete after"
+    for d in iters[1:]:
+        shutil.rmtree(d)
+    r2 = SuperstepRunner(spark, "truss", checkpoint_dir=ck, checkpoint_every=1)
+    b = {(r["src"], r["dst"]): r["trussness"]
+         for r in truss_decomposition(g, runner=r2).collect()}
+    assert a == b
