@@ -950,6 +950,95 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "quality", "lang_pred", "kept", "reason")
 
 
+WALK_LEN = 4  # random-walk steps gated at sf0.01 (5 rows per walker)
+NS_FANOUTS = (3, 2)  # GraphSAGE-style hop fanouts
+NS_ROOT_MOD = 37  # ~1/37 of vertices become sample roots
+AA_MIN_CN = 2  # link-prediction gate: pairs with >= 2 common neighbors
+
+
+def _sym_vid_edges(kg) -> DataFrame:
+    from essentials_spark.graph.derive import canonicalize_edges
+
+    return canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded random walks (sampling/walks.py): one
+    walker per vertex, WALK_LEN steps over the symmetrized graph; every
+    choice is the portable md5 hash of (walker, step) mod degree, so
+    the oracle SQL replays the identical trajectory (vid order == skey
+    order by construction, graph/keyed.py)."""
+    from essentials_spark.sampling import random_walks
+
+    kg = _keyed_graph(spark, sf_dir)
+    start = kg.vkeys.select(F.concat(F.col("skey"), F.lit("#0")).alias("wid"), "vid")
+    walks = random_walks(_sym_vid_edges(kg), start, length=WALK_LEN)
+    return walks.join(kg.vkeys, "vid").select("wid", "step", "skey")
+
+
+def q_random_walks_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract on the packed-CSR walk kernel
+    (graph/csr_blocks.csr_walk_step): the choice hash stays JVM-side,
+    the step is one vectorized gather per bucket — fourth A/B-gated CSR
+    kernel after pagerank/cc/tc."""
+    from essentials_spark.sampling import random_walks
+
+    kg = _keyed_graph(spark, sf_dir)
+    start = kg.vkeys.select(F.concat(F.col("skey"), F.lit("#0")).alias("wid"), "vid")
+    walks = random_walks(_sym_vid_edges(kg), start, length=WALK_LEN, kernel="csr")
+    return walks.join(kg.vkeys, "vid").select("wid", "step", "skey")
+
+
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style bounded-fanout 2-hop neighborhood samples
+    (sampling/walks.neighbor_sample) from a deterministic ~1/37 root
+    subset, over the STRING-keyed symmetrized edge set (the oracle
+    operates in the same key space)."""
+    from essentials_spark.functions.portable_hash import md5_int60
+    from essentials_spark.sampling import neighbor_sample
+
+    kg = _keyed_graph(spark, sf_dir)
+    ke = kg.key_edges.select(
+        F.col("src_key"), F.col("dst_key")
+    ).unionByName(
+        kg.key_edges.select(F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key"))
+    ).filter(F.col("src_key") != F.col("dst_key")).distinct()
+    roots = kg.vkeys.select(F.col("skey").alias("root_key")).filter(
+        F.pmod(md5_int60(F.concat(F.col("root_key"), F.lit(":root"))), F.lit(NS_ROOT_MOD)) == 0
+    )
+    return neighbor_sample(ke, roots, list(NS_FANOUTS), seed="ns")
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores (algos/linkpred.py): non-adjacent pairs
+    with >= AA_MIN_CN common neighbors, with common-neighbor count,
+    Jaccard, and Adamic-Adar columns (ppm-rounded floats)."""
+    from essentials_spark.algos.linkpred import linkpred_scores
+
+    kg = _keyed_graph(spark, sf_dir)
+    scores = linkpred_scores(kg.graph, min_cn=AA_MIN_CN)
+    return (
+        scores.join(kg.vkeys.select(F.col("vid").alias("u"), F.col("skey").alias("src_key")), "u")
+        .join(kg.vkeys.select(F.col("vid").alias("w"), F.col("skey").alias("dst_key")), "w")
+        .select(
+            "src_key",
+            "dst_key",
+            F.col("cn").cast("long").alias("cn"),
+            F.round(F.col("jac") * 1e6).cast("long").alias("jac_ppm"),
+            F.round(F.col("aa") * 1e6).cast("long").alias("aa_ppm"),
+        )
+    )
+
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-native tool-call transition digraph
+    (io/transcripts.tool_transitions): consecutive tool-bearing turns
+    per conversation, counted corpus-wide."""
+    from essentials_spark.io.transcripts import tool_transitions
+
+    return tool_transitions(_transcripts(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bfs_hops": q_bfs,
@@ -1005,6 +1094,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred": q_lang_pred,
         "ann_topk": q_ann_topk,
         "exact_dedup": q_exact_dedup,
+        "random_walks": q_random_walks,
+        "random_walks_csr": q_random_walks_csr,
+        "neighbor_sample": q_neighbor_sample,
+        "adamic_adar": q_adamic_adar,
+        "tool_transitions": q_tool_transitions,
     }
 
 
@@ -1740,6 +1834,99 @@ def _materialize_ctes(sql: str) -> str:
     return re.sub(r"(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
 
 
+def _walks_sql() -> str:
+    """Replay q_random_walks' trajectories in DuckDB: the same ranked
+    dst-ascending adjacency (vkey order == vid order), the same
+    portable md5 choice hash per (walker, step)."""
+    from essentials_spark.functions.portable_hash import sql_md5_int60
+
+    parts = [
+        _PRELUDE,
+        "ranked AS (SELECT src, dst,"
+        " row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk,"
+        " count(*) OVER (PARTITION BY src) AS deg FROM sym)",
+        "w0 AS (SELECT vkey || '#0' AS wid, vkey AS cur FROM verts)",
+    ]
+    for t in range(1, WALK_LEN + 1):
+        h = sql_md5_int60(f"w.wid || ':{t}'")
+        parts.append(
+            f"w{t} AS (SELECT w.wid, r.dst AS cur FROM w{t - 1} w JOIN ranked r"
+            f" ON r.src = w.cur AND r.rnk = 1 + ({h} % r.deg))"
+        )
+    body = ",\n".join(parts)
+    selects = [
+        f"SELECT wid, CAST({t} AS INT) AS step, cur AS skey FROM w{t}"
+        for t in range(WALK_LEN + 1)
+    ]
+    return f"WITH {body}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _neighbor_sample_sql() -> str:
+    from essentials_spark.functions.portable_hash import sql_md5_int60
+
+    def sa(name: str, fanout: int, seed: str) -> str:
+        h = sql_md5_int60(f"src || ':' || dst || ':{seed}'")
+        return (
+            f"{name} AS (SELECT src, dst FROM ("
+            f" SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rk"
+            f" FROM (SELECT src, dst, {h} AS h FROM sym)) WHERE rk <= {fanout})"
+        )
+
+    roots_h = sql_md5_int60("vkey || ':root'")
+    f1, f2 = NS_FANOUTS
+    body = ",\n".join([
+        _PRELUDE,
+        sa("sa1", f1, "ns:1"),
+        sa("sa2", f2, "ns:2"),
+        f"roots AS (SELECT vkey AS root FROM verts WHERE ({roots_h} % {NS_ROOT_MOD}) = 0)",
+        "h1 AS (SELECT r.root, s.src, s.dst FROM roots r JOIN sa1 s ON s.src = r.root)",
+        "f1 AS (SELECT DISTINCT root, dst FROM h1)",
+        "h2 AS (SELECT DISTINCT f.root, s.src, s.dst FROM f1 f JOIN sa2 s ON s.src = f.dst)",
+    ])
+    return (
+        f"WITH {body}\n"
+        "SELECT root AS root_key, CAST(1 AS INT) AS hop, src AS src_key, dst AS dst_key FROM h1"
+        " UNION ALL "
+        "SELECT root, CAST(2 AS INT) AS hop, src, dst FROM h2"
+    )
+
+
+def _adamic_adar_sql() -> str:
+    # FP note: jac mirrors the Spark operation order exactly
+    # (cn/denom first, then *1e6) so both engines round the same double
+    body = ",\n".join([
+        _PRELUDE,
+        "deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)",
+        "wed AS (SELECT e1.src AS v, e1.dst AS u, e2.dst AS w"
+        " FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst)",
+        f"pair AS (SELECT u, w, count(*) AS cn, sum(1.0 / ln(d.d)) AS aa"
+        f" FROM wed JOIN deg d ON d.src = wed.v GROUP BY u, w HAVING count(*) >= {AA_MIN_CN})",
+        "cand AS (SELECT p.* FROM pair p LEFT JOIN sym s ON s.src = p.u AND s.dst = p.w"
+        " WHERE s.src IS NULL)",
+    ])
+    return (
+        f"WITH {body}\n"
+        "SELECT c.u AS src_key, c.w AS dst_key, c.cn,"
+        " CAST(round((CAST(c.cn AS DOUBLE) / (du.d + dw.d - c.cn)) * 1e6) AS BIGINT) AS jac_ppm,"
+        " CAST(round(c.aa * 1e6) AS BIGINT) AS aa_ppm"
+        " FROM cand c JOIN deg du ON du.src = c.u JOIN deg dw ON dw.src = c.w"
+    )
+
+
+def _tool_transitions_sql() -> str:
+    body = ",\n".join([
+        _PRELUDE,
+        "tt AS (SELECT conv_id, turn_idx, tool FROM tr WHERE tool IS NOT NULL)",
+        "lagd AS (SELECT tool AS src_tool,"
+        " lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst_tool FROM tt)",
+    ])
+    return (
+        f"WITH {body}\n"
+        "SELECT src_tool, dst_tool, count(*) AS n FROM lagd"
+        " WHERE dst_tool IS NOT NULL GROUP BY src_tool, dst_tool"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -1979,5 +2166,12 @@ WITH fp AS (
 )
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
 """
+
+    sql["random_walks"] = _walks_sql()
+    # CSR walk kernel vs the same trajectory oracle (A/B x2)
+    sql["random_walks_csr"] = _walks_sql()
+    sql["neighbor_sample"] = _neighbor_sample_sql()
+    sql["adamic_adar"] = _adamic_adar_sql()
+    sql["tool_transitions"] = _tool_transitions_sql()
 
     return {name: _materialize_ctes(s) for name, s in sql.items()}

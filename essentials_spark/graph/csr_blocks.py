@@ -247,3 +247,56 @@ def csr_label_counts(blocks: DataFrame, labels: DataFrame, n_buckets: int) -> Da
         kernel, schema="dst long, label long, cnt long"
     )
     return partials.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))
+
+
+def csr_walk_step(blocks: DataFrame, frontier: DataFrame, n_buckets: int) -> DataFrame:
+    """One random-walk step over CSR blocks: returns (wid, cur).
+
+    ``frontier`` is (wid: string, cur: long, h: long) — ``h`` the
+    portable choice hash, computed JVM-side (sampling/walks.walk_hash)
+    so the kernel stays pure vectorized indexing: for each walker at
+    vertex v, the next hop is neighbor ``h % deg(v)`` of v's
+    dst-ascending packed run, ``dst[offset[v] + h % deg(v)]`` — one
+    gather, O(frontier) work, ZERO edge-side exchange (the only
+    shuffle is the frontier's own co-group by bucket). Walkers at
+    vertices absent from the block table (isolated vertices) emit
+    nothing — the walk ends, matching the dataframe path's inner join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    fr = frontier.select(
+        F.pmod(F.col("cur"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "wid",
+        "cur",
+        "h",
+    )
+
+    def kernel(block_pdf: pd.DataFrame, fr_pdf: pd.DataFrame):
+        empty = pd.DataFrame({
+            "wid": pd.Series(dtype="object"),
+            "cur": pd.Series(dtype="int64"),
+        })
+        if len(block_pdf) == 0 or len(fr_pdf) == 0:
+            return empty
+        row = block_pdf.iloc[0]
+        srcs = np.asarray(row["srcs"], dtype=np.int64)
+        offsets = np.asarray(row["offsets"], dtype=np.int64)
+        dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
+        dst_index = np.asarray(row["dst_index"], dtype=np.int64)
+
+        cur = fr_pdf["cur"].to_numpy(dtype=np.int64)
+        h = fr_pdf["h"].to_numpy(dtype=np.int64)
+        pos = np.clip(np.searchsorted(srcs, cur), 0, len(srcs) - 1)
+        found = srcs[pos] == cur
+        deg = (offsets[pos + 1] - offsets[pos])
+        # masked choice: absent vertices get deg clamped to 1 so the
+        # modulo is defined, then the row is dropped by ``found``
+        idx = offsets[pos] + h % np.maximum(deg, 1)
+        nxt = dst_ids[dst_index[np.clip(idx, 0, len(dst_index) - 1)]]
+        keep = found & (deg > 0)
+        return pd.DataFrame({"wid": fr_pdf["wid"].to_numpy()[keep], "cur": nxt[keep]})
+
+    return blocks.groupby("bucket").cogroup(fr.groupby("bucket")).applyInPandas(
+        kernel, schema="wid string, cur long"
+    )

@@ -139,3 +139,27 @@ def rehydrate(turn_vertices: DataFrame) -> DataFrame:
         .select("conv_id", "turn_idx", "text")
         .orderBy("conv_id", "turn_idx")
     )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Tool-call transition graph: (src_tool, dst_tool, n).
+
+    A transcript-native derived graph (the payload axis of the north
+    rule): for each conversation, consecutive tool-bearing turns in
+    (turn_idx) order contribute one src->dst transition; ``n`` counts
+    them corpus-wide. The per-conversation lead() is a single window
+    pass over the conv-partitioned turns (linear, never a
+    per-conversation self-join), and the aggregate is tool-cardinality
+    scale — at 10^12 turns the output is a tiny dense digraph the
+    engine's centrality operators (pagerank, hits) run on directly.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    tools = transcripts.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool")
+    return (
+        tools.withColumn("dst_tool", F.lead("tool").over(w))
+        .filter(F.col("dst_tool").isNotNull())
+        .groupBy(F.col("tool").alias("src_tool"), "dst_tool")
+        .agg(F.count("*").alias("n"))
+    )

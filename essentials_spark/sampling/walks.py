@@ -1,0 +1,186 @@
+"""Seeded graph sampling: random walks and fanout neighbor sampling.
+
+Training-data pipeline operators the reference does not ship (it is a
+pure analytics engine) but that a link-graph corpus at 10^12-turn scale
+needs for representation learning: node2vec/DeepWalk-style random-walk
+corpora and GraphSAGE-style bounded-fanout neighbor samples. Both are
+built on the engine's existing scale machinery (bucketed static tables,
+packed CSR blocks) and — unusually for "random" sampling — are fully
+deterministic and ANSI-SQL-reproducible, so the driver's DuckDB gate can
+value-check every sampled edge:
+
+- every random choice is a PORTABLE hash (functions/portable_hash
+  ``md5_int60``: first 60 bits of md5, identical in Spark and DuckDB),
+  never an RNG. ``choice(walker, step) = h % degree``;
+- the neighbor order that a choice indexes into is dst-ASCENDING.
+  Dense vids are assigned as the global rank of the string key
+  (graph/keyed.py), so vid order == skey order: the DataFrame path's
+  ``row_number() OVER (ORDER BY dst vid)``, the CSR kernel's packed
+  dst-sorted runs (csr_blocks build: lexsort by (src, dst)), and the
+  oracle SQL's ``ORDER BY dst vkey`` all index the SAME list.
+
+Scale shape (100 TB): the ranked adjacency is built with ONE shuffle
+(both window functions share the src partitioning) and persisted as a
+src-bucketed static table; each walk step shuffles only the O(walks)
+frontier into that layout — the classic frontier ⋈ static-edges advance
+(reference operators/advance, but with a rank-select predicate instead
+of a full expand). The CSR kernel path does the step with zero edge-side
+exchange: frontier rows co-group with their vertex's packed block and
+the next hop is one vectorized gather ``dst[offset[cur] + h % deg]``
+(O(frontier) work, no per-row Python — north-rule requirement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from essentials_spark.engine.static_table import prepare_static_edges
+from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.functions.portable_hash import md5_int60
+
+
+def ranked_adjacency(edges: DataFrame) -> DataFrame:
+    """(src, dst, rank, deg): 1-based rank of dst in src's ascending
+    neighbor list, plus src's degree. Input should already be the
+    canonical symmetrized/dedup'd edge set.
+
+    One shuffle: both windows share the partitionBy(src) exchange
+    (Catalyst reuses the sort for row_number; the unordered count
+    window adds no second exchange)."""
+    w_rank = Window.partitionBy("src").orderBy("dst")
+    w_deg = Window.partitionBy("src")
+    return edges.select("src", "dst").withColumn(
+        "rank", F.row_number().over(w_rank)
+    ).withColumn("deg", F.count("*").over(w_deg))
+
+
+def walk_hash(wid: F.Column, step: int) -> F.Column:
+    """Portable per-(walker, step) choice hash — positive 60-bit long.
+    The oracle twin is ``sql_md5_int60(wid || ':<step>')``."""
+    return md5_int60(F.concat(wid, F.lit(f":{step}")))
+
+
+def random_walks(
+    edges: DataFrame,
+    start: DataFrame,
+    length: int,
+    kernel: str = "dataframe",
+    runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic random walks over a symmetrized edge set.
+
+    ``start``: (wid: string, vid: long) — one row per walker; ``wid``
+    is the portable walker identity every choice hash is derived from
+    (callers build it from the string vertex key, e.g.
+    ``skey || '#' || walk_index``, so the oracle can reproduce it).
+    Returns (wid, step, vid) for step 0..length; a walk that reaches a
+    vertex with no out-neighbors (only isolated vertices, on a
+    symmetrized graph) simply ends early.
+
+    kernel='dataframe': frontier ⋈ ranked-adjacency advance per step
+    (rank-select predicate evaluated inside the join).
+    kernel='csr': vectorized step over the packed CSR blocks — the
+    choice hash is still computed JVM-side (md5), the kernel only does
+    the O(frontier) gather. Both paths index the same dst-ascending
+    neighbor order, so they are A/B-exact.
+    """
+    spark = edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "walks")
+
+    blocks = None
+    radj = None
+    if kernel == "csr":
+        from essentials_spark.graph.csr_blocks import build_csr_blocks
+
+        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+        blocks = prepare_static_edges(
+            build_csr_blocks(edges.select("src", "dst").withColumn("coef", F.lit(1.0)), n_buckets),
+            runner, keys="bucket", n_buckets=n_buckets, name_hint="walk_blocks",
+        )
+    else:
+        radj = prepare_static_edges(
+            ranked_adjacency(edges), runner, keys="src", mode=edges_mode, name_hint="walk_radj"
+        )
+
+    front = truncate_plan(start.select("wid", F.col("vid").alias("cur")))
+    out = [front.select("wid", F.lit(0).alias("step"), F.col("cur").alias("vid"))]
+
+    for t in range(1, length + 1):
+        hashed = front.withColumn("h", walk_hash(F.col("wid"), t))
+        if blocks is not None:
+            from essentials_spark.graph.csr_blocks import csr_walk_step
+
+            stepped = csr_walk_step(blocks, hashed, n_buckets)
+        else:
+            stepped = (
+                hashed.join(radj, hashed.cur == radj.src)
+                .filter(F.col("rank") == F.pmod(F.col("h"), F.col("deg")) + 1)
+                .select("wid", F.col("dst").alias("cur"))
+            )
+        # materialize each frontier: keeps the per-step plan flat (the
+        # O(rounds^2) lineage re-evaluation truncate_plan exists to
+        # stop) and lets the step unions below share the stored blocks
+        front = truncate_plan(stepped)
+        out.append(front.select("wid", F.lit(t).alias("step"), F.col("cur").alias("vid")))
+        if front.isEmpty():
+            break
+
+    walks = out[0]
+    for df in out[1:]:
+        walks = walks.unionByName(df)
+    runner.finalize()
+    return walks
+
+
+def sampled_adjacency(key_edges: DataFrame, fanout: int, seed: str = "ns") -> DataFrame:
+    """GraphSAGE-style bounded-fanout neighbor table over STRING-keyed
+    symmetrized edges (src_key, dst_key): per src, keep the ``fanout``
+    neighbors with the smallest portable hash of (src, dst, seed) —
+    node-level sampling (one sample per vertex, shared by every query
+    that expands it), the standard trick that makes multi-hop expansion
+    a pure join instead of per-root re-sampling.
+
+    One shuffle (the row_number window by src_key); at 100 TB the
+    output is a fanout-bounded static table — n·fanout rows regardless
+    of skew, which is the point: hub neighborhoods are capped before
+    any downstream hop join can amplify them."""
+    h = md5_int60(F.concat(F.col("src_key"), F.lit(":"), F.col("dst_key"), F.lit(f":{seed}")))
+    w = Window.partitionBy("src_key").orderBy(F.col("h"), F.col("dst_key"))
+    return (
+        key_edges.select("src_key", "dst_key")
+        .withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= fanout)
+        .select("src_key", "dst_key")
+    )
+
+
+def neighbor_sample(
+    key_edges: DataFrame,
+    roots: DataFrame,
+    fanouts: list[int],
+    seed: str = "ns",
+) -> DataFrame:
+    """Multi-hop sampled neighborhood expansion: for each root in
+    ``roots`` (root_key), hop i expands the previous hop's frontier
+    through :func:`sampled_adjacency` with fanout ``fanouts[i]``.
+    Returns (root_key, hop, src_key, dst_key) — the sampled computation
+    graph a GNN mini-batch loader would feed.
+
+    Each hop is one equi-join of the (root-bounded) frontier against
+    the fanout-capped adjacency — frontier size is bounded by
+    |roots|·Πfanouts by construction, so the expansion can never go
+    edge-scale even through hubs."""
+    out = None
+    front = roots.select(F.col("root_key"), F.col("root_key").alias("src_key"))
+    for hop, f in enumerate(fanouts, start=1):
+        adj = sampled_adjacency(key_edges, f, seed=f"{seed}:{hop}")
+        step = front.join(adj, "src_key").select(
+            "root_key", F.lit(hop).alias("hop"), "src_key", "dst_key"
+        ).distinct()
+        out = step if out is None else out.unionByName(step)
+        front = step.select("root_key", F.col("dst_key").alias("src_key")).distinct()
+    return out

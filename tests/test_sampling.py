@@ -1,0 +1,175 @@
+"""Sampling (random walks, fanout neighbor sampling), link prediction,
+and tool-transition derivation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import graph_from_edges
+
+
+def _sym_edges(spark, pairs):
+    rows = []
+    for u, v in pairs:
+        rows.append((u, v))
+        if u != v:
+            rows.append((v, u))
+    return spark.createDataFrame(rows, "src long, dst long").dropDuplicates(["src", "dst"])
+
+
+RW_PAIRS = [(0, 1), (1, 2), (2, 3), (1, 3), (3, 4), (4, 0), (2, 5), (5, 6)]
+
+
+def test_random_walks_df_csr_exact(spark):
+    from essentials_spark.sampling import random_walks
+
+    edges = _sym_edges(spark, RW_PAIRS)
+    start = spark.createDataFrame(
+        [(f"v{i}#{w}", i) for i in range(7) for w in range(2)], "wid string, vid long"
+    )
+    a = random_walks(edges, start, length=5, kernel="dataframe")
+    b = random_walks(edges, start, length=5, kernel="csr", n_buckets=4)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # 14 walkers x 6 steps, no dead ends on this connected graph
+    assert len(ra) == 14 * 6
+
+
+def test_random_walks_steps_are_edges_and_match_rank_choice(spark):
+    from essentials_spark.functions.portable_hash import md5_int60
+    from essentials_spark.sampling import random_walks, ranked_adjacency
+
+    edges = _sym_edges(spark, RW_PAIRS)
+    start = spark.createDataFrame([(f"v{i}#0", i) for i in range(7)], "wid string, vid long")
+    walks = random_walks(edges, start, length=4)
+    edge_set = {(r.src, r.dst) for r in edges.collect()}
+    radj = {(r.src, r.rank): r.dst for r in ranked_adjacency(edges).collect()}
+    deg = {}
+    for (s, _r), _d in radj.items():
+        deg[s] = deg.get(s, 0) + 1
+    rows = sorted(map(tuple, walks.collect()), key=lambda t: (t[0], t[1]))
+    by_wid = {}
+    for wid, step, vid in rows:
+        by_wid.setdefault(wid, []).append((step, vid))
+    # recompute every choice independently (Spark-side md5 just for the
+    # hash value; the indexing arithmetic redone in Python)
+    hash_inputs = [(wid, t) for wid, path in by_wid.items() for t, _ in path if t > 0]
+    hdf = spark.createDataFrame(hash_inputs, "wid string, step int").withColumn(
+        "h", md5_int60(F.concat(F.col("wid"), F.lit(":"), F.col("step").cast("string")))
+    )
+    hmap = {(r.wid, r.step): r.h for r in hdf.collect()}
+    for wid, path in by_wid.items():
+        assert [t for t, _ in path] == list(range(len(path)))
+        for (t0, v0), (t1, v1) in zip(path, path[1:]):
+            assert (v0, v1) in edge_set
+            want = radj[(v0, hmap[(wid, t1)] % deg[v0] + 1)]
+            assert v1 == want
+
+
+def test_random_walks_isolated_vertex_ends_at_step0(spark):
+    from essentials_spark.sampling import random_walks
+
+    edges = _sym_edges(spark, [(0, 1)])
+    start = spark.createDataFrame([("v9#0", 9)], "wid string, vid long")
+    rows = random_walks(edges, start, length=3).collect()
+    assert [(r.wid, r.step, r.vid) for r in rows] == [("v9#0", 0, 9)]
+
+
+def test_sampled_adjacency_fanout_bound_and_subset(spark):
+    from essentials_spark.sampling import sampled_adjacency
+
+    ke = spark.createDataFrame(
+        [(f"v{u}", f"v{v}") for u, v in RW_PAIRS] + [(f"v{v}", f"v{u}") for u, v in RW_PAIRS],
+        "src_key string, dst_key string",
+    ).dropDuplicates()
+    full = {(r.src_key, r.dst_key) for r in ke.collect()}
+    sa = sampled_adjacency(ke, 2)
+    rows = [(r.src_key, r.dst_key) for r in sa.collect()]
+    assert set(rows) <= full
+    per_src = {}
+    for s, _d in rows:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert max(per_src.values()) <= 2
+    # vertices with degree <= fanout keep their full neighborhood
+    degs = {}
+    for s, _d in full:
+        degs[s] = degs.get(s, 0) + 1
+    for s, d in degs.items():
+        assert per_src.get(s, 0) == min(d, 2)
+    # deterministic
+    again = [(r.src_key, r.dst_key) for r in sampled_adjacency(ke, 2).collect()]
+    assert sorted(rows) == sorted(again)
+
+
+def test_neighbor_sample_hop_structure(spark):
+    from essentials_spark.sampling import neighbor_sample, sampled_adjacency
+
+    ke = spark.createDataFrame(
+        [(f"v{u}", f"v{v}") for u, v in RW_PAIRS] + [(f"v{v}", f"v{u}") for u, v in RW_PAIRS],
+        "src_key string, dst_key string",
+    ).dropDuplicates()
+    roots = spark.createDataFrame([("v1",), ("v5",)], "root_key string")
+    out = neighbor_sample(ke, roots, [2, 1], seed="t")
+    rows = [(r.root_key, r.hop, r.src_key, r.dst_key) for r in out.collect()]
+    assert len(rows) == len(set(rows))
+    hop1 = {(r[0], r[2], r[3]) for r in rows if r[1] == 1}
+    hop2 = {r for r in rows if r[1] == 2}
+    # hop-1 rows start at their root
+    assert all(root == src for root, src, _ in hop1)
+    # hop-2 sources are hop-1 destinations of the same root
+    hop1_dst = {(root, dst) for root, _src, dst in hop1}
+    assert all((root, src) in hop1_dst for root, _h, src, _dst in hop2)
+    # hop-i edges come from the hop-i sampled adjacency (seeded per hop)
+    sa1 = {(r.src_key, r.dst_key) for r in sampled_adjacency(ke, 2, seed="t:1").collect()}
+    sa2 = {(r.src_key, r.dst_key) for r in sampled_adjacency(ke, 1, seed="t:2").collect()}
+    assert all((src, dst) in sa1 for _root, src, dst in hop1)
+    assert all((src, dst) in sa2 for _root, _h, src, dst in hop2)
+
+
+def test_linkpred_golden_star(spark):
+    """Star 0-{1,2,3} + edge 1-2: candidates (1,3) and (2,3) share the
+    hub 0 (deg 3): cn=1, jac=1/(deg_u+deg_w-1), aa=1/ln(3); (1,2) is
+    adjacent and excluded."""
+    import math
+
+    from essentials_spark.algos.linkpred import linkpred_scores
+
+    g = graph_from_edges(spark, [(0, 1), (0, 2), (0, 3), (1, 2)])
+    rows = {(r.u, r.w): r for r in linkpred_scores(g, min_cn=1).collect()}
+    assert set(rows) == {(1, 3), (2, 3)}
+    for pair in [(1, 3), (2, 3)]:
+        r = rows[pair]
+        assert r.cn == 1
+        assert r.jac == pytest.approx(1.0 / (2 + 1 - 1))
+        assert r.aa == pytest.approx(1.0 / math.log(3))
+
+
+def test_linkpred_min_cn_and_center_cap(spark):
+    from essentials_spark.algos.linkpred import linkpred_scores
+
+    # 4-cycle 0-1-2-3-0: (0,2) and (1,3) each share TWO centers
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    rows = {(r.u, r.w): r.cn for r in linkpred_scores(g, min_cn=2).collect()}
+    assert rows == {(0, 2): 2, (1, 3): 2}
+    # capping centers below their degree (2) removes every wedge
+    assert linkpred_scores(g, min_cn=1, center_cap=1).count() == 0
+
+
+def test_tool_transitions(spark):
+    from essentials_spark.io.transcripts import tool_transitions
+
+    rows = [
+        ("c1", 0, "user", "t", "grep", None),
+        ("c1", 1, "assistant", "t", None, None),
+        ("c1", 2, "user", "t", "read", None),
+        ("c1", 3, "user", "t", "grep", None),
+        ("c2", 0, "user", "t", "read", None),
+        ("c2", 1, "user", "t", "grep", None),
+        ("c3", 0, "user", "t", "grep", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {(r.src_tool, r.dst_tool): r.n for r in tool_transitions(t).collect()}
+    # c1: grep->read (skipping the tool-less turn), read->grep; c2: read->grep
+    assert out == {("grep", "read"): 1, ("read", "grep"): 2}
