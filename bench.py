@@ -244,7 +244,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--probe",
-        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss"],
+        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks"],
         default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
@@ -261,7 +261,9 @@ def main() -> None:
         "princ = incremental PageRank maintenance (warm-start re-solve "
         "on a 10%% micro-batch vs a cold solve on the union); "
         "ktruss = 4-truss peel on the windowed turn graph (delta-"
-        "maintained support vs per-round full recompute, A/B timed)",
+        "maintained support vs per-round full recompute, A/B timed); "
+        "walks = seeded random-walk corpus generation, one walker per "
+        "vertex x 10 steps (--kernel csr for the packed gather kernel)",
     )
     ap.add_argument(
         "--method", default="hindex", choices=["hindex", "local", "peel"],
@@ -356,6 +358,47 @@ def main() -> None:
             "edges_per_sec": round(m_sym * iters / t["sec"]),
         }))
         pg.close()
+        spark.stop()
+        return
+
+    if args.probe == "walks":
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from pyspark.sql import functions as F
+
+        from essentials_spark.graph.derive import canonicalize_edges
+        from essentials_spark.graph.keyed import keyed_graph_from_transcripts
+        from essentials_spark.io.transcripts import synth_transcripts
+        from essentials_spark.sampling import random_walks
+        from essentials_spark.session import get_spark
+
+        jvms = competing_jvms()
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-walks", shuffle_partitions=cpus)
+        n_convs = args.synthetic or 200_000
+        kg = keyed_graph_from_transcripts(synth_transcripts(spark, n_convs=n_convs, seed=42))
+        sym = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+        sym = sym.persist()
+        m = sym.count()
+        start = kg.vkeys.select(F.concat("skey", F.lit("#0")).alias("wid"), "vid").persist()
+        n_walkers = start.count()
+        length = 10
+        steps_per_pass: list[int] = []
+
+        def one_walks_pass():
+            walks = random_walks(sym, start, length=length, kernel=args.kernel)
+            rows = walks.count()
+            steps_per_pass.append(rows - n_walkers)  # rows beyond step 0
+
+        t = timed_min(one_walks_pass, args.passes)
+        steps = steps_per_pass[t["samples"].index(t["sec"])]
+        print(json.dumps({
+            "metric": "walks_probe", "cpus": cpus, "sec": t["sec"],
+            "samples": t["samples"], "competing_jvms": jvms,
+            "kernel": args.kernel, "n_edges_sym": m,
+            "n_walkers": n_walkers, "walk_length": length,
+            "steps_traversed": steps,
+            "steps_per_sec": round(steps / t["sec"]),
+        }))
         spark.stop()
         return
 
