@@ -1030,6 +1030,32 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_walk_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts from the walk corpus
+    (sampling/walks.walk_contexts, window=2) — the word2vec training
+    table a DeepWalk pipeline materializes."""
+    from essentials_spark.sampling import random_walks, walk_contexts
+
+    kg = _keyed_graph(spark, sf_dir)
+    start = kg.vkeys.select(F.concat(F.col("skey"), F.lit("#0")).alias("wid"), "vid")
+    walks = random_walks(_sym_vid_edges(kg), start, length=WALK_LEN)
+    ctx = walk_contexts(walks, window=2)
+    return (
+        ctx.join(kg.vkeys.select(F.col("vid").alias("center"), F.col("skey").alias("center_key")), "center")
+        .join(kg.vkeys.select(F.col("vid").alias("ctx"), F.col("skey").alias("ctx_key")), "ctx")
+        .select("center_key", "ctx_key", "cnt")
+    )
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation payload profile (io/transcripts.
+    conversation_stats): the rollup table a curation pipeline filters
+    before graph derivation."""
+    from essentials_spark.io.transcripts import conversation_stats
+
+    return conversation_stats(_transcripts(spark, sf_dir))
+
+
 def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript-native tool-call transition digraph
     (io/transcripts.tool_transitions): consecutive tool-bearing turns
@@ -1096,9 +1122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "random_walks": q_random_walks,
         "random_walks_csr": q_random_walks_csr,
+        "walk_contexts": q_walk_contexts,
         "neighbor_sample": q_neighbor_sample,
         "adamic_adar": q_adamic_adar,
         "tool_transitions": q_tool_transitions,
+        "conv_stats": q_conv_stats,
     }
 
 
@@ -1834,10 +1862,10 @@ def _materialize_ctes(sql: str) -> str:
     return re.sub(r"(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
 
 
-def _walks_sql() -> str:
-    """Replay q_random_walks' trajectories in DuckDB: the same ranked
-    dst-ascending adjacency (vkey order == vid order), the same
-    portable md5 choice hash per (walker, step)."""
+def _walks_parts() -> tuple[list[str], str]:
+    """Shared trajectory CTE chain: the same ranked dst-ascending
+    adjacency (vkey order == vid order), the same portable md5 choice
+    hash per (walker, step). Returns (cte_parts, walks_union_select)."""
     from essentials_spark.functions.portable_hash import sql_md5_int60
 
     parts = [
@@ -1853,12 +1881,41 @@ def _walks_sql() -> str:
             f"w{t} AS (SELECT w.wid, r.dst AS cur FROM w{t - 1} w JOIN ranked r"
             f" ON r.src = w.cur AND r.rnk = 1 + ({h} % r.deg))"
         )
-    body = ",\n".join(parts)
-    selects = [
-        f"SELECT wid, CAST({t} AS INT) AS step, cur AS skey FROM w{t}"
+    union = " UNION ALL ".join(
+        f"SELECT wid, CAST({t} AS INT) AS step, cur FROM w{t}"
         for t in range(WALK_LEN + 1)
-    ]
-    return f"WITH {body}\n" + "\nUNION ALL\n".join(selects)
+    )
+    return parts, union
+
+
+def _walks_sql() -> str:
+    parts, union = _walks_parts()
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT wid, step, cur AS skey FROM ({union})"
+
+
+def _walk_contexts_sql(window: int = 2) -> str:
+    """Skip-gram pairs over the replayed trajectories: lead(cur, d)
+    per wid (mirroring walk_contexts' window pass), both directions,
+    counted."""
+    parts, union = _walks_parts()
+    leads = ", ".join(
+        f"lead(cur, {d}) OVER (PARTITION BY wid ORDER BY step) AS c{d}"
+        for d in range(1, window + 1)
+    )
+    parts.append(f"wt AS ({union})")
+    parts.append(f"led AS (SELECT cur, {leads} FROM wt)")
+    pair_selects = []
+    for d in range(1, window + 1):
+        pair_selects.append(f"SELECT cur AS center, c{d} AS ctx FROM led WHERE c{d} IS NOT NULL")
+        pair_selects.append(f"SELECT c{d} AS center, cur AS ctx FROM led WHERE c{d} IS NOT NULL")
+    parts.append("ctxp AS (" + " UNION ALL ".join(pair_selects) + ")")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        "SELECT center AS center_key, ctx AS ctx_key, count(*) AS cnt"
+        " FROM ctxp GROUP BY center, ctx"
+    )
 
 
 def _neighbor_sample_sql() -> str:
@@ -2170,8 +2227,17 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
     sql["random_walks"] = _walks_sql()
     # CSR walk kernel vs the same trajectory oracle (A/B x2)
     sql["random_walks_csr"] = _walks_sql()
+    sql["walk_contexts"] = _walk_contexts_sql()
     sql["neighbor_sample"] = _neighbor_sample_sql()
     sql["adamic_adar"] = _adamic_adar_sql()
     sql["tool_transitions"] = _tool_transitions_sql()
+    sql["conv_stats"] = (
+        f"WITH {_PRELUDE}\n"
+        "SELECT conv_id, count(*) AS n_turns, count(tool) AS n_tool_calls,"
+        " count(DISTINCT tool) AS n_distinct_tools,"
+        " epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,"
+        " round(avg(length(text)), 6) AS avg_text_len"
+        " FROM tr GROUP BY conv_id"
+    )
 
     return {name: _materialize_ctes(s) for name, s in sql.items()}

@@ -163,3 +163,24 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
         .groupBy(F.col("tool").alias("src_tool"), "dst_tool")
         .agg(F.count("*").alias("n"))
     )
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation rollup: (conv_id, n_turns, n_tool_calls,
+    n_distinct_tools, duration_us, avg_text_len).
+
+    The transcript-payload profile table a curation pipeline filters
+    on (too-short conversations, tool-spam, degenerate text) before
+    graph derivation. One shuffle (groupBy conv_id) with map-side
+    partials; every aggregate is a built-in JVM expression. ``ts`` is
+    TIMESTAMP_NTZ — the duration is an exact NTZ-to-NTZ microsecond
+    diff (session-timezone-independent, no boundary-truncation
+    semantics to disagree on cross-engine).
+    """
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.count("tool").alias("n_tool_calls"),
+        F.countDistinct("tool").alias("n_distinct_tools"),
+        F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts")).alias("duration_us"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_text_len"),
+    )

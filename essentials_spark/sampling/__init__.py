@@ -3,6 +3,13 @@ from essentials_spark.sampling.walks import (
     random_walks,
     ranked_adjacency,
     sampled_adjacency,
+    walk_contexts,
 )
 
-__all__ = ["ranked_adjacency", "random_walks", "sampled_adjacency", "neighbor_sample"]
+__all__ = [
+    "ranked_adjacency",
+    "random_walks",
+    "sampled_adjacency",
+    "neighbor_sample",
+    "walk_contexts",
+]

@@ -80,8 +80,15 @@ def random_walks(
     vertex with no out-neighbors (only isolated vertices, on a
     symmetrized graph) simply ends early.
 
-    kernel='dataframe': frontier ⋈ ranked-adjacency advance per step
-    (rank-select predicate evaluated inside the join).
+    kernel='dataframe': two joins per step, both against src-bucketed
+    static tables — a narrow degree lookup to compute the target rank,
+    then a PURE EQUI-JOIN on (src, rank) against the ranked adjacency.
+    The equi-join makes each walker an O(1) point probe; the naive
+    shape (join on src, filter rank afterwards) streams deg(src)
+    candidate rows per walker through the predicate — a walker sitting
+    on a 10^6-degree hub would expand a million rows to keep one. The
+    static side's HashPartitioning(src) satisfies the (src, rank)
+    clustering, so only the frontier shuffles.
     kernel='csr': vectorized step over the packed CSR blocks — the
     choice hash is still computed JVM-side (md5), the kernel only does
     the O(frontier) gather. Both paths index the same dst-ascending
@@ -92,6 +99,7 @@ def random_walks(
 
     blocks = None
     radj = None
+    degt = None
     if kernel == "csr":
         from essentials_spark.graph.csr_blocks import build_csr_blocks
 
@@ -104,6 +112,10 @@ def random_walks(
         radj = prepare_static_edges(
             ranked_adjacency(edges), runner, keys="src", mode=edges_mode, name_hint="walk_radj"
         )
+        degt = prepare_static_edges(
+            edges.groupBy("src").agg(F.count("*").alias("deg")),
+            runner, keys="src", mode=edges_mode, name_hint="walk_deg",
+        )
 
     front = truncate_plan(start.select("wid", F.col("vid").alias("cur")))
     out = [front.select("wid", F.lit(0).alias("step"), F.col("cur").alias("vid"))]
@@ -115,9 +127,12 @@ def random_walks(
 
             stepped = csr_walk_step(blocks, hashed, n_buckets)
         else:
+            chosen = (
+                hashed.join(degt, hashed.cur == degt.src)
+                .select("wid", "cur", (F.pmod(F.col("h"), F.col("deg")) + 1).alias("rank"))
+            )
             stepped = (
-                hashed.join(radj, hashed.cur == radj.src)
-                .filter(F.col("rank") == F.pmod(F.col("h"), F.col("deg")) + 1)
+                chosen.join(radj, (chosen.cur == radj.src) & (chosen.rank == radj.rank))
                 .select("wid", F.col("dst").alias("cur"))
             )
         # materialize each frontier: keeps the per-step plan flat (the
@@ -184,3 +199,32 @@ def neighbor_sample(
         out = step if out is None else out.unionByName(step)
         front = step.select("root_key", F.col("dst_key").alias("src_key")).distinct()
     return out
+
+
+def walk_contexts(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pair counts from a walk corpus —
+    the word2vec-style training table DeepWalk/node2vec feed to an
+    embedding trainer. For every walk, vertices at step distance
+    1..window form a pair (both directions); returns
+    (center, ctx, cnt) aggregated corpus-wide.
+
+    Plan: ONE window pass per walk (lead(vid, d) for d <= window over
+    the wid partition — O(window) projected columns, a single shuffle
+    by wid), then a stack + groupBy with map-side partials. Never a
+    walks ⋈ walks self-join: at 10^12-turn scale the corpus is
+    n·walks_per_vertex·length rows and the window pass keeps context
+    extraction linear in it."""
+    w = Window.partitionBy("wid").orderBy("step")
+    base = walks.select(
+        "vid", *[F.lead("vid", d).over(w).alias(f"c{d}") for d in range(1, window + 1)]
+    )
+    pairs = None
+    for d in range(1, window + 1):
+        fwd = base.filter(F.col(f"c{d}").isNotNull()).select(
+            F.col("vid").alias("center"), F.col(f"c{d}").alias("ctx")
+        )
+        both = fwd.unionByName(
+            fwd.select(F.col("ctx").alias("center"), F.col("center").alias("ctx"))
+        )
+        pairs = both if pairs is None else pairs.unionByName(both)
+    return pairs.groupBy("center", "ctx").agg(F.count("*").alias("cnt"))

@@ -173,3 +173,55 @@ def test_tool_transitions(spark):
     out = {(r.src_tool, r.dst_tool): r.n for r in tool_transitions(t).collect()}
     # c1: grep->read (skipping the tool-less turn), read->grep; c2: read->grep
     assert out == {("grep", "read"): 1, ("read", "grep"): 2}
+
+
+def test_walk_contexts_window_pairs(spark):
+    from essentials_spark.sampling import walk_contexts
+
+    walks = spark.createDataFrame(
+        [("a#0", 0, 10), ("a#0", 1, 11), ("a#0", 2, 12), ("b#0", 0, 20), ("b#0", 1, 21)],
+        "wid string, step int, vid long",
+    )
+    out = {(r.center, r.ctx): r.cnt for r in walk_contexts(walks, window=2).collect()}
+    # walk a: (10,11),(11,12) at d=1; (10,12) at d=2; walk b: (20,21); all both directions
+    expect = {
+        (10, 11): 1, (11, 10): 1, (11, 12): 1, (12, 11): 1,
+        (10, 12): 1, (12, 10): 1, (20, 21): 1, (21, 20): 1,
+    }
+    assert out == expect
+
+
+def test_walk_contexts_counts_aggregate(spark):
+    from essentials_spark.sampling import walk_contexts
+
+    # two walks traverse the same pair -> cnt 2
+    walks = spark.createDataFrame(
+        [("a#0", 0, 1), ("a#0", 1, 2), ("b#0", 0, 1), ("b#0", 1, 2)],
+        "wid string, step int, vid long",
+    )
+    out = {(r.center, r.ctx): r.cnt for r in walk_contexts(walks, window=1).collect()}
+    assert out == {(1, 2): 2, (2, 1): 2}
+
+
+def test_conversation_stats(spark):
+    import datetime as dt
+
+    from essentials_spark.io.transcripts import conversation_stats
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("c1", 0, "user", "abcd", "grep", base),
+        ("c1", 1, "assistant", "ab", None, base + dt.timedelta(microseconds=1_500_000)),
+        ("c1", 2, "user", "abcdef", "grep", base + dt.timedelta(seconds=10)),
+        ("c2", 0, "user", "xy", None, base),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz"
+    )
+    out = {r.conv_id: r for r in conversation_stats(t).collect()}
+    c1 = out["c1"]
+    assert (c1.n_turns, c1.n_tool_calls, c1.n_distinct_tools) == (3, 2, 1)
+    assert c1.duration_us == 10_000_000
+    assert c1.avg_text_len == 4.0
+    c2 = out["c2"]
+    assert (c2.n_turns, c2.n_tool_calls, c2.n_distinct_tools, c2.duration_us) == (1, 0, 0, 0)
