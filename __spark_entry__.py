@@ -1047,6 +1047,21 @@ def q_walk_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA authority/hub scores (algos/salsa.py — degree-normalized
+    HITS with L1 per-round normalization), HITS_ROUNDS iterations,
+    ppm-rounded."""
+    from essentials_spark.algos import salsa
+
+    kg = _keyed_graph(spark, sf_dir)
+    out = salsa(kg.graph, max_iter=HITS_ROUNDS)
+    return out.join(kg.vkeys, "vid").select(
+        "skey",
+        F.round(F.col("auth") * 1e6).cast("long").alias("auth_ppm"),
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_ppm"),
+    )
+
+
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation payload profile (io/transcripts.
     conversation_stats): the rollup table a curation pipeline filters
@@ -1127,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "tool_transitions": q_tool_transitions,
         "conv_stats": q_conv_stats,
+        "salsa": q_salsa,
     }
 
 
@@ -1356,6 +1372,44 @@ def _hits_sql() -> str:
         f"WITH {body}\nSELECT vkey AS skey,"
         f" CAST(round(auth * 1e6) AS BIGINT) AS auth_ppm,"
         f" CAST(round(hub * 1e6) AS BIGINT) AS hub_ppm FROM h{HITS_ROUNDS}"
+    )
+
+
+def _salsa_sql() -> str:
+    """Unrolled SALSA twin of q_salsa. Contributions are
+    ``score * (1.0 / deg)`` — the precomputed-reciprocal operation
+    order the Spark side uses — so both engines round identically."""
+    parts = [
+        _PRELUDE,
+        "od AS (SELECT src, 1.0 / count(*) AS w_out FROM edges_k GROUP BY src)",
+        "idg AS (SELECT dst, 1.0 / count(*) AS w_in FROM edges_k GROUP BY dst)",
+        "s0 AS (SELECT vkey, 1.0 AS auth, 1.0 AS hub FROM verts)",
+    ]
+    for i in range(HITS_ROUNDS):
+        parts.append(
+            f"sa{i} AS (SELECT v.vkey, coalesce(x.a, 0.0) AS a, v.hub FROM s{i} v LEFT JOIN ("
+            f"  SELECT e.dst, sum(h.hub * o.w_out) AS a FROM edges_k e"
+            f"  JOIN s{i} h ON h.vkey = e.src JOIN od o ON o.src = e.src"
+            f"  GROUP BY e.dst) x ON x.dst = v.vkey)"
+        )
+        parts.append(
+            f"sh{i} AS (SELECT v.vkey, v.a, coalesce(y.h, 0.0) AS h FROM sa{i} v LEFT JOIN ("
+            f"  SELECT e.src, sum(s.a * d.w_in) AS h FROM edges_k e"
+            f"  JOIN sa{i} s ON s.vkey = e.dst JOIN idg d ON d.dst = e.dst"
+            f"  GROUP BY e.src) y ON y.src = v.vkey)"
+        )
+        parts.append(f"sn{i} AS (SELECT sum(a) AS na, sum(h) AS nh FROM sh{i})")
+        parts.append(
+            f"s{i + 1} AS (SELECT v.vkey,"
+            f" CASE WHEN n.na > 0 THEN v.a / n.na ELSE 0.0 END AS auth,"
+            f" CASE WHEN n.nh > 0 THEN v.h / n.nh ELSE 0.0 END AS hub"
+            f" FROM sh{i} v CROSS JOIN sn{i} n)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT vkey AS skey,"
+        f" CAST(round(auth * 1e6) AS BIGINT) AS auth_ppm,"
+        f" CAST(round(hub * 1e6) AS BIGINT) AS hub_ppm FROM s{HITS_ROUNDS}"
     )
 
 
@@ -2231,6 +2285,7 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
     sql["neighbor_sample"] = _neighbor_sample_sql()
     sql["adamic_adar"] = _adamic_adar_sql()
     sql["tool_transitions"] = _tool_transitions_sql()
+    sql["salsa"] = _salsa_sql()
     sql["conv_stats"] = (
         f"WITH {_PRELUDE}\n"
         "SELECT conv_id, count(*) AS n_turns, count(tool) AS n_tool_calls,"

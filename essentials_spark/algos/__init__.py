@@ -21,6 +21,7 @@ from essentials_spark.algos.lp import label_propagation  # noqa: F401
 from essentials_spark.algos.tc import incremental_tc_update, triangle_count  # noqa: F401
 from essentials_spark.algos.traversal import bfs, sssp  # noqa: F401
 from essentials_spark.algos.hits import hits  # noqa: F401
+from essentials_spark.algos.salsa import salsa  # noqa: F401
 from essentials_spark.algos.kcore import kcore  # noqa: F401
 from essentials_spark.algos.color import color  # noqa: F401
 from essentials_spark.algos.ppr import ppr  # noqa: F401

@@ -606,3 +606,28 @@ def test_truss_decomposition_k4_clique(spark):
     g = graph_from_edges(spark, k4 + tail, n_vertices=6)
     got = {(r["src"], r["dst"]): r["trussness"] for r in truss_decomposition(g).collect()}
     assert got == {**{e: 4 for e in k4}, **{e: 2 for e in tail}}
+
+
+def test_salsa_power_iteration(spark):
+    from essentials_spark.algos import salsa
+
+    g = graph_from_edges(spark, [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)], directed=True, n_vertices=4)
+    res = salsa(g, max_iter=30).orderBy("vid").collect()
+    A = np.zeros((4, 4))
+    for r in g.edges.collect():
+        A[r["src"], r["dst"]] = 1.0
+    outd = A.sum(axis=1)
+    ind = A.sum(axis=0)
+    W_fwd = np.divide(A, outd[:, None], out=np.zeros_like(A), where=outd[:, None] > 0)
+    W_rev = np.divide(A, ind[None, :], out=np.zeros_like(A), where=ind[None, :] > 0)
+    auth, hub = np.ones(4), np.ones(4)
+    for _ in range(30):
+        auth_raw = W_fwd.T @ hub
+        hub_raw = W_rev @ auth_raw
+        auth = auth_raw / auth_raw.sum()
+        hub = hub_raw / hub_raw.sum()
+    assert np.allclose([r["auth"] for r in res], auth, atol=1e-9)
+    assert np.allclose([r["hub"] for r in res], hub, atol=1e-9)
+    # L1 semantics: both are probability distributions
+    assert abs(sum(r["auth"] for r in res) - 1.0) < 1e-9
+    assert abs(sum(r["hub"] for r in res) - 1.0) < 1e-9
