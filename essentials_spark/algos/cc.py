@@ -217,6 +217,83 @@ def connected_components_contract(
     n_buckets = n_buckets or spark.sparkContext.defaultParallelism
     n = graph.vertices.count()
 
+    # --- resumability (north-rule line item, phase granularity) -----
+    # Durable points when a checkpoint_dir is configured:
+    #   iter=1 after phase 1 — rmin + star combined into one tagged
+    #          table (kind 0 = (vid, r) representative rows, kind 1 =
+    #          (src, dst) star edges): the phases that dominate cost
+    #          (the m-scale bucket shuffle + the kernels) never re-run;
+    #   iter=2 the final labels (phase 'done') — a completed run
+    #          restores verbatim, matching the superstep engine's
+    #          force-checkpoint-on-convergence contract.
+    # The fingerprint includes m (one column-pruned count, paid only by
+    # checkpointed runs) so a same-n different-edge-set rerun refuses
+    # the stale state instead of resuming it.
+    rmin = star = agg = None
+    star_cnt = 0
+    if runner.checkpoint_dir and runner.fingerprint is None:
+        runner.fingerprint = (
+            f"cc_contract:n={n}:m={graph.edges.count()}:b={n_buckets}:cap={bucket_row_cap}"
+        )
+    resumed = runner.latest()
+    if resumed is not None:
+        _it0, df0, meta0 = resumed
+        if meta0.get("phase") == "done":
+            out = df0
+            if persist_result:
+                out = out.persist()
+                out.count()
+            runner.log(0, phase="resume", resumed="done")
+            runner.finalize()
+            return out
+        if meta0.get("phase") == "contract":
+            rmin = df0.filter(F.col("kind") == 0).select(
+                F.col("a").alias("vid"), F.col("b").alias("r")
+            )
+            star = truncate_plan(
+                df0.filter(F.col("kind") == 1).select(
+                    F.col("a").alias("src"), F.col("b").alias("dst")
+                )
+            ).persist()
+            star_cnt = star.count()
+            runner.log(0, phase="resume", resumed="contract", star_edges=star_cnt)
+
+    if star is None:
+        rmin, star, star_cnt, agg = _contract_phase1(
+            graph, runner, n, n_buckets, bucket_row_cap
+        )
+        if runner.checkpoint_dir:
+            combined = rmin.select(
+                F.col("vid").alias("a"), F.col("r").alias("b"), F.lit(0).alias("kind")
+            ).unionByName(
+                star.select(
+                    F.col("src").alias("a"), F.col("dst").alias("b"), F.lit(1).alias("kind")
+                )
+            )
+            ck = runner.materialize(combined, 1, force=True, meta={"phase": "contract"})
+            # downstream reads come from the durable copy (free lineage
+            # truncation; the in-memory copies release below)
+            rmin = ck.filter(F.col("kind") == 0).select(
+                F.col("a").alias("vid"), F.col("b").alias("r")
+            )
+            new_star = ck.filter(F.col("kind") == 1).select(
+                F.col("a").alias("src"), F.col("b").alias("dst")
+            ).persist()
+            star.unpersist()
+            star = new_star
+
+    return _contract_phase23(
+        graph, runner, rmin, star, star_cnt, agg,
+        max_iter=max_iter, persist_result=persist_result,
+        single_solve_max=single_solve_max,
+    )
+
+
+def _contract_phase1(graph: Graph, runner, n: int, n_buckets: int, bucket_row_cap: int):
+    """Phase 1 of contraction CC (see connected_components_contract):
+    returns (rmin, star [persisted], star_cnt, agg [persisted])."""
+    spark = graph.edges.sparkSession
+
     # NO canonicalization pass: the local kernel unions both endpoint
     # directions and is duplicate-insensitive, so symmetrize/dedup
     # shuffles would be pure waste — raw directed edges route straight
@@ -296,6 +373,26 @@ def connected_components_contract(
         split_buckets=len(splits),
         max_bucket_rows=max(sizes.values(), default=0),
     )
+    return rmin, star, star_cnt, agg
+
+
+def _contract_phase23(
+    graph: Graph,
+    runner,
+    rmin: DataFrame,
+    star: DataFrame,
+    star_cnt: int,
+    agg: DataFrame | None,
+    max_iter: int,
+    persist_result: bool,
+    single_solve_max: int,
+):
+    """Phases 2 (root-scale stitch) + 3 (rehydration) of contraction
+    CC. ``agg`` is None on a phase-1 resume — the dataframe-engine
+    branch then derives its root set from the star edges (equivalent:
+    star-untouched roots are their own label either way, and phase 3's
+    coalesce handles their absence)."""
+    local_cc = _shiloach_vishkin_kernel
     # phase 2 at root scale. Multi-level solve choice: the star graph
     # is usually 1-2 orders below n (for conversation graphs ~#convs),
     # so below ``single_solve_max`` rows it is solved in ONE task by
@@ -313,7 +410,12 @@ def connected_components_contract(
         ).persist()
         n_roots = labels2.count()  # roots touched by cross-bucket links
     else:
-        roots = agg.select(F.explode("roots_set").alias("vid")).distinct()
+        if agg is not None:
+            roots = agg.select(F.explode("roots_set").alias("vid")).distinct()
+        else:
+            roots = star.select(F.col("src").alias("vid")).unionByName(
+                star.select(F.col("dst").alias("vid"))
+            ).distinct()
         labels2 = connected_components(
             Graph(vertices=roots, edges=star.withColumn("weight", F.lit(1.0))),
             max_iter=max_iter,
@@ -339,11 +441,20 @@ def connected_components_contract(
         )
         .select("vid", F.coalesce(F.col("l2"), F.col("r"), F.col("vid")).alias("label"))
     )
-    out = truncate_plan(out)
+    if runner.checkpoint_dir:
+        # durable final state (phase 'done'): a rerun against the same
+        # checkpoint_dir restores the labels verbatim, the same
+        # force-checkpoint-on-convergence contract as the superstep
+        # engine (materialize returns the parquet read-back, so this
+        # also truncates lineage)
+        out = runner.materialize(out, 2, force=True, meta={"phase": "done"})
+    else:
+        out = truncate_plan(out)
     if persist_result:
         out = out.persist()
         out.count()
-    agg.unpersist()
+    if agg is not None:
+        agg.unpersist()
     star.unpersist()
     try:
         labels2.unpersist()

@@ -212,3 +212,41 @@ def test_truss_decomposition_resume_exact(spark, tmp_path):
     b = {(r["src"], r["dst"]): r["trussness"]
          for r in truss_decomposition(g, runner=r2).collect()}
     assert a == b
+
+
+def test_cc_contract_resume_phases_exact(spark, tmp_path):
+    """Contraction CC resumability (phase granularity): (a) a
+    completed run restores its 'done' checkpoint verbatim; (b) a run
+    killed after phase 1 (done checkpoint deleted) resumes from the
+    contract checkpoint — phase 1 never re-runs — and reproduces
+    identical labels."""
+    import glob
+    import shutil
+
+    from essentials_spark.algos import connected_components, connected_components_contract
+
+    pairs = [(i, i + 1) for i in range(25)] + [(40 + i, 40 + (i * 7 + 1) % 20) for i in range(20)]
+    g = graph_from_edges(spark, pairs, n_vertices=60)
+    expect = {r["vid"]: r["label"] for r in connected_components(g).collect()}
+
+    ck = str(tmp_path / "ckcct")
+    r1 = SuperstepRunner(spark, "cct", checkpoint_dir=ck)
+    a = {r["vid"]: r["label"] for r in connected_components_contract(g, n_buckets=4, runner=r1).collect()}
+    assert a == expect
+    iters = sorted(glob.glob(ck + "/cct/iter=*"))
+    assert [d.rsplit("=", 1)[1] for d in iters] == ["000001", "000002"]
+
+    # (a) completed-run restore: phase 'done' returned verbatim
+    r2 = SuperstepRunner(spark, "cct", checkpoint_dir=ck)
+    b = {r["vid"]: r["label"] for r in connected_components_contract(g, n_buckets=4, runner=r2).collect()}
+    assert b == expect
+    assert any(m.get("resumed") == "done" for m in r2.metrics)
+
+    # (b) death after phase 1: remove the done checkpoint, resume from
+    # the contract one
+    shutil.rmtree(iters[-1])
+    r3 = SuperstepRunner(spark, "cct", checkpoint_dir=ck)
+    c = {r["vid"]: r["label"] for r in connected_components_contract(g, n_buckets=4, runner=r3).collect()}
+    assert c == expect
+    assert any(m.get("resumed") == "contract" for m in r3.metrics)
+    assert not any(m.get("phase") == "contract" and "mapping_rows" in m for m in r3.metrics)
