@@ -989,6 +989,25 @@ def q_random_walks_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.join(kg.vkeys, "vid").select("wid", "step", "skey")
 
 
+N2V_W = (1, 4, 2)  # (w_return, w_common, w_far) — integer node2vec biases
+
+
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased walks (sampling/walks.node2vec_walks):
+    integer (return, common, far) weights over dst-ascending
+    candidates, cumulative pick = h % total — exact integer arithmetic
+    the oracle replays."""
+    from essentials_spark.sampling import node2vec_walks
+
+    kg = _keyed_graph(spark, sf_dir)
+    start = kg.vkeys.select(F.concat(F.col("skey"), F.lit("@0")).alias("wid"), "vid")
+    walks = node2vec_walks(
+        _sym_vid_edges(kg), start, length=WALK_LEN,
+        w_return=N2V_W[0], w_common=N2V_W[1], w_far=N2V_W[2],
+    )
+    return walks.join(kg.vkeys, "vid").select("wid", "step", "skey")
+
+
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style bounded-fanout 2-hop neighborhood samples
     (sampling/walks.neighbor_sample) from a deterministic ~1/37 root
@@ -1138,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "random_walks_csr": q_random_walks_csr,
         "walk_contexts": q_walk_contexts,
+        "node2vec_walks": q_node2vec,
         "neighbor_sample": q_neighbor_sample,
         "adamic_adar": q_adamic_adar,
         "tool_transitions": q_tool_transitions,
@@ -1972,6 +1992,51 @@ def _walk_contexts_sql(window: int = 2) -> str:
     )
 
 
+def _node2vec_sql() -> str:
+    """Replay q_node2vec's second-order trajectories: candidate
+    expansion from the ranked adjacency, N(prev) membership via a LEFT
+    probe of the sym edge set, integer cumulative pick = h % total."""
+    from essentials_spark.functions.portable_hash import sql_md5_int60
+
+    w_ret, w_com, w_far = N2V_W
+    parts = [
+        _PRELUDE,
+        "ranked AS (SELECT src, dst,"
+        " row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk,"
+        " count(*) OVER (PARTITION BY src) AS deg FROM sym)",
+        "v0 AS (SELECT vkey || '@0' AS wid, vkey AS cur FROM verts)",
+    ]
+    h1 = sql_md5_int60("w.wid || ':1'")
+    parts.append(
+        f"v1 AS (SELECT w.wid, w.cur AS prev, r.dst AS cur FROM v0 w JOIN ranked r"
+        f" ON r.src = w.cur AND r.rnk = 1 + ({h1} % r.deg))"
+    )
+    for t in range(2, WALK_LEN + 1):
+        h = sql_md5_int60(f"v.wid || ':{t}'")
+        parts.append(
+            f"cand{t} AS (SELECT v.wid, v.prev, v.cur, r.dst, r.rnk, {h} AS h,"
+            f" CASE WHEN r.dst = v.prev THEN {w_ret}"
+            f" WHEN m.src IS NOT NULL THEN {w_com}"
+            f" ELSE {w_far} END AS w"
+            f" FROM v{t - 1} v JOIN ranked r ON r.src = v.cur"
+            f" LEFT JOIN sym m ON m.src = v.prev AND m.dst = r.dst)"
+        )
+        parts.append(
+            f"v{t} AS (SELECT wid, cur AS prev, dst AS cur FROM ("
+            f" SELECT wid, cur, dst, w, h,"
+            f" sum(w) OVER (PARTITION BY wid ORDER BY rnk) AS cum,"
+            f" sum(w) OVER (PARTITION BY wid) AS tot"
+            f" FROM cand{t})"
+            f" WHERE (h % tot) >= cum - w AND (h % tot) < cum)"
+        )
+    body = ",\n".join(parts)
+    selects = ["SELECT wid, CAST(0 AS INT) AS step, cur AS skey FROM v0"] + [
+        f"SELECT wid, CAST({t} AS INT) AS step, cur AS skey FROM v{t}"
+        for t in range(1, WALK_LEN + 1)
+    ]
+    return f"WITH {body}\n" + " UNION ALL ".join(selects)
+
+
 def _neighbor_sample_sql() -> str:
     from essentials_spark.functions.portable_hash import sql_md5_int60
 
@@ -2282,6 +2347,7 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
     # CSR walk kernel vs the same trajectory oracle (A/B x2)
     sql["random_walks_csr"] = _walks_sql()
     sql["walk_contexts"] = _walk_contexts_sql()
+    sql["node2vec_walks"] = _node2vec_sql()
     sql["neighbor_sample"] = _neighbor_sample_sql()
     sql["adamic_adar"] = _adamic_adar_sql()
     sql["tool_transitions"] = _tool_transitions_sql()

@@ -266,8 +266,9 @@ def main() -> None:
         "vertex x 10 steps (--kernel csr for the packed gather kernel)",
     )
     ap.add_argument(
-        "--method", default="hindex", choices=["hindex", "local", "peel"],
-        help="kcore probe: fixpoint variant (local = bucketed local-fixpoint kernels)",
+        "--method", default="hindex", choices=["hindex", "local", "peel", "node2vec"],
+        help="kcore probe: fixpoint variant (local = bucketed local-fixpoint "
+        "kernels); walks probe: 'node2vec' switches to second-order biased walks",
     )
     ap.add_argument(
         "--batch-pct", type=int, default=10,
@@ -369,7 +370,7 @@ def main() -> None:
         from essentials_spark.graph.derive import canonicalize_edges
         from essentials_spark.graph.keyed import keyed_graph_from_transcripts
         from essentials_spark.io.transcripts import synth_transcripts
-        from essentials_spark.sampling import random_walks
+        from essentials_spark.sampling import node2vec_walks, random_walks
         from essentials_spark.session import get_spark
 
         jvms = competing_jvms()
@@ -382,10 +383,14 @@ def main() -> None:
         start = kg.vkeys.select(F.concat("skey", F.lit("#0")).alias("wid"), "vid").persist()
         n_walkers = start.count()
         length = 10
+        second_order = args.method == "node2vec"
         steps_per_pass: list[int] = []
 
         def one_walks_pass():
-            walks = random_walks(sym, start, length=length, kernel=args.kernel)
+            if second_order:
+                walks = node2vec_walks(sym, start, length=length, kernel=args.kernel)
+            else:
+                walks = random_walks(sym, start, length=length, kernel=args.kernel)
             rows = walks.count()
             steps_per_pass.append(rows - n_walkers)  # rows beyond step 0
 
@@ -394,7 +399,8 @@ def main() -> None:
         print(json.dumps({
             "metric": "walks_probe", "cpus": cpus, "sec": t["sec"],
             "samples": t["samples"], "competing_jvms": jvms,
-            "kernel": args.kernel, "n_edges_sym": m,
+            "kernel": args.kernel, "order": "second" if second_order else "first",
+            "n_edges_sym": m,
             "n_walkers": n_walkers, "walk_length": length,
             "steps_traversed": steps,
             "steps_per_sec": round(steps / t["sec"]),

@@ -300,3 +300,148 @@ def csr_walk_step(blocks: DataFrame, frontier: DataFrame, n_buckets: int) -> Dat
     return blocks.groupby("bucket").cogroup(fr.groupby("bucket")).applyInPandas(
         kernel, schema="wid string, cur long"
     )
+
+
+def csr_node2vec_expand(blocks: DataFrame, frontier: DataFrame, n_buckets: int) -> DataFrame:
+    """Candidate expansion for a second-order walk step: frontier
+    (wid, prev, cur, h) co-groups with cur's block; emits one row per
+    neighbor of cur — (wid, prev, cur, h, dst, rank), rank 1-based in
+    the dst-ascending run. Pure vectorized repeat/gather."""
+    import numpy as np
+    import pandas as pd
+
+    fr = frontier.select(
+        F.pmod(F.col("cur"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "wid", "prev", "cur", "h",
+    )
+
+    def kernel(block_pdf: pd.DataFrame, fr_pdf: pd.DataFrame):
+        empty = pd.DataFrame({
+            "wid": pd.Series(dtype="object"),
+            "prev": pd.Series(dtype="int64"),
+            "cur": pd.Series(dtype="int64"),
+            "h": pd.Series(dtype="int64"),
+            "dst": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+        })
+        if len(block_pdf) == 0 or len(fr_pdf) == 0:
+            return empty
+        row = block_pdf.iloc[0]
+        srcs = np.asarray(row["srcs"], dtype=np.int64)
+        offsets = np.asarray(row["offsets"], dtype=np.int64)
+        dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
+        dst_index = np.asarray(row["dst_index"], dtype=np.int64)
+
+        cur = fr_pdf["cur"].to_numpy(dtype=np.int64)
+        pos = np.clip(np.searchsorted(srcs, cur), 0, len(srcs) - 1)
+        found = srcs[pos] == cur
+        if not found.any():
+            return empty
+        sub = fr_pdf[found]
+        pos = pos[found]
+        deg = offsets[pos + 1] - offsets[pos]
+        tot = int(deg.sum())
+        if tot == 0:
+            return empty
+        starts = offsets[pos]
+        cum = np.cumsum(deg)
+        base = np.repeat(cum - deg, deg)
+        local = np.arange(tot, dtype=np.int64) - base  # 0..deg-1 per walker
+        idx = np.repeat(starts, deg) + local
+        return pd.DataFrame({
+            "wid": np.repeat(sub["wid"].to_numpy(), deg),
+            "prev": np.repeat(sub["prev"].to_numpy(dtype=np.int64), deg),
+            "cur": np.repeat(sub["cur"].to_numpy(dtype=np.int64), deg),
+            "h": np.repeat(sub["h"].to_numpy(dtype=np.int64), deg),
+            "dst": dst_ids[dst_index[idx]],
+            "rank": local + 1,
+        })
+
+    return blocks.groupby("bucket").cogroup(fr.groupby("bucket")).applyInPandas(
+        kernel, schema="wid string, prev long, cur long, h long, dst long, rank long"
+    )
+
+
+def csr_node2vec_pick(
+    blocks: DataFrame,
+    cand: DataFrame,
+    n_buckets: int,
+    w_return: int,
+    w_common: int,
+    w_far: int,
+) -> DataFrame:
+    """Membership-weighted pick for a second-order walk step. ``cand``
+    rows co-group by bucket(prev) — a walker's candidates all share
+    ``prev``, so exactly the block that answers the N(prev) probe sees
+    the whole candidate set. Membership is a bucket-local composite-key
+    merge (src_pos * |dst_ids| + dst_pos, both bucket-local ints — no
+    global-vid overflow), the pick one segmented integer cumsum.
+    Returns (wid, prev, cur) for the NEXT frontier (prev = old cur)."""
+    import numpy as np
+    import pandas as pd
+
+    cd = cand.select(
+        F.pmod(F.col("prev"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "wid", "prev", "cur", "h", "dst", "rank",
+    )
+
+    def kernel(block_pdf: pd.DataFrame, cd_pdf: pd.DataFrame):
+        empty = pd.DataFrame({
+            "wid": pd.Series(dtype="object"),
+            "prev": pd.Series(dtype="int64"),
+            "cur": pd.Series(dtype="int64"),
+        })
+        if len(cd_pdf) == 0:
+            return empty
+        prev = cd_pdf["prev"].to_numpy(dtype=np.int64)
+        dst = cd_pdf["dst"].to_numpy(dtype=np.int64)
+        is_common = np.zeros(len(cd_pdf), dtype=bool)
+        if len(block_pdf) > 0:
+            row = block_pdf.iloc[0]
+            srcs = np.asarray(row["srcs"], dtype=np.int64)
+            offsets = np.asarray(row["offsets"], dtype=np.int64)
+            dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
+            dst_index = np.asarray(row["dst_index"], dtype=np.int64)
+            # composite keys: edges sorted by (src_pos, dst_index) by
+            # construction (dsts ascend within a run, dst_ids sorted)
+            degrees = np.diff(offsets)
+            src_pos_e = np.repeat(np.arange(len(srcs), dtype=np.int64), degrees)
+            key_e = src_pos_e * len(dst_ids) + dst_index
+            posp = np.clip(np.searchsorted(srcs, prev), 0, max(len(srcs) - 1, 0))
+            prev_found = srcs[posp] == prev if len(srcs) else np.zeros(len(prev), dtype=bool)
+            posd = np.clip(np.searchsorted(dst_ids, dst), 0, max(len(dst_ids) - 1, 0))
+            dst_found = dst_ids[posd] == dst if len(dst_ids) else np.zeros(len(dst), dtype=bool)
+            key_c = posp * len(dst_ids) + posd
+            ins = np.clip(np.searchsorted(key_e, key_c), 0, max(len(key_e) - 1, 0))
+            is_common = prev_found & dst_found & (len(key_e) > 0) & (key_e[ins] == key_c)
+        w = np.where(
+            dst == prev, w_return, np.where(is_common, w_common, w_far)
+        ).astype(np.int64)
+        # segment per wid in rank order
+        wid_codes, _ = pd.factorize(cd_pdf["wid"], sort=False)
+        rank = cd_pdf["rank"].to_numpy(dtype=np.int64)
+        order = np.lexsort((rank, wid_codes))
+        wid_s = wid_codes[order]
+        w_s = w[order]
+        h_s = cd_pdf["h"].to_numpy(dtype=np.int64)[order]
+        seg_start = np.empty(len(wid_s), dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = wid_s[1:] != wid_s[:-1]
+        starts = np.flatnonzero(seg_start)
+        counts = np.diff(np.append(starts, len(wid_s)))
+        cum = np.cumsum(w_s)
+        base = np.repeat(cum[starts] - w_s[starts], counts)
+        cum_in = cum - base  # inclusive cumsum within segment
+        tot = np.repeat(np.add.reduceat(w_s, starts), counts)
+        r = h_s % tot
+        pick = (r < cum_in) & (r >= cum_in - w_s)
+        sel = order[pick]
+        return pd.DataFrame({
+            "wid": cd_pdf["wid"].to_numpy()[sel],
+            "prev": cd_pdf["cur"].to_numpy(dtype=np.int64)[sel],
+            "cur": cd_pdf["dst"].to_numpy(dtype=np.int64)[sel],
+        })
+
+    return blocks.groupby("bucket").cogroup(cd.groupby("bucket")).applyInPandas(
+        kernel, schema="wid string, prev long, cur long"
+    )

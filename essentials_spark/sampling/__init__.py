@@ -1,5 +1,6 @@
 from essentials_spark.sampling.walks import (
     neighbor_sample,
+    node2vec_walks,
     random_walks,
     ranked_adjacency,
     sampled_adjacency,
@@ -8,6 +9,7 @@ from essentials_spark.sampling.walks import (
 
 __all__ = [
     "ranked_adjacency",
+    "node2vec_walks",
     "random_walks",
     "sampled_adjacency",
     "neighbor_sample",

@@ -228,3 +228,158 @@ def walk_contexts(walks: DataFrame, window: int = 2) -> DataFrame:
         )
         pairs = both if pairs is None else pairs.unionByName(both)
     return pairs.groupBy("center", "ctx").agg(F.count("*").alias("cnt"))
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    start: DataFrame,
+    length: int,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_far: int = 2,
+    kernel: str = "dataframe",
+    runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Second-order (node2vec-style, Grover & Leskovec 2016) biased
+    walks over a symmetrized edge set — deterministic and
+    SQL-replayable like :func:`random_walks`.
+
+    At step t >= 2 a walker at ``cur`` with previous vertex ``prev``
+    weights each candidate c in N(cur):
+
+        w_return  if c == prev          (node2vec's 1/p)
+        w_common  if c in N(prev)       (alpha = 1)
+        w_far     otherwise             (node2vec's 1/q)
+
+    Weights are POSITIVE INTEGERS (not 1/p floats) so the cumulative-
+    weight selection ``r = h % W_total`` is exact integer arithmetic in
+    Spark, NumPy and DuckDB alike; step 1 is the first-order choice.
+    Candidates accumulate in dst-ascending order, so a walk is a pure
+    function of (wid, weights, graph) on every path.
+
+    Plan per step (kernel='dataframe'): frontier ⋈ ranked adjacency of
+    cur (candidate expansion), a LEFT membership probe of (prev, dst)
+    against the same bucketed edge table, then one window pass per
+    walker for the cumulative pick. Second-order walks are inherently
+    candidate-expanded — O(deg(cur)) rows per walker per step, the
+    price every non-alias-table implementation pays (alias tables are
+    O(sum deg^2) memory at 100 TB — a non-starter); both joins stream
+    against bucketed static tables, so only walker-scale and
+    candidate-scale rows move.
+
+    kernel='csr': two vectorized cogroup passes per step — expand from
+    cur's packed block, then membership + weighted pick in prev's
+    block (a walker's candidates share ``prev``, so they co-group with
+    exactly the block that can answer the N(prev) probe). A/B-exact
+    with the dataframe path.
+
+    Returns (wid, step, vid), step 0..length.
+    """
+    if min(w_return, w_common, w_far) < 1:
+        raise ValueError("node2vec weights must be positive integers")
+    spark = edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "node2vec")
+
+    use_csr = kernel == "csr"
+    if use_csr:
+        from essentials_spark.graph.csr_blocks import build_csr_blocks
+
+        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+        blocks = prepare_static_edges(
+            build_csr_blocks(edges.select("src", "dst").withColumn("coef", F.lit(1.0)), n_buckets),
+            runner, keys="bucket", n_buckets=n_buckets, name_hint="n2v_blocks",
+        )
+        radj = degt = None
+    else:
+        blocks = None
+        radj = prepare_static_edges(
+            ranked_adjacency(edges), runner, keys="src", mode=edges_mode, name_hint="n2v_radj"
+        )
+        degt = prepare_static_edges(
+            edges.groupBy("src").agg(F.count("*").alias("deg")),
+            runner, keys="src", mode=edges_mode, name_hint="n2v_deg",
+        )
+        # membership probe table (prev, dst) — the same edge set keyed
+        # for the N(prev) test
+        member = prepare_static_edges(
+            edges.select(F.col("src").alias("mprev"), F.col("dst").alias("mdst"))
+            .withColumn("is_common", F.lit(1)),
+            runner, keys="mprev", mode=edges_mode, name_hint="n2v_member",
+        )
+
+    front = truncate_plan(start.select("wid", F.col("vid").alias("cur")))
+    out = [front.select("wid", F.lit(0).alias("step"), F.col("cur").alias("vid"))]
+    prev_front = None  # (wid, prev, cur)
+
+    for t in range(1, length + 1):
+        if t == 1:
+            hashed = front.withColumn("h", walk_hash(F.col("wid"), 1))
+            if use_csr:
+                from essentials_spark.graph.csr_blocks import csr_walk_step
+
+                stepped = csr_walk_step(blocks, hashed, n_buckets).select(
+                    "wid", F.col("cur").alias("nxt")
+                )
+                stepped = stepped.join(
+                    front.select("wid", F.col("cur").alias("pprev")), "wid"
+                ).select("wid", F.col("pprev").alias("prev"), F.col("nxt").alias("cur"))
+            else:
+                chosen = (
+                    hashed.join(degt, hashed.cur == degt.src)
+                    .select("wid", "cur", (F.pmod(F.col("h"), F.col("deg")) + 1).alias("rank"))
+                )
+                stepped = (
+                    chosen.join(radj, (chosen.cur == radj.src) & (chosen.rank == radj.rank))
+                    .select("wid", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
+                )
+        else:
+            hashed = prev_front.withColumn("h", walk_hash(F.col("wid"), t))
+            if use_csr:
+                from essentials_spark.graph.csr_blocks import (
+                    csr_node2vec_expand,
+                    csr_node2vec_pick,
+                )
+
+                cand = csr_node2vec_expand(blocks, hashed, n_buckets)
+                stepped = csr_node2vec_pick(
+                    blocks, cand, n_buckets, w_return, w_common, w_far
+                )
+            else:
+                cand = hashed.join(radj, hashed.cur == radj.src).select(
+                    "wid", "prev", "cur", "h", "dst", "rank"
+                )
+                marked = cand.join(
+                    member,
+                    (cand.prev == member.mprev) & (cand.dst == member.mdst),
+                    "left",
+                ).select(
+                    "wid", "prev", "cur", "h", "dst", "rank",
+                    F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
+                    .when(F.col("is_common") == 1, F.lit(w_common))
+                    .otherwise(F.lit(w_far))
+                    .alias("w"),
+                )
+                wspec = Window.partitionBy("wid").orderBy("rank")
+                wtot = Window.partitionBy("wid")
+                picked = (
+                    marked.withColumn("cum", F.sum("w").over(wspec))
+                    .withColumn("tot", F.sum("w").over(wtot))
+                    .withColumn("r", F.pmod(F.col("h"), F.col("tot")))
+                    .filter(
+                        (F.col("cum") - F.col("w") <= F.col("r")) & (F.col("r") < F.col("cum"))
+                    )
+                )
+                stepped = picked.select("wid", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
+        prev_front = truncate_plan(stepped)
+        front = prev_front.select("wid", "cur")
+        out.append(prev_front.select("wid", F.lit(t).alias("step"), F.col("cur").alias("vid")))
+        if prev_front.isEmpty():
+            break
+
+    walks = out[0]
+    for df in out[1:]:
+        walks = walks.unionByName(df)
+    runner.finalize()
+    return walks

@@ -225,3 +225,63 @@ def test_conversation_stats(spark):
     assert c1.avg_text_len == 4.0
     c2 = out["c2"]
     assert (c2.n_turns, c2.n_tool_calls, c2.n_distinct_tools, c2.duration_us) == (1, 0, 0, 0)
+
+
+def test_node2vec_df_csr_exact(spark):
+    from essentials_spark.sampling import node2vec_walks
+
+    edges = _sym_edges(spark, RW_PAIRS)
+    start = spark.createDataFrame(
+        [(f"n{i}#{w}", i) for i in range(7) for w in range(2)], "wid string, vid long"
+    )
+    a = node2vec_walks(edges, start, length=5, kernel="dataframe")
+    b = node2vec_walks(edges, start, length=5, kernel="csr", n_buckets=4)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert len(ra) == 14 * 6
+
+
+def test_node2vec_choice_matches_reference_recompute(spark):
+    """Recompute every second-order choice in plain Python from the
+    spec: integer weights (w_return if dst==prev, w_common if
+    dst in N(prev), else w_far) cumulated in dst-ascending order,
+    pick = h % total."""
+    from essentials_spark.functions.portable_hash import md5_int60
+    from essentials_spark.sampling import node2vec_walks
+
+    W_RET, W_COM, W_FAR = 1, 4, 2
+    edges = _sym_edges(spark, RW_PAIRS)
+    adj = {}
+    for r in edges.collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    start = spark.createDataFrame([(f"n{i}#0", i) for i in range(7)], "wid string, vid long")
+    walks = node2vec_walks(
+        edges, start, length=4, w_return=W_RET, w_common=W_COM, w_far=W_FAR
+    )
+    rows = sorted(map(tuple, walks.collect()), key=lambda t: (t[0], t[1]))
+    by_wid = {}
+    for wid, step, vid in rows:
+        by_wid.setdefault(wid, []).append(vid)
+    hdf = spark.createDataFrame(
+        [(wid, t) for wid in by_wid for t in range(1, 5)], "wid string, step int"
+    ).withColumn("h", md5_int60(F.concat(F.col("wid"), F.lit(":"), F.col("step").cast("string"))))
+    hmap = {(r.wid, r.step): r.h for r in hdf.collect()}
+    for wid, path in by_wid.items():
+        # step 1: first-order
+        assert path[1] == adj[path[0]][hmap[(wid, 1)] % len(adj[path[0]])]
+        for t in range(2, len(path)):
+            prev, cur = path[t - 2], path[t - 1]
+            cands = adj[cur]
+            ws = [
+                W_RET if c == prev else (W_COM if c in adj[prev] else W_FAR)
+                for c in cands
+            ]
+            r = hmap[(wid, t)] % sum(ws)
+            cum = 0
+            for c, w in zip(cands, ws):
+                cum += w
+                if r < cum:
+                    assert path[t] == c
+                    break
