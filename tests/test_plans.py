@@ -140,3 +140,28 @@ def test_hint_state_join_adaptive(spark):
     plan = explain_str(big)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan  # never an edge-side sort
+
+
+def test_ranked_adjacency_single_exchange(spark):
+    """Both window functions (row_number rank, count deg) share one
+    partitionBy(src) exchange — the ranked adjacency build is a
+    single-shuffle pass."""
+    from essentials_spark.sampling import ranked_adjacency
+
+    edges = spark.range(500).select(
+        (F.col("id") % 40).alias("src"), (F.col("id") % 37).alias("dst")
+    )
+    assert count_exchanges(ranked_adjacency(edges)) == 1
+
+
+def test_linkpred_partial_aggregation_and_anti_join(spark):
+    """The wedge aggregate combines map-side (partial_count/partial_sum
+    ≙ the reference's atomics), and the candidate filter is a real
+    anti-join, not a subtraction scan."""
+    from essentials_spark.algos.linkpred import linkpred_scores
+    from tests.conftest import graph_from_edges
+
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    plan = explain_str(linkpred_scores(g, min_cn=1))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "LeftAnti" in plan
