@@ -1008,6 +1008,21 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.join(kg.vkeys, "vid").select("wid", "step", "skey")
 
 
+def q_node2vec_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as q_node2vec on the two-pass packed-CSR kernels
+    (csr_node2vec_expand + csr_node2vec_pick) — fifth A/B-gated CSR
+    kernel family; shares _node2vec_sql()."""
+    from essentials_spark.sampling import node2vec_walks
+
+    kg = _keyed_graph(spark, sf_dir)
+    start = kg.vkeys.select(F.concat(F.col("skey"), F.lit("@0")).alias("wid"), "vid")
+    walks = node2vec_walks(
+        _sym_vid_edges(kg), start, length=WALK_LEN,
+        w_return=N2V_W[0], w_common=N2V_W[1], w_far=N2V_W[2], kernel="csr",
+    )
+    return walks.join(kg.vkeys, "vid").select("wid", "step", "skey")
+
+
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style bounded-fanout 2-hop neighborhood samples
     (sampling/walks.neighbor_sample) from a deterministic ~1/37 root
@@ -1158,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_csr": q_random_walks_csr,
         "walk_contexts": q_walk_contexts,
         "node2vec_walks": q_node2vec,
+        "node2vec_walks_csr": q_node2vec_csr,
         "neighbor_sample": q_neighbor_sample,
         "adamic_adar": q_adamic_adar,
         "tool_transitions": q_tool_transitions,
@@ -2348,6 +2364,8 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
     sql["random_walks_csr"] = _walks_sql()
     sql["walk_contexts"] = _walk_contexts_sql()
     sql["node2vec_walks"] = _node2vec_sql()
+    # two-pass CSR kernels vs the same trajectory oracle (A/B x2)
+    sql["node2vec_walks_csr"] = _node2vec_sql()
     sql["neighbor_sample"] = _neighbor_sample_sql()
     sql["adamic_adar"] = _adamic_adar_sql()
     sql["tool_transitions"] = _tool_transitions_sql()

@@ -285,3 +285,22 @@ def test_node2vec_choice_matches_reference_recompute(spark):
                 if r < cum:
                     assert path[t] == c
                     break
+
+
+def test_walks_hub_graph_df_csr_exact(spark):
+    """Adversarial skew: a 300-neighbor hub. Both walk orders and both
+    physical paths must agree — the df path's (src, rank) point probe
+    and the CSR gather index the same dst-ascending hub run."""
+    from essentials_spark.sampling import node2vec_walks, random_walks
+
+    pairs = [(0, i) for i in range(1, 301)] + [(1, 2), (5, 6), (7, 8)]
+    edges = _sym_edges(spark, pairs)
+    start = spark.createDataFrame(
+        [(f"h{i}#0", i) for i in [0, 1, 2, 5, 150, 300]], "wid string, vid long"
+    )
+    a = sorted(map(tuple, random_walks(edges, start, length=4).collect()))
+    b = sorted(map(tuple, random_walks(edges, start, length=4, kernel="csr", n_buckets=4).collect()))
+    assert a == b
+    c = sorted(map(tuple, node2vec_walks(edges, start, length=4).collect()))
+    d = sorted(map(tuple, node2vec_walks(edges, start, length=4, kernel="csr", n_buckets=4).collect()))
+    assert c == d
