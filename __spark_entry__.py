@@ -990,6 +990,10 @@ def q_random_walks_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N2V_W = (1, 4, 2)  # (w_return, w_common, w_far) — integer node2vec biases
+# hub cap: sf0.01's five tool hubs have degree ~650-690 vs <=3 for all
+# turn vertices, so 64 exercises BOTH branches of the capped walk spec
+# (first-order point probe at hubs, biased pick elsewhere)
+N2V_CAP = 64
 
 
 def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,7 +1007,7 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = kg.vkeys.select(F.concat(F.col("skey"), F.lit("@0")).alias("wid"), "vid")
     walks = node2vec_walks(
         _sym_vid_edges(kg), start, length=WALK_LEN,
-        w_return=N2V_W[0], w_common=N2V_W[1], w_far=N2V_W[2],
+        w_return=N2V_W[0], w_common=N2V_W[1], w_far=N2V_W[2], max_expand=N2V_CAP,
     )
     return walks.join(kg.vkeys, "vid").select("wid", "step", "skey")
 
@@ -1018,7 +1022,8 @@ def q_node2vec_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = kg.vkeys.select(F.concat(F.col("skey"), F.lit("@0")).alias("wid"), "vid")
     walks = node2vec_walks(
         _sym_vid_edges(kg), start, length=WALK_LEN,
-        w_return=N2V_W[0], w_common=N2V_W[1], w_far=N2V_W[2], kernel="csr",
+        w_return=N2V_W[0], w_common=N2V_W[1], w_far=N2V_W[2], max_expand=N2V_CAP,
+        kernel="csr",
     )
     return walks.join(kg.vkeys, "vid").select("wid", "step", "skey")
 
@@ -2029,12 +2034,19 @@ def _node2vec_sql() -> str:
     )
     for t in range(2, WALK_LEN + 1):
         h = sql_md5_int60(f"v.wid || ':{t}'")
+        # hub cap (max_expand=N2V_CAP): walkers on deg > cap vertices
+        # take the first-order point probe; the rest the biased pick
+        parts.append(
+            f"big{t} AS (SELECT v.wid, v.cur AS prev, r.dst AS cur"
+            f" FROM v{t - 1} v JOIN ranked r ON r.src = v.cur"
+            f" AND r.deg > {N2V_CAP} AND r.rnk = 1 + ({h} % r.deg))"
+        )
         parts.append(
             f"cand{t} AS (SELECT v.wid, v.prev, v.cur, r.dst, r.rnk, {h} AS h,"
             f" CASE WHEN r.dst = v.prev THEN {w_ret}"
             f" WHEN m.src IS NOT NULL THEN {w_com}"
             f" ELSE {w_far} END AS w"
-            f" FROM v{t - 1} v JOIN ranked r ON r.src = v.cur"
+            f" FROM v{t - 1} v JOIN ranked r ON r.src = v.cur AND r.deg <= {N2V_CAP}"
             f" LEFT JOIN sym m ON m.src = v.prev AND m.dst = r.dst)"
         )
         parts.append(
@@ -2043,7 +2055,8 @@ def _node2vec_sql() -> str:
             f" sum(w) OVER (PARTITION BY wid ORDER BY rnk) AS cum,"
             f" sum(w) OVER (PARTITION BY wid) AS tot"
             f" FROM cand{t})"
-            f" WHERE (h % tot) >= cum - w AND (h % tot) < cum)"
+            f" WHERE (h % tot) >= cum - w AND (h % tot) < cum"
+            f" UNION ALL SELECT wid, prev, cur FROM big{t})"
         )
     body = ",\n".join(parts)
     selects = ["SELECT wid, CAST(0 AS INT) AS step, cur AS skey FROM v0"] + [

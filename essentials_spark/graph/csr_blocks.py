@@ -302,11 +302,20 @@ def csr_walk_step(blocks: DataFrame, frontier: DataFrame, n_buckets: int) -> Dat
     )
 
 
-def csr_node2vec_expand(blocks: DataFrame, frontier: DataFrame, n_buckets: int) -> DataFrame:
+def csr_node2vec_expand(
+    blocks: DataFrame, frontier: DataFrame, n_buckets: int, max_expand: int
+) -> DataFrame:
     """Candidate expansion for a second-order walk step: frontier
     (wid, prev, cur, h) co-groups with cur's block; emits one row per
     neighbor of cur — (wid, prev, cur, h, dst, rank), rank 1-based in
-    the dst-ascending run. Pure vectorized repeat/gather."""
+    the dst-ascending run. Pure vectorized repeat/gather.
+
+    Hub cap (sampling/walks.node2vec_walks docstring): a walker whose
+    cur has more than ``max_expand`` neighbors takes the first-order
+    uniform gather HERE — one row with rank=0 and dst already chosen
+    (``dst[offset + h % deg]``), which the pick kernel passes through.
+    Bounds this kernel's output at walkers × max_expand instead of
+    walkers × deg(hub) (measured 17e9-row allocation without it)."""
     import numpy as np
     import pandas as pd
 
@@ -340,22 +349,44 @@ def csr_node2vec_expand(blocks: DataFrame, frontier: DataFrame, n_buckets: int) 
         sub = fr_pdf[found]
         pos = pos[found]
         deg = offsets[pos + 1] - offsets[pos]
+
+        capped = deg > max_expand
+        outs = []
+        if capped.any():
+            csub = sub[capped]
+            cpos = pos[capped]
+            cdeg = deg[capped]
+            h = csub["h"].to_numpy(dtype=np.int64)
+            idx = offsets[cpos] + h % cdeg
+            outs.append(pd.DataFrame({
+                "wid": csub["wid"].to_numpy(),
+                "prev": csub["prev"].to_numpy(dtype=np.int64),
+                "cur": csub["cur"].to_numpy(dtype=np.int64),
+                "h": h,
+                "dst": dst_ids[dst_index[idx]],
+                "rank": np.zeros(len(csub), dtype=np.int64),
+            }))
+        sub = sub[~capped]
+        pos = pos[~capped]
+        deg = deg[~capped]
         tot = int(deg.sum())
-        if tot == 0:
+        if tot > 0:
+            starts = offsets[pos]
+            cum = np.cumsum(deg)
+            base = np.repeat(cum - deg, deg)
+            local = np.arange(tot, dtype=np.int64) - base  # 0..deg-1 per walker
+            idx = np.repeat(starts, deg) + local
+            outs.append(pd.DataFrame({
+                "wid": np.repeat(sub["wid"].to_numpy(), deg),
+                "prev": np.repeat(sub["prev"].to_numpy(dtype=np.int64), deg),
+                "cur": np.repeat(sub["cur"].to_numpy(dtype=np.int64), deg),
+                "h": np.repeat(sub["h"].to_numpy(dtype=np.int64), deg),
+                "dst": dst_ids[dst_index[idx]],
+                "rank": local + 1,
+            }))
+        if not outs:
             return empty
-        starts = offsets[pos]
-        cum = np.cumsum(deg)
-        base = np.repeat(cum - deg, deg)
-        local = np.arange(tot, dtype=np.int64) - base  # 0..deg-1 per walker
-        idx = np.repeat(starts, deg) + local
-        return pd.DataFrame({
-            "wid": np.repeat(sub["wid"].to_numpy(), deg),
-            "prev": np.repeat(sub["prev"].to_numpy(dtype=np.int64), deg),
-            "cur": np.repeat(sub["cur"].to_numpy(dtype=np.int64), deg),
-            "h": np.repeat(sub["h"].to_numpy(dtype=np.int64), deg),
-            "dst": dst_ids[dst_index[idx]],
-            "rank": local + 1,
-        })
+        return pd.concat(outs, ignore_index=True)
 
     return blocks.groupby("bucket").cogroup(fr.groupby("bucket")).applyInPandas(
         kernel, schema="wid string, prev long, cur long, h long, dst long, rank long"
@@ -393,6 +424,21 @@ def csr_node2vec_pick(
         })
         if len(cd_pdf) == 0:
             return empty
+        # hub-capped walkers (rank=0, expand already chose dst
+        # first-order) bypass the weighted pick
+        ranks_all = cd_pdf["rank"].to_numpy(dtype=np.int64)
+        bypass = ranks_all == 0
+        passthrough = None
+        if bypass.any():
+            bsub = cd_pdf[bypass]
+            passthrough = pd.DataFrame({
+                "wid": bsub["wid"].to_numpy(),
+                "prev": bsub["cur"].to_numpy(dtype=np.int64),
+                "cur": bsub["dst"].to_numpy(dtype=np.int64),
+            })
+            cd_pdf = cd_pdf[~bypass]
+            if len(cd_pdf) == 0:
+                return passthrough
         prev = cd_pdf["prev"].to_numpy(dtype=np.int64)
         dst = cd_pdf["dst"].to_numpy(dtype=np.int64)
         is_common = np.zeros(len(cd_pdf), dtype=bool)
@@ -436,11 +482,14 @@ def csr_node2vec_pick(
         r = h_s % tot
         pick = (r < cum_in) & (r >= cum_in - w_s)
         sel = order[pick]
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "wid": cd_pdf["wid"].to_numpy()[sel],
             "prev": cd_pdf["cur"].to_numpy(dtype=np.int64)[sel],
             "cur": cd_pdf["dst"].to_numpy(dtype=np.int64)[sel],
         })
+        if passthrough is not None:
+            out = pd.concat([passthrough, out], ignore_index=True)
+        return out
 
     return blocks.groupby("bucket").cogroup(cd.groupby("bucket")).applyInPandas(
         kernel, schema="wid string, prev long, cur long"

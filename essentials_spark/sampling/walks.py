@@ -237,6 +237,7 @@ def node2vec_walks(
     w_return: int = 1,
     w_common: int = 4,
     w_far: int = 2,
+    max_expand: int = 1024,
     kernel: str = "dataframe",
     runner: SuperstepRunner | None = None,
     edges_mode: str = "bucketed",
@@ -259,15 +260,27 @@ def node2vec_walks(
     Candidates accumulate in dst-ascending order, so a walk is a pure
     function of (wid, weights, graph) on every path.
 
-    Plan per step (kernel='dataframe'): frontier ⋈ ranked adjacency of
-    cur (candidate expansion), a LEFT membership probe of (prev, dst)
-    against the same bucketed edge table, then one window pass per
-    walker for the cumulative pick. Second-order walks are inherently
-    candidate-expanded — O(deg(cur)) rows per walker per step, the
-    price every non-alias-table implementation pays (alias tables are
-    O(sum deg^2) memory at 100 TB — a non-starter); both joins stream
-    against bucketed static tables, so only walker-scale and
-    candidate-scale rows move.
+    **Hub cap (``max_expand``)**: second-order choice expands
+    O(deg(cur)) candidates per walker, and walkers concentrate on hubs
+    (stationary mass ∝ degree) — on a transcript graph's tool hubs the
+    exact expansion is walkers_at_hub × deg_hub, measured 17e9 rows per
+    step at 3.3M walkers BEFORE this cap. A walker whose ``cur`` has
+    more than ``max_expand`` neighbors therefore takes the FIRST-ORDER
+    uniform step (h % deg point probe, O(1)) instead of the biased
+    pick. Deterministic, part of the walk spec (the oracle replays it),
+    and semantically mild: on a 10^5-degree hub the p/q bias over one
+    prev-neighborhood is noise anyway — capping bias at hubs is what
+    production second-order samplers do (alias tables are
+    O(sum deg^2) memory at 100 TB, a non-starter; uncapped streaming
+    expansion is the measured OOM above).
+
+    Plan per step (kernel='dataframe'): capped walkers take the
+    degree-lookup + (src, rank) equi-join point probe; the rest expand
+    against the ranked adjacency (bounded by max_expand rows each), a
+    LEFT membership probe of (prev, dst) against the same bucketed
+    edge table, then one window pass per walker for the cumulative
+    pick. All joins stream against bucketed static tables, so only
+    walker-scale and bounded-candidate-scale rows move.
 
     kernel='csr': two vectorized cogroup passes per step — expand from
     cur's packed block, then membership + weighted pick in prev's
@@ -279,6 +292,8 @@ def node2vec_walks(
     """
     if min(w_return, w_common, w_far) < 1:
         raise ValueError("node2vec weights must be positive integers")
+    if max_expand < 1:
+        raise ValueError("max_expand must be >= 1")
     spark = edges.sparkSession
     runner = runner or SuperstepRunner(spark, "node2vec")
 
@@ -342,11 +357,22 @@ def node2vec_walks(
                     csr_node2vec_pick,
                 )
 
-                cand = csr_node2vec_expand(blocks, hashed, n_buckets)
+                cand = csr_node2vec_expand(blocks, hashed, n_buckets, max_expand)
                 stepped = csr_node2vec_pick(
                     blocks, cand, n_buckets, w_return, w_common, w_far
                 )
             else:
+                withdeg = hashed.join(degt, hashed.cur == degt.src)
+                # hub cap: first-order point probe for deg > max_expand
+                big = withdeg.filter(F.col("deg") > max_expand).select(
+                    "wid", "cur", (F.pmod(F.col("h"), F.col("deg")) + 1).alias("rank")
+                )
+                big_step = big.join(
+                    radj, (big.cur == radj.src) & (big.rank == radj.rank)
+                ).select("wid", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
+                hashed = withdeg.filter(F.col("deg") <= max_expand).select(
+                    "wid", "prev", "cur", "h"
+                )
                 cand = hashed.join(radj, hashed.cur == radj.src).select(
                     "wid", "prev", "cur", "h", "dst", "rank"
                 )
@@ -371,7 +397,9 @@ def node2vec_walks(
                         (F.col("cum") - F.col("w") <= F.col("r")) & (F.col("r") < F.col("cum"))
                     )
                 )
-                stepped = picked.select("wid", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
+                stepped = picked.select(
+                    "wid", F.col("cur").alias("prev"), F.col("dst").alias("cur")
+                ).unionByName(big_step)
         prev_front = truncate_plan(stepped)
         front = prev_front.select("wid", "cur")
         out.append(prev_front.select("wid", F.lit(t).alias("step"), F.col("cur").alias("vid")))

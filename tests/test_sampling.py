@@ -304,3 +304,41 @@ def test_walks_hub_graph_df_csr_exact(spark):
     c = sorted(map(tuple, node2vec_walks(edges, start, length=4).collect()))
     d = sorted(map(tuple, node2vec_walks(edges, start, length=4, kernel="csr", n_buckets=4).collect()))
     assert c == d
+
+
+def test_node2vec_hub_cap_semantics(spark):
+    """max_expand: walkers on the 300-degree hub take the first-order
+    h % deg step; everyone else keeps the biased pick. df == csr, and
+    hub steps match the uniform recompute."""
+    from essentials_spark.functions.portable_hash import md5_int60
+    from essentials_spark.sampling import node2vec_walks
+
+    pairs = [(0, i) for i in range(1, 301)] + [(1, 2), (2, 3)]
+    edges = _sym_edges(spark, pairs)
+    adj = {}
+    for r in edges.collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    start = spark.createDataFrame(
+        [(f"c{i}#0", i) for i in [0, 1, 2, 150]], "wid string, vid long"
+    )
+    a = node2vec_walks(edges, start, length=4, max_expand=16)
+    b = node2vec_walks(edges, start, length=4, max_expand=16, kernel="csr", n_buckets=4)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    by_wid = {}
+    for wid, step, vid in sorted(ra, key=lambda t: (t[0], t[1])):
+        by_wid.setdefault(wid, []).append(vid)
+    hdf = spark.createDataFrame(
+        [(wid, t) for wid in by_wid for t in range(1, 5)], "wid string, step int"
+    ).withColumn("h", md5_int60(F.concat(F.col("wid"), F.lit(":"), F.col("step").cast("string"))))
+    hmap = {(r.wid, r.step): r.h for r in hdf.collect()}
+    saw_capped = False
+    for wid, path in by_wid.items():
+        for t in range(2, len(path)):
+            cur = path[t - 1]
+            if len(adj[cur]) > 16:  # hub: uniform first-order step
+                saw_capped = True
+                assert path[t] == adj[cur][hmap[(wid, t)] % len(adj[cur])]
+    assert saw_capped
