@@ -1086,6 +1086,69 @@ def q_walk_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the membership graph:
+    lcc(v) = 2·tc(v) / (deg(v)·(deg(v)−1)), 0 below degree 2 — a pure
+    derivation of the per-vertex triangle counts + degrees (one extra
+    map stage on top of the TC plan; graph-quality feature for
+    curation)."""
+    from essentials_spark.algos import triangle_count
+    from essentials_spark.graph.derive import canonicalize_edges
+
+    kg = _keyed_graph(spark, sf_dir, membership=True)
+    per_vertex, _total = triangle_count(kg.graph)
+    sym = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    return (
+        kg.vkeys.join(per_vertex, "vid", "left")
+        .join(deg, "vid", "left")
+        .select(
+            "skey",
+            F.coalesce(F.col("tc"), F.lit(0)).cast("long").alias("tc"),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            F.when(
+                F.coalesce(F.col("deg"), F.lit(0)) >= 2,
+                F.round(
+                    (2.0 * F.coalesce(F.col("tc"), F.lit(0)))
+                    / (F.col("deg") * (F.col("deg") - 1))
+                    * 1e6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("long")
+            .alias("lcc_ppm"),
+        )
+    )
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity = 3·triangles / wedges (1-row summary of
+    the membership graph) — exact integer numerator/denominator, one
+    division, ppm-rounded."""
+    from essentials_spark.algos import triangle_count
+    from essentials_spark.graph.derive import canonicalize_edges
+
+    kg = _keyed_graph(spark, sf_dir, membership=True)
+    _per_vertex, total = triangle_count(kg.graph)
+    sym = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+    wedges = (
+        sym.groupBy("src").agg(F.count("*").alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+        .collect()[0][0]
+    )
+    import math
+
+    corner_total = int(total)  # = 3 x triangles
+    n_wedges = int(wedges)
+    # half-away-from-zero (DuckDB round semantics; Python round is
+    # banker's) — positive ratio, so floor(x + 0.5)
+    ratio_ppm = int(math.floor(corner_total / n_wedges * 1e6 + 0.5)) if n_wedges else 0
+    return spark.createDataFrame(
+        [(corner_total // 3, n_wedges, ratio_ppm)],
+        "n_triangles long, n_wedges long, transitivity_ppm long",
+    )
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA authority/hub scores (algos/salsa.py — degree-normalized
     HITS with L1 per-round normalization), HITS_ROUNDS iterations,
@@ -1184,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": q_tool_transitions,
         "conv_stats": q_conv_stats,
         "salsa": q_salsa,
+        "clustering_coeff": q_clustering_coeff,
+        "transitivity": q_transitivity,
     }
 
 
@@ -2382,6 +2447,27 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
     sql["neighbor_sample"] = _neighbor_sample_sql()
     sql["adamic_adar"] = _adamic_adar_sql()
     sql["tool_transitions"] = _tool_transitions_sql()
+    sql["clustering_coeff"] = (
+        f"WITH {_PRELUDE_M}, {_TRI_BODY},"
+        " degm AS (SELECT src AS vkey, count(*) AS deg FROM sym GROUP BY src)"
+        " SELECT v.vkey AS skey, coalesce(c.tc, 0) AS tc, coalesce(d.deg, 0) AS deg,"
+        " CAST(CASE WHEN coalesce(d.deg, 0) >= 2 THEN"
+        " round((2.0 * coalesce(c.tc, 0)) / (d.deg * (d.deg - 1)) * 1e6)"
+        " ELSE 0.0 END AS BIGINT) AS lcc_ppm"
+        " FROM verts v LEFT JOIN corners c ON c.vkey = v.vkey"
+        " LEFT JOIN degm d ON d.vkey = v.vkey"
+    )
+    sql["transitivity"] = (
+        f"WITH {_PRELUDE_M}, {_TRI_BODY},"
+        " ct AS (SELECT coalesce(sum(tc), 0) AS corner_total FROM corners),"
+        " wg AS (SELECT coalesce(sum(d * (d - 1) / 2), 0) AS w FROM"
+        "   (SELECT count(*) AS d FROM sym GROUP BY src))"
+        " SELECT CAST(ct.corner_total // 3 AS BIGINT) AS n_triangles,"
+        " CAST(wg.w AS BIGINT) AS n_wedges,"
+        " CAST(CASE WHEN wg.w > 0 THEN round(ct.corner_total / wg.w * 1e6)"
+        " ELSE 0 END AS BIGINT) AS transitivity_ppm"
+        " FROM ct CROSS JOIN wg"
+    )
     sql["salsa"] = _salsa_sql()
     sql["conv_stats"] = (
         f"WITH {_PRELUDE}\n"
