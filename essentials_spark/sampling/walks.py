@@ -61,6 +61,34 @@ def walk_hash(wid: F.Column, step: int) -> F.Column:
     return md5_int60(F.concat(wid, F.lit(f":{step}")))
 
 
+def _walk_resume(runner: SuperstepRunner, length: int):
+    """Per-step resume support for walk loops (north-rule
+    checkpoint-resumability). A walk frontier at step t IS the step-t
+    output, so with a checkpoint_dir every materialized frontier
+    doubles as a durable checkpoint: resume re-reads frontiers
+    0..latest (all iteration dirs are retained on disk) and continues
+    stepping from the newest. Returns (frontiers list 0..t0, t0) or
+    (None, 0) for a fresh start — fresh also when any earlier step dir
+    is missing (a partially-cleaned directory must not silently drop
+    walk prefix rows)."""
+    import os
+
+    resumed = runner.latest()
+    if resumed is None:
+        return None, 0
+    t0, latest_df, _meta = resumed
+    if t0 > length:
+        return None, 0
+    fronts = []
+    for t in range(t0):
+        path = runner._ckpt_path(t)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return None, 0
+        fronts.append(runner.spark.read.parquet(path))
+    fronts.append(latest_df)
+    return fronts, t0
+
+
 def random_walks(
     edges: DataFrame,
     start: DataFrame,
@@ -97,30 +125,58 @@ def random_walks(
     spark = edges.sparkSession
     runner = runner or SuperstepRunner(spark, "walks")
 
+    # per-step checkpoint-resume (north rule): every materialized
+    # frontier is durable when a checkpoint_dir is configured — a
+    # killed corpus run restores the prefix and continues stepping
+    if runner.checkpoint_dir and runner.fingerprint is None:
+        runner.fingerprint = f"walks:{kernel}:len={length}:m={edges.count()}"
+    fronts, t0 = (
+        _walk_resume(runner, length) if runner.checkpoint_dir else (None, 0)
+    )
+
+    def _pin(df: DataFrame, t: int) -> DataFrame:
+        # materialize each frontier: keeps the per-step plan flat (the
+        # O(rounds^2) lineage re-evaluation truncate_plan exists to
+        # stop), lets the step unions below share the stored blocks,
+        # and doubles as the durable per-step checkpoint
+        if runner.checkpoint_dir:
+            return runner.materialize(df, t, force=True, meta={"kind": "walks"})
+        return truncate_plan(df)
+
+    if fronts is not None:
+        out = [
+            f.select("wid", F.lit(i).alias("step"), F.col("cur").alias("vid"))
+            for i, f in enumerate(fronts)
+        ]
+        front = fronts[-1]
+        runner.log(t0, resumed=True)
+    else:
+        front = _pin(start.select("wid", F.col("vid").alias("cur")), 0)
+        out = [front.select("wid", F.lit(0).alias("step"), F.col("cur").alias("vid"))]
+        t0 = 0
+
     blocks = None
     radj = None
     degt = None
-    if kernel == "csr":
-        from essentials_spark.graph.csr_blocks import build_csr_blocks
+    if t0 < length:
+        if kernel == "csr":
+            from essentials_spark.graph.csr_blocks import build_csr_blocks
 
-        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
-        blocks = prepare_static_edges(
-            build_csr_blocks(edges.select("src", "dst").withColumn("coef", F.lit(1.0)), n_buckets),
-            runner, keys="bucket", n_buckets=n_buckets, name_hint="walk_blocks",
-        )
-    else:
-        radj = prepare_static_edges(
-            ranked_adjacency(edges), runner, keys="src", mode=edges_mode, name_hint="walk_radj"
-        )
-        degt = prepare_static_edges(
-            edges.groupBy("src").agg(F.count("*").alias("deg")),
-            runner, keys="src", mode=edges_mode, name_hint="walk_deg",
-        )
+            n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+            blocks = prepare_static_edges(
+                build_csr_blocks(edges.select("src", "dst").withColumn("coef", F.lit(1.0)), n_buckets),
+                runner, keys="bucket", n_buckets=n_buckets, name_hint="walk_blocks",
+            )
+        else:
+            radj = prepare_static_edges(
+                ranked_adjacency(edges), runner, keys="src", mode=edges_mode, name_hint="walk_radj"
+            )
+            degt = prepare_static_edges(
+                edges.groupBy("src").agg(F.count("*").alias("deg")),
+                runner, keys="src", mode=edges_mode, name_hint="walk_deg",
+            )
 
-    front = truncate_plan(start.select("wid", F.col("vid").alias("cur")))
-    out = [front.select("wid", F.lit(0).alias("step"), F.col("cur").alias("vid"))]
-
-    for t in range(1, length + 1):
+    for t in range(t0 + 1, length + 1):
         hashed = front.withColumn("h", walk_hash(F.col("wid"), t))
         if blocks is not None:
             from essentials_spark.graph.csr_blocks import csr_walk_step
@@ -135,10 +191,7 @@ def random_walks(
                 chosen.join(radj, (chosen.cur == radj.src) & (chosen.rank == radj.rank))
                 .select("wid", F.col("dst").alias("cur"))
             )
-        # materialize each frontier: keeps the per-step plan flat (the
-        # O(rounds^2) lineage re-evaluation truncate_plan exists to
-        # stop) and lets the step unions below share the stored blocks
-        front = truncate_plan(stepped)
+        front = _pin(stepped, t)
         out.append(front.select("wid", F.lit(t).alias("step"), F.col("cur").alias("vid")))
         if front.isEmpty():
             break
@@ -324,11 +377,40 @@ def node2vec_walks(
             runner, keys="mprev", mode=edges_mode, name_hint="n2v_member",
         )
 
-    front = truncate_plan(start.select("wid", F.col("vid").alias("cur")))
-    out = [front.select("wid", F.lit(0).alias("step"), F.col("cur").alias("vid"))]
-    prev_front = None  # (wid, prev, cur)
+    # per-step checkpoint-resume, as in random_walks: the durable
+    # frontier schema is (wid, prev, cur) uniformly (prev = cur at
+    # step 0, unused — step 1 is first-order)
+    if runner.checkpoint_dir and runner.fingerprint is None:
+        runner.fingerprint = (
+            f"n2v:{kernel}:len={length}:w={w_return}/{w_common}/{w_far}"
+            f":cap={max_expand}:m={edges.count()}"
+        )
+    fronts, t0 = (
+        _walk_resume(runner, length) if runner.checkpoint_dir else (None, 0)
+    )
 
-    for t in range(1, length + 1):
+    def _pin(df: DataFrame, t: int) -> DataFrame:
+        if runner.checkpoint_dir:
+            return runner.materialize(df, t, force=True, meta={"kind": "n2v"})
+        return truncate_plan(df)
+
+    if fronts is not None:
+        out = [
+            f.select("wid", F.lit(i).alias("step"), F.col("cur").alias("vid"))
+            for i, f in enumerate(fronts)
+        ]
+        prev_front = fronts[-1]
+        front = prev_front.select("wid", "cur")
+        runner.log(t0, resumed=True)
+    else:
+        prev_front = _pin(
+            start.select("wid", F.col("vid").alias("prev"), F.col("vid").alias("cur")), 0
+        )
+        front = prev_front.select("wid", "cur")
+        out = [front.select("wid", F.lit(0).alias("step"), F.col("cur").alias("vid"))]
+        t0 = 0
+
+    for t in range(t0 + 1, length + 1):
         if t == 1:
             hashed = front.withColumn("h", walk_hash(F.col("wid"), 1))
             if use_csr:
@@ -400,7 +482,7 @@ def node2vec_walks(
                 stepped = picked.select(
                     "wid", F.col("cur").alias("prev"), F.col("dst").alias("cur")
                 ).unionByName(big_step)
-        prev_front = truncate_plan(stepped)
+        prev_front = _pin(stepped, t)
         front = prev_front.select("wid", "cur")
         out.append(prev_front.select("wid", F.lit(t).alias("step"), F.col("cur").alias("vid")))
         if prev_front.isEmpty():

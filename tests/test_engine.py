@@ -250,3 +250,65 @@ def test_cc_contract_resume_phases_exact(spark, tmp_path):
     assert c == expect
     assert any(m.get("resumed") == "contract" for m in r3.metrics)
     assert not any(m.get("phase") == "contract" and "mapping_rows" in m for m in r3.metrics)
+
+
+def test_random_walks_resume_per_step_exact(spark, tmp_path):
+    """Walk resumability: kill after step k (delete newer step dirs) —
+    the resumed run restores the walk prefix from the durable
+    frontiers and continues to identical trajectories."""
+    import glob
+    import shutil
+
+    from essentials_spark.sampling import random_walks
+
+    pairs = [(0, 1), (1, 2), (2, 3), (1, 3), (3, 4), (4, 0)]
+    rows = []
+    for u, v in pairs:
+        rows.append((u, v))
+        rows.append((v, u))
+    edges = spark.createDataFrame(rows, "src long, dst long").dropDuplicates(["src", "dst"])
+    start = spark.createDataFrame([(f"r{i}#0", i) for i in range(5)], "wid string, vid long")
+
+    ck = str(tmp_path / "ckwalks")
+    r1 = SuperstepRunner(spark, "walks", checkpoint_dir=ck)
+    a = sorted(map(tuple, random_walks(edges, start, length=5, runner=r1).collect()))
+    iters = sorted(glob.glob(ck + "/walks/iter=*"))
+    assert len(iters) == 6  # steps 0..5 all durable
+    for d in iters[3:]:
+        shutil.rmtree(d)  # kill after step 2
+    r2 = SuperstepRunner(spark, "walks", checkpoint_dir=ck)
+    b = sorted(map(tuple, random_walks(edges, start, length=5, runner=r2).collect()))
+    assert a == b
+    assert any(m.get("resumed") for m in r2.metrics)
+
+    # completed-run restore: every step read back, no stepping
+    r3 = SuperstepRunner(spark, "walks", checkpoint_dir=ck)
+    c = sorted(map(tuple, random_walks(edges, start, length=5, runner=r3).collect()))
+    assert a == c
+
+
+def test_node2vec_resume_per_step_exact(spark, tmp_path):
+    import glob
+    import shutil
+
+    from essentials_spark.sampling import node2vec_walks
+
+    pairs = [(0, 1), (1, 2), (2, 3), (1, 3), (3, 4), (4, 0)]
+    rows = []
+    for u, v in pairs:
+        rows.append((u, v))
+        rows.append((v, u))
+    edges = spark.createDataFrame(rows, "src long, dst long").dropDuplicates(["src", "dst"])
+    start = spark.createDataFrame([(f"q{i}#0", i) for i in range(5)], "wid string, vid long")
+
+    ck = str(tmp_path / "ckn2v")
+    r1 = SuperstepRunner(spark, "n2v", checkpoint_dir=ck)
+    a = sorted(map(tuple, node2vec_walks(edges, start, length=4, runner=r1).collect()))
+    iters = sorted(glob.glob(ck + "/n2v/iter=*"))
+    assert len(iters) == 5
+    for d in iters[2:]:
+        shutil.rmtree(d)  # kill after step 1 (prev matters from here)
+    r2 = SuperstepRunner(spark, "n2v", checkpoint_dir=ck)
+    b = sorted(map(tuple, node2vec_walks(edges, start, length=4, runner=r2).collect()))
+    assert a == b
+    assert any(m.get("resumed") for m in r2.metrics)
