@@ -1164,6 +1164,20 @@ def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("join", "hash", "vector", "stream")  # mid-frequency mix
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance over documents (text/rank.py) for a fixed
+    4-term query; ppm-rounded scores, docs matching >= 1 term."""
+    from essentials_spark.text.rank import bm25_scores
+
+    out = bm25_scores(_docs(spark, sf_dir), list(BM25_TERMS))
+    return out.select(
+        "doc_id", F.round(F.col("bm25") * 1e6).cast("long").alias("bm25_ppm")
+    )
+
+
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation payload profile (io/transcripts.
     conversation_stats): the rollup table a curation pipeline filters
@@ -1249,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": q_salsa,
         "clustering_coeff": q_clustering_coeff,
         "transitivity": q_transitivity,
+        "bm25": q_bm25,
     }
 
 
@@ -2447,6 +2462,19 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
     sql["neighbor_sample"] = _neighbor_sample_sql()
     sql["adamic_adar"] = _adamic_adar_sql()
     sql["tool_transitions"] = _tool_transitions_sql()
+    _terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["bm25"] = f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok IN ({_terms}) GROUP BY doc_id, tok),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+part AS (SELECT t.doc_id,
+  ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+    * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS part
+  FROM tf t JOIN dft d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s)
+SELECT doc_id, CAST(round(sum(part) * 1e6) AS BIGINT) AS bm25_ppm FROM part GROUP BY doc_id
+"""
     sql["clustering_coeff"] = (
         f"WITH {_PRELUDE_M}, {_TRI_BODY},"
         " degm AS (SELECT src AS vkey, count(*) AS deg FROM sym GROUP BY src)"

@@ -591,3 +591,33 @@ def test_curate_corpus_stage_reasons(spark):
     assert out[3] == (False, "lang")
     assert out[4] == (False, "quality")
     assert out[5] == (True, None)
+
+
+def test_bm25_hand_computed(spark):
+    """Two-doc corpus, hand-checked BM25 (k1=1.2, b=0.75)."""
+    import math
+
+    from essentials_spark.text.rank import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date fig")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["apple", "cherry"]).collect()}
+    N, avgdl = 3, (3 + 2 + 3) / 3
+    k1, b = 1.2, 0.75
+
+    def idf(df):
+        return math.log((N - df + 0.5) / (df + 0.5) + 1)
+
+    def term(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp = {
+        1: idf(1) * term(2, 3),                       # apple x2
+        2: idf(2) * term(1, 2),                       # cherry
+        3: idf(2) * term(1, 3),                       # cherry
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
