@@ -1149,6 +1149,25 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARM_SOURCES = 4  # bounded multi-source harmonic sample
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 4-source harmonic centrality over the symmetrized
+    graph (algos/traversal.harmonic_centrality); sources = 4 smallest
+    vids == 4 smallest skeys (rank-of-skey id assignment)."""
+    from essentials_spark.algos import harmonic_centrality
+    from essentials_spark.graph.derive import Graph
+
+    kg = _keyed_graph(spark, sf_dir)
+    sym = _sym_vid_edges(kg)
+    g = Graph(vertices=kg.graph.vertices, edges=sym.withColumn("weight", F.lit(1.0)))
+    out = harmonic_centrality(g, n_sample=HARM_SOURCES, edges_mode="shuffle")
+    return out.join(kg.vkeys, "vid").select(
+        "skey", F.round(F.col("harm") * 1e6).cast("long").alias("harm_ppm")
+    )
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA authority/hub scores (algos/salsa.py — degree-normalized
     HITS with L1 per-round normalization), HITS_ROUNDS iterations,
@@ -1264,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "transitivity": q_transitivity,
         "bm25": q_bm25,
+        "harmonic_4src": q_harmonic,
     }
 
 
@@ -1493,6 +1513,35 @@ def _hits_sql() -> str:
         f"WITH {body}\nSELECT vkey AS skey,"
         f" CAST(round(auth * 1e6) AS BIGINT) AS auth_ppm,"
         f" CAST(round(hub * 1e6) AS BIGINT) AS hub_ppm FROM h{HITS_ROUNDS}"
+    )
+
+
+def _harmonic_sql() -> str:
+    """Multi-source BFS unrolled (the _bfs_sql shape with a seed
+    dimension), then harm(v) = sum(1/dist) per vertex."""
+    parts = [
+        _PRELUDE,
+        f"seeds AS (SELECT vkey AS seed FROM verts ORDER BY vkey LIMIT {HARM_SOURCES})",
+        "hh0 AS (SELECT s.seed, v.vkey,"
+        " CASE WHEN v.vkey = s.seed THEN 0 END AS dist"
+        " FROM verts v CROSS JOIN seeds s)",
+    ]
+    for i in range(BFS_ROUNDS):
+        parts.append(
+            f"hh{i + 1} AS (SELECT l.seed, l.vkey,"
+            f" CASE WHEN l.dist IS NULL THEN nm.m + 1"
+            f"      WHEN nm.m IS NOT NULL AND nm.m + 1 < l.dist THEN nm.m + 1"
+            f"      ELSE l.dist END AS dist"
+            f" FROM hh{i} l LEFT JOIN ("
+            f"   SELECT p.seed, e.dst, min(p.dist) AS m FROM sym e JOIN hh{i} p ON p.vkey = e.src"
+            f"   WHERE p.dist IS NOT NULL GROUP BY p.seed, e.dst) nm"
+            f" ON nm.seed = l.seed AND nm.dst = l.vkey)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT vkey AS skey,"
+        f" CAST(round(sum(CAST(1.0 AS DOUBLE) / dist) * 1e6) AS BIGINT) AS harm_ppm"
+        f" FROM hh{BFS_ROUNDS} WHERE dist IS NOT NULL AND dist > 0 GROUP BY vkey"
     )
 
 
@@ -2463,6 +2512,7 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
     sql["adamic_adar"] = _adamic_adar_sql()
     sql["tool_transitions"] = _tool_transitions_sql()
     _terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sql["harmonic_4src"] = _harmonic_sql()
     sql["bm25"] = f"""
 WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),

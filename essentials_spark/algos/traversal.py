@@ -118,3 +118,68 @@ def sssp(
 
     runner.finalize()
     return dist
+
+
+def harmonic_centrality(
+    graph: Graph,
+    sources: list[int] | None = None,
+    n_sample: int = 8,
+    max_iter: int = 10_000,
+    runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+) -> DataFrame:
+    """Bounded multi-source harmonic centrality:
+    harm(v) = Σ_s 1/d(s, v) over the source set (d > 0, reachable).
+
+    The standard scale approximation (exact all-pairs is O(n·m)):
+    a deterministic bounded source sample, the same convention as
+    betweenness_centrality's ``n_sample``. The source/batch dimension
+    is folded into the state as a ``seed`` column (ops/batch.py
+    vectorized batching; reference bc.hxx:253-271) so ONE frontier
+    loop serves all sources; per superstep the frontier⋈edges advance
+    + per-seed visited anti-join shuffle only frontier-scale rows
+    against the bucketed static table.
+
+    Returns (vid: long, harm: double), vertices reached by >= 1 source.
+    """
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "harmonic")
+    edges = prepare_static_edges(
+        graph.edges.select("src", "dst"), runner, keys="src", mode=edges_mode, name_hint="harm"
+    )
+    if sources is None:
+        sources = [
+            r["vid"]
+            for r in graph.vertices.select("vid").orderBy("vid").limit(n_sample).collect()
+        ]
+    dist = truncate_plan(
+        spark.createDataFrame([(int(s), int(s), 0) for s in sources], "seed long, vid long, dist int")
+    ).persist()
+    frontier = dist.select("seed", "vid")
+    depth = 0
+
+    while depth < max_iter:
+        nxt = (
+            edges.join(frontier.withColumnRenamed("vid", "src"), "src")
+            .select("seed", F.col("dst").alias("vid"))
+            .dropDuplicates(["seed", "vid"])
+            .join(dist.select("seed", "vid"), ["seed", "vid"], "left_anti")
+        )
+        depth += 1
+        new = truncate_plan(nxt.withColumn("dist", F.lit(depth).cast("int")))
+        n_new = new.count()
+        runner.log(depth, frontier_size=n_new)
+        if n_new == 0:
+            break
+        prev = dist
+        dist = truncate_plan(dist.unionByName(new)).persist()
+        prev.unpersist()
+        frontier = new.select("seed", "vid")
+
+    out = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("vid")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harm"))
+    )
+    runner.finalize()
+    return out

@@ -631,3 +631,21 @@ def test_salsa_power_iteration(spark):
     # L1 semantics: both are probability distributions
     assert abs(sum(r["auth"] for r in res) - 1.0) < 1e-9
     assert abs(sum(r["hub"] for r in res) - 1.0) < 1e-9
+
+
+def test_harmonic_centrality_hand_computed(spark):
+    """Path 0-1-2-3 + isolated 4, sources {0, 1}:
+    harm(v) = sum over sources s != v of 1/d(s,v)."""
+    from essentials_spark.algos import harmonic_centrality
+
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3)], n_vertices=5)
+    got = {r.vid: r.harm for r in harmonic_centrality(g, sources=[0, 1]).collect()}
+    exp = {
+        0: 1.0,            # d(1,0)=1
+        1: 1.0,            # d(0,1)=1
+        2: 1 / 2 + 1,      # d(0,2)=2, d(1,2)=1
+        3: 1 / 3 + 1 / 2,  # d(0,3)=3, d(1,3)=2
+    }
+    assert got.keys() == exp.keys()
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-12
