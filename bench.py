@@ -244,7 +244,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--probe",
-        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks"],
+        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks", "bc"],
         default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
@@ -608,7 +608,7 @@ def main() -> None:
         spark.stop()
         return
 
-    if args.probe in ("mst", "color", "lp", "kcore"):
+    if args.probe in ("mst", "color", "lp", "kcore", "bc"):
         cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from pyspark.sql import functions as F
@@ -670,6 +670,25 @@ def main() -> None:
                 if pre:
                     meta["prefilter_edges"] = (pre[0]["edges_in"], pre[0]["edges_out"])
                 meta_per_pass.append(meta)
+            elif args.probe == "bc":
+                from essentials_spark.algos import betweenness_centrality as _bc
+                from essentials_spark.graph.derive import Graph as _G
+                from essentials_spark.graph.derive import canonicalize_edges as _canon
+
+                # symmetrized graph + turn-vertex sources (the directed
+                # table's smallest vids are tool SINKS — zero bc)
+                gs = _G(
+                    vertices=g.vertices,
+                    edges=_canon(g.edges, symmetrize=True, dedup=True, drop_self_loops=True),
+                )
+                seeds = [
+                    r["vid"]
+                    for r in kg.vkeys.filter(F.col("skey").startswith("turn|"))
+                    .orderBy("skey").limit(4).collect()
+                ]
+                bcdf = _bc(gs, sources=seeds, runner=runner)
+                top = bcdf.agg(F.max("bc")).collect()[0][0]
+                meta_per_pass.append({"n_sources": 4, "max_bc": float(top or 0.0)})
             elif args.probe == "color":
                 from essentials_spark.algos import color as _color
 
