@@ -1152,6 +1152,29 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 HARM_SOURCES = 4  # bounded multi-source harmonic sample
 
 
+def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound (standard BFS 2-sweep): BFS
+    from the canonical turn source, re-BFS from its farthest reachable
+    vertex (max dist, min skey tiebreak); 1 row (far_key, ecc_src,
+    diameter_est). Two frontier loops on the existing bfs operator."""
+    from essentials_spark.algos import bfs
+
+    kg, g = _sym_graph(spark, sf_dir)
+    src_vid, _ = _min_turn_vid(kg)
+    b1 = bfs(g, source=src_vid)
+    far = (
+        b1.orderBy(F.desc("dist"), F.asc("vid")).limit(1).collect()[0]
+    )
+    ecc_src = int(far["dist"])
+    b2 = bfs(g, source=int(far["vid"]))
+    diameter_est = int(b2.agg(F.max("dist")).collect()[0][0])
+    far_key = kg.vkeys.filter(F.col("vid") == int(far["vid"])).collect()[0]["skey"]
+    return spark.createDataFrame(
+        [(far_key, ecc_src, diameter_est)],
+        "far_key string, ecc_src long, diameter_est long",
+    )
+
+
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded 4-source harmonic centrality over the symmetrized
     graph (algos/traversal.harmonic_centrality); sources = 4 smallest
@@ -1284,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "bm25": q_bm25,
         "harmonic_4src": q_harmonic,
+        "diameter_2sweep": q_diameter,
     }
 
 
@@ -1513,6 +1537,44 @@ def _hits_sql() -> str:
         f"WITH {body}\nSELECT vkey AS skey,"
         f" CAST(round(auth * 1e6) AS BIGINT) AS auth_ppm,"
         f" CAST(round(hub * 1e6) AS BIGINT) AS hub_ppm FROM h{HITS_ROUNDS}"
+    )
+
+
+def _bfs_rounds(prefix: str, src_expr: str) -> list[str]:
+    """Unrolled BFS CTE chain ``{prefix}0..{prefix}BFS_ROUNDS`` from a
+    scalar source expression (shared by _bfs_sql's shape and the
+    double-sweep diameter oracle)."""
+    parts = [
+        f"{prefix}0 AS (SELECT vkey, CASE WHEN vkey = {src_expr} THEN 0 END AS dist FROM verts)"
+    ]
+    for i in range(BFS_ROUNDS):
+        parts.append(
+            f"{prefix}{i + 1} AS (SELECT l.vkey,"
+            f" CASE WHEN l.dist IS NULL THEN nm.m + 1"
+            f"      WHEN nm.m IS NOT NULL AND nm.m + 1 < l.dist THEN nm.m + 1"
+            f"      ELSE l.dist END AS dist"
+            f" FROM {prefix}{i} l LEFT JOIN ("
+            f"   SELECT e.dst, min(p.dist) AS m FROM sym e JOIN {prefix}{i} p ON p.vkey = e.src"
+            f"   WHERE p.dist IS NOT NULL GROUP BY e.dst) nm ON nm.dst = l.vkey)"
+        )
+    return parts
+
+
+def _diameter_sql() -> str:
+    parts = [_PRELUDE]
+    parts += _bfs_rounds("db", _SRC_TURN)
+    parts.append(
+        f"farv AS (SELECT vkey, dist FROM db{BFS_ROUNDS}"
+        f" WHERE dist IS NOT NULL ORDER BY dist DESC, vkey LIMIT 1)"
+    )
+    parts += _bfs_rounds("dc", "(SELECT vkey FROM farv)")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT (SELECT vkey FROM farv) AS far_key,"
+        f" CAST((SELECT dist FROM farv) AS BIGINT) AS ecc_src,"
+        f" CAST(max(dist) AS BIGINT) AS diameter_est"
+        f" FROM dc{BFS_ROUNDS} WHERE dist IS NOT NULL"
     )
 
 
@@ -2513,6 +2575,7 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
     sql["tool_transitions"] = _tool_transitions_sql()
     _terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     sql["harmonic_4src"] = _harmonic_sql()
+    sql["diameter_2sweep"] = _diameter_sql()
     sql["bm25"] = f"""
 WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
