@@ -1152,6 +1152,40 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 HARM_SOURCES = 4  # bounded multi-source harmonic sample
 
 
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival temporal reachability from the canonical turn
+    source over transcript influence edges (io/transcripts.
+    temporal_edges: turn→next-turn at the next turn's ts, turn↔tool at
+    the turn's ts — cross-conversation influence flows through shared
+    tools, time-respecting). Integer-microsecond arrivals: FP-free."""
+    from essentials_spark.algos import temporal_reachability
+    from essentials_spark.io.transcripts import temporal_edges
+
+    kg = _keyed_graph(spark, sf_dir)
+    te = temporal_edges(_transcripts(spark, sf_dir))
+    tev = (
+        te.join(kg.vkeys.select(F.col("skey").alias("src_key"), F.col("vid").alias("src")), "src_key")
+        .join(kg.vkeys.select(F.col("skey").alias("dst_key"), F.col("vid").alias("dst")), "dst_key")
+        .select("src", "dst", F.col("ets_us").alias("ets"))
+    )
+    src_vid, src_key = _min_turn_vid(kg)
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    t = _transcripts(spark, sf_dir)
+    src_ts = (
+        t.select(
+            F.concat(
+                F.lit("turn|"), F.col("conv_id"), F.lit(":"),
+                F.lpad(F.col("turn_idx").cast("string"), 6, "0"),
+            ).alias("tk"),
+            F.timestamp_diff("MICROSECOND", epoch0, F.col("ts")).alias("us"),
+        )
+        .filter(F.col("tk") == src_key)
+        .collect()[0]["us"]
+    )
+    out = temporal_reachability(tev, src_vid, int(src_ts), edges_mode="shuffle")
+    return out.join(kg.vkeys, "vid").select("skey", "arrival_us")
+
+
 def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-sweep diameter lower bound (standard BFS 2-sweep): BFS
     from the canonical turn source, re-BFS from its farthest reachable
@@ -1308,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "harmonic_4src": q_harmonic,
         "diameter_2sweep": q_diameter,
+        "temporal_reach": q_temporal_reach,
     }
 
 
@@ -1558,6 +1593,48 @@ def _bfs_rounds(prefix: str, src_expr: str) -> list[str]:
             f"   WHERE p.dist IS NOT NULL GROUP BY e.dst) nm ON nm.dst = l.vkey)"
         )
     return parts
+
+
+TEMP_ROUNDS = 40  # temporal relax converges by 30 at sf0.01; margin
+
+
+def _temporal_sql() -> str:
+    """Earliest-arrival temporal reachability unrolled: the same
+    label-correcting relax as q_temporal_reach — integer microsecond
+    arrivals, no FP anywhere. Extra rounds past the fixpoint are
+    identity, so over-unrolling is safe."""
+    parts = [
+        _PRELUDE,
+        f"tte AS ("
+        f" SELECT src, dst, ets FROM ("
+        f"  SELECT {_TURNKEY} AS src,"
+        f"   lead({_TURNKEY}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst,"
+        f"   lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ets"
+        f"  FROM tr) WHERE dst IS NOT NULL"
+        f" UNION ALL"
+        f" SELECT {_TURNKEY}, 'tool|' || tool, epoch_us(ts) FROM tr WHERE tool IS NOT NULL"
+        f" UNION ALL"
+        f" SELECT 'tool|' || tool, {_TURNKEY}, epoch_us(ts) FROM tr WHERE tool IS NOT NULL)",
+        f"srcrow AS (SELECT {_TURNKEY} AS vkey, epoch_us(ts) AS us FROM tr"
+        f" WHERE {_TURNKEY} = {_SRC_TURN})",
+        "ta0 AS (SELECT v.vkey, CASE WHEN v.vkey = s.vkey THEN s.us END AS arr"
+        " FROM verts v CROSS JOIN srcrow s)",
+    ]
+    for i in range(TEMP_ROUNDS):
+        parts.append(
+            f"ta{i + 1} AS (SELECT l.vkey,"
+            f" CASE WHEN nm.m IS NOT NULL AND (l.arr IS NULL OR nm.m < l.arr)"
+            f" THEN nm.m ELSE l.arr END AS arr"
+            f" FROM ta{i} l LEFT JOIN ("
+            f"   SELECT e.dst, min(e.ets) AS m FROM tte e JOIN ta{i} p ON p.vkey = e.src"
+            f"   WHERE p.arr IS NOT NULL AND e.ets >= p.arr GROUP BY e.dst) nm"
+            f" ON nm.dst = l.vkey)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT vkey AS skey, CAST(arr AS BIGINT) AS arrival_us"
+        f" FROM ta{TEMP_ROUNDS} WHERE arr IS NOT NULL"
+    )
 
 
 def _diameter_sql() -> str:
@@ -2576,6 +2653,7 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
     _terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     sql["harmonic_4src"] = _harmonic_sql()
     sql["diameter_2sweep"] = _diameter_sql()
+    sql["temporal_reach"] = _temporal_sql()
     sql["bm25"] = f"""
 WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),

@@ -183,3 +183,70 @@ def harmonic_centrality(
     )
     runner.finalize()
     return out
+
+
+def temporal_reachability(
+    tedges: DataFrame,
+    source: int,
+    source_ts: int,
+    max_iter: int = 10_000,
+    runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+) -> DataFrame:
+    """Earliest-arrival temporal reachability over time-stamped edges
+    (src, dst, ets): a path is valid iff edge timestamps are
+    non-decreasing, and arrival(v) is the minimum feasible arrival —
+    standard temporal-graph semantics, here over transcript influence
+    edges (io/transcripts.temporal_edges).
+
+    SSSP-shaped label-correcting loop: relax ``arrival(dst) = min ets
+    over edges with ets >= arrival(src)``. Arrival times only
+    decrease and decreasing arrival(u) only ENLARGES its feasible
+    edge set, so the fixpoint is exact (monotone). All values are
+    integer microseconds — a fully FP-free operator, which is why its
+    oracle hash is bit-exact by construction.
+
+    Returns (vid: long, arrival_us: long) for reached vertices.
+    """
+    spark = tedges.sparkSession
+    runner = runner or SuperstepRunner(spark, "temporal")
+    edges = prepare_static_edges(
+        tedges.select("src", "dst", "ets"), runner, keys="src", mode=edges_mode,
+        name_hint="temporal",
+    )
+    arr = truncate_plan(
+        spark.createDataFrame([(int(source), int(source_ts))], "vid long, arrival long")
+    ).persist()
+    frontier = arr
+    it = 0
+
+    while it < max_iter:
+        msgs = (
+            edges.join(
+                frontier.select(F.col("vid").alias("src"), "arrival"), "src"
+            )
+            .filter(F.col("ets") >= F.col("arrival"))
+            .groupBy("dst")
+            .agg(F.min("ets").alias("cand"))
+            .withColumnRenamed("dst", "vid")
+        )
+        improved = (
+            msgs.join(arr, "vid", "left")
+            .filter(F.col("arrival").isNull() | (F.col("cand") < F.col("arrival")))
+            .select("vid", F.col("cand").alias("arrival"))
+        )
+        improved = truncate_plan(improved)
+        n_new = improved.count()
+        it += 1
+        runner.log(it, frontier_size=n_new)
+        if n_new == 0:
+            break
+        prev = arr
+        arr = truncate_plan(
+            arr.join(improved.select("vid"), "vid", "left_anti").unionByName(improved)
+        ).persist()
+        prev.unpersist()
+        frontier = improved
+
+    runner.finalize()
+    return arr.select("vid", F.col("arrival").alias("arrival_us"))

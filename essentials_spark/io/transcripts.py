@@ -184,3 +184,46 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
         F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts")).alias("duration_us"),
         F.round(F.avg(F.length("text")), 6).alias("avg_text_len"),
     )
+
+
+def temporal_edges(transcripts: DataFrame) -> DataFrame:
+    """Time-stamped influence edges (src_key, dst_key, ets_us):
+
+    - turn -> next turn (same conversation), stamped with the NEXT
+      turn's wall-clock (when the influence lands);
+    - turn <-> tool (both directions), stamped with the turn's ts —
+      a turn deposits influence into a tool at its own time, and any
+      LATER turn in any conversation can pick it up.
+
+    Feeds temporal (time-respecting) reachability: a path is valid iff
+    edge timestamps are non-decreasing, the standard temporal-graph
+    semantics. Timestamps are exact NTZ-to-NTZ microsecond diffs
+    (session-timezone-independent integers — the oracle reproduces
+    them bit-for-bit, no FP anywhere)."""
+    from pyspark.sql import Window as W
+
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    t = transcripts.select(
+        "conv_id", "turn_idx", "tool",
+        F.timestamp_diff("MICROSECOND", epoch0, F.col("ts")).alias("ets_us"),
+    )
+    turnk = F.concat(
+        F.lit("turn|"), F.col("conv_id"), F.lit(":"),
+        F.lpad(F.col("turn_idx").cast("string"), 6, "0"),
+    )
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    base = t.select("conv_id", "turn_idx", "tool", "ets_us", turnk.alias("tk"))
+    adj = (
+        base.withColumn("nk", F.lead("tk").over(w))
+        .withColumn("nts", F.lead("ets_us").over(w))
+        .filter(F.col("nk").isNotNull())
+        .select(F.col("tk").alias("src_key"), F.col("nk").alias("dst_key"), F.col("nts").alias("ets_us"))
+    )
+    toolk = F.concat(F.lit("tool|"), F.col("tool"))
+    t2tool = base.filter(F.col("tool").isNotNull()).select(
+        F.col("tk").alias("src_key"), toolk.alias("dst_key"), "ets_us"
+    )
+    tool2t = base.filter(F.col("tool").isNotNull()).select(
+        toolk.alias("src_key"), F.col("tk").alias("dst_key"), "ets_us"
+    )
+    return adj.unionByName(t2tool).unionByName(tool2t)

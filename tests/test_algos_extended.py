@@ -649,3 +649,24 @@ def test_harmonic_centrality_hand_computed(spark):
     assert got.keys() == exp.keys()
     for v in exp:
         assert abs(got[v] - exp[v]) < 1e-12
+
+
+def test_temporal_reachability_semantics(spark):
+    """Time-respecting paths only: 0-(t10)->1-(t5)->2 cannot reach 2
+    through 1 (5 < 10), but 0-(t10)->1-(t20)->3 can; earliest arrival
+    wins when two paths exist."""
+    from essentials_spark.algos import temporal_reachability
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 10),
+            (1, 2, 5),    # too early once at 1 (arrival 10)
+            (1, 3, 20),
+            (0, 3, 50),   # direct but later -> min(20, 50) = 20
+            (3, 4, 15),   # too early from 3 (arrival 20)
+            (3, 4, 30),   # feasible duplicate edge, later ts
+        ],
+        "src long, dst long, ets long",
+    )
+    got = {r.vid: r.arrival_us for r in temporal_reachability(edges, 0, 0).collect()}
+    assert got == {0: 0, 1: 10, 3: 20, 4: 30}
