@@ -22,7 +22,10 @@ from essentials_spark.session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="essentials_spark")
-    ap.add_argument("algo", choices=["pagerank", "cc", "lp", "tc", "bfs", "sssp", "hits", "all"])
+    ap.add_argument("algo", choices=[
+        "pagerank", "cc", "lp", "tc", "bfs", "sssp", "hits", "salsa",
+        "walks", "node2vec", "temporal", "all",
+    ])
     ap.add_argument("--input", help="transcripts table: parquet path or iceberg table name")
     ap.add_argument("--synthetic", type=int, default=None, help="generate N synthetic conversations instead")
     ap.add_argument("--output", default=None, help="write result here (parquet/iceberg)")
@@ -31,7 +34,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--alpha", type=float, default=0.85)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
-    ap.add_argument("--source", type=int, default=0, help="bfs/sssp source vid")
+    ap.add_argument("--source", type=int, default=0, help="bfs/sssp/temporal source vid")
+    ap.add_argument("--walk-length", type=int, default=10, help="walks/node2vec steps")
     # bucketed = the at-scale default everywhere (static edge table
     # written once, supersteps shuffle only vertex state)
     ap.add_argument("--kernel", default="bucketed", choices=["bucketed", "dataframe", "csr"])
@@ -107,6 +111,36 @@ def main(argv: list[str] | None = None) -> int:
         from essentials_spark.algos import sssp as _sssp
 
         out = _sssp(kg.graph, source=args.source, runner=runner)
+    elif args.algo in ("walks", "node2vec"):
+        from pyspark.sql import functions as F
+
+        from essentials_spark.graph.derive import canonicalize_edges
+        from essentials_spark.sampling import node2vec_walks, random_walks
+
+        sym = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+        start = kg.vkeys.select(F.concat("skey", F.lit("#0")).alias("wid"), "vid")
+        kern = "csr" if args.kernel == "csr" else "dataframe"
+        if args.algo == "walks":
+            out = random_walks(sym, start, length=args.walk_length, kernel=kern, runner=runner)
+        else:
+            out = node2vec_walks(sym, start, length=args.walk_length, kernel=kern, runner=runner)
+    elif args.algo == "temporal":
+        from pyspark.sql import functions as F
+
+        from essentials_spark.algos import temporal_reachability
+        from essentials_spark.io.transcripts import temporal_edges
+
+        te = temporal_edges(transcripts)
+        tev = (
+            te.join(kg.vkeys.select(F.col("skey").alias("src_key"), F.col("vid").alias("src")), "src_key")
+            .join(kg.vkeys.select(F.col("skey").alias("dst_key"), F.col("vid").alias("dst")), "dst_key")
+            .select("src", "dst", F.col("ets_us").alias("ets"))
+        )
+        out = temporal_reachability(tev, args.source, 0, runner=runner)
+    elif args.algo == "salsa":
+        from essentials_spark.algos import salsa as _salsa
+
+        out = _salsa(kg.graph, max_iter=args.max_iter, runner=runner)
     else:
         from essentials_spark.algos import hits as _hits
 
