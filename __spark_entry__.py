@@ -276,16 +276,17 @@ def q_ktruss_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ktruss_4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the membership graph — a 3-round removal CASCADE at
     sf0.01 (support-2 edges lose their triangles once the support-1
-    fans peel) that must empty out on both sides; a sharp test of the
-    peeling fixpoint rather than one support pass."""
+    fans peel) that empties out. Gated as a 1-row summary
+    (k4_edges, cascade_dropped = |3-truss| - |4-truss|) so the entry
+    asserts the CASCADE SIZE, not just the empty fixpoint — a
+    degenerate return-empty peel fails on cascade_dropped."""
     from essentials_spark.algos import ktruss
 
     kg = _keyed_graph(spark, sf_dir, membership=True)
-    t = ktruss(kg.graph, 4)
-    return (
-        t.join(kg.vkeys.select(F.col("vid").alias("src"), F.col("skey").alias("src_key")), "src")
-        .join(kg.vkeys.select(F.col("vid").alias("dst"), F.col("skey").alias("dst_key")), "dst")
-        .select("src_key", "dst_key")
+    c3 = ktruss(kg.graph, 3).agg(F.count(F.lit(1)).alias("k3_edges"))
+    c4 = ktruss(kg.graph, 4).agg(F.count(F.lit(1)).alias("k4_edges"))
+    return c3.crossJoin(c4).select(
+        "k4_edges", (F.col("k3_edges") - F.col("k4_edges")).alias("cascade_dropped")
     )
 
 
@@ -2541,7 +2542,24 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
     # k=3, 3 for k=4 at sf0.01); extra rounds are identity at the
     # fixpoint, so over-unrolling is safe
     sql["ktruss_3"] = _ktruss_sql(3, 6)
-    sql["ktruss_4"] = _ktruss_sql(4, 6)
+    # ktruss_4 gates the summary (survivors, cascade drop from the
+    # 3-truss): chain the k=3 peel into the k=4 peel (truss nesting —
+    # the 4-truss of the 3-truss fixpoint IS the 4-truss) and count
+    # both fixpoints
+    _k4_parts = ["e0 AS (SELECT src, dst FROM sym WHERE src < dst)"]
+    _cur = "e0"
+    for _i in range(6):
+        _ctes, _cur = _truss_round_ctes(_cur, f"g3_{_i}", 3)
+        _k4_parts.extend(_ctes)
+    _fix3 = _cur
+    for _i in range(6):
+        _ctes, _cur = _truss_round_ctes(_cur, f"g4_{_i}", 4)
+        _k4_parts.extend(_ctes)
+    sql["ktruss_4"] = (
+        f"WITH {_PRELUDE_M},\n" + ",\n".join(_k4_parts) + "\n"
+        f"SELECT (SELECT count(*) FROM {_cur}) AS k4_edges,"
+        f" (SELECT count(*) FROM {_fix3}) - (SELECT count(*) FROM {_cur}) AS cascade_dropped"
+    )
     # windowed variant: turn pairs within lead distance 1..3 per
     # conversation plus turn->tool links, canonicalized with
     # least/greatest ('tool|' sorts BELOW 'turn|', so tool edges flip)

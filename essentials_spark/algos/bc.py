@@ -10,13 +10,27 @@ convention); multi-source via the batch operator (bc.hxx:253-271).
 
 Spark shape: the source/batch dimension is folded into the state
 DataFrame as a ``seed`` column (vectorized batching, SURVEY §2.1), so
-one pair of forward/backward loops serves all sources; per-depth
-frontiers are rows filtered by the ``depth`` column. The edge table is
-persisted bucketed in both orientations (forward joins on src,
-backward on dst), so neither loop re-shuffles the graph. Sources must
-be explicit or sampled (``n_sample``): collecting every vertex id to
-the driver and cross-producting it through the state is a scale-killer
-at web scale.
+one pair of forward/backward loops serves all sources. State is kept
+as PER-DEPTH LEVEL TABLES (the reference's per-depth frontier
+retention, bc.hxx:104-213), never one rewritten (seed x vid) union:
+
+- forward level d+1 = advance(level d) minus already-seen, where on a
+  SYMMETRIC edge set "already-seen" only needs levels d and d-1 (an
+  undirected BFS neighbor of a depth-d vertex has depth in
+  {d-1, d, d+1}), so every round is LEVEL-scale;
+- backward dependency at level d-1 reads only levels d and d-1 (in a
+  BFS DAG, successor edges connect consecutive depths); each finalized
+  per-level delta table is appended, and the levels union only once at
+  finalize.
+
+Total cost is O(sum of level sizes) = O(n_reached x seeds) plus one
+edge-stream per level — the per-level full-state rewrite (measured
+881 s / 4 sources at 3.58M edges) is gone. The edge table is persisted
+bucketed (forward joins on src; for symmetric graphs the backward pass
+reuses the same table, halving static-table prep). Sources must be
+explicit or sampled (``n_sample``): collecting every vertex id to the
+driver and cross-producting it through the state is a scale-killer at
+web scale.
 """
 
 from __future__ import annotations
@@ -36,18 +50,26 @@ def betweenness_centrality(
     runner: SuperstepRunner | None = None,
     edges_mode: str = "bucketed",
     n_sample: int = 32,
+    symmetric: bool = True,
 ) -> DataFrame:
     """Returns (vid: long, bc: double) — reference-scaled (0.5x per
     dependency update), summed over the given sources.
 
     ``sources=None`` uses the ``n_sample`` smallest vertex ids
     (deterministic, bounded — a capped approximation, standard for BC
-    at scale; pass explicit sources for exact multi-source runs)."""
+    at scale; pass explicit sources for exact multi-source runs).
+
+    ``symmetric=True`` (the default; every engine caller passes a
+    symmetrized graph, and the 0.5x undirected pair convention assumes
+    one) enables the level-scale visited check and reuses the forward
+    bucketed table for the backward pass. Pass False for a directed
+    edge set: the visited anti-join then runs against the union of all
+    prior levels and the transposed table is built separately."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "bc")
     e = graph.edges.select("src", "dst")
     edges = prepare_static_edges(e, runner, keys="src", mode=edges_mode, name_hint="bc_fwd")
-    edges_rev = prepare_static_edges(
+    edges_rev = edges if symmetric else prepare_static_edges(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
         runner, keys="src", mode=edges_mode, name_hint="bc_rev",
     )
@@ -57,62 +79,79 @@ def betweenness_centrality(
         sources = [r["vid"] for r in graph.vertices.select("vid").orderBy("vid").limit(n_sample).collect()]
     seeds = spark.createDataFrame([(int(s),) for s in sources], "seed long")
 
-    # ---- forward: multi-source BFS with sigma accumulation ----
-    state = truncate_plan(
-        seeds.select("seed", F.col("seed").alias("vid"), F.lit(0).alias("depth"), F.lit(1.0).alias("sigma"))
-    ).persist()
-    frontier = state
+    # ---- forward: multi-source BFS, one persisted table per depth ----
+    levels: list[DataFrame] = [
+        truncate_plan(
+            seeds.select("seed", F.col("seed").alias("vid"), F.lit(1.0).alias("sigma"))
+        ).persist()
+    ]
     depth = 0
     while depth < max_iter:
-        nxt = (
+        frontier = levels[depth]
+        msgs = (
             edges.join(frontier.select(F.col("vid").alias("src"), "seed", "sigma"), "src")
             .groupBy("seed", F.col("dst").alias("vid"))
             .agg(F.sum("sigma").alias("sigma"))
-            .join(state.select("seed", "vid"), ["seed", "vid"], "left_anti")
         )
-        depth += 1
-        new = truncate_plan(nxt.withColumn("depth", F.lit(depth)))
+        if symmetric:
+            # undirected: a neighbor of depth d sits at depth d-1, d,
+            # or d+1 — the anti-join needs only the last two levels
+            visited = levels[depth].select("seed", "vid")
+            if depth > 0:
+                visited = visited.unionByName(levels[depth - 1].select("seed", "vid"))
+        else:
+            visited = levels[0].select("seed", "vid")
+            for lv in levels[1:]:
+                visited = visited.unionByName(lv.select("seed", "vid"))
+        new = truncate_plan(msgs.join(visited, ["seed", "vid"], "left_anti")).persist()
         n_new = new.count()
-        runner.log(depth, discovered=n_new)
+        runner.log(depth + 1, discovered=n_new)
         if n_new == 0:
+            new.unpersist()
             break
-        prev = state
-        # truncate_plan materializes, so the new state no longer depends
-        # on the old cache — release it eagerly (reassignment alone
-        # leaves the unpersist to the lazy ContextCleaner)
-        state = truncate_plan(state.unionByName(new.select("seed", "vid", "depth", "sigma"))).persist()
-        prev.unpersist()
-        frontier = new
+        levels.append(new)
+        depth += 1
 
-    max_depth = depth - 1
+    max_depth = len(levels) - 1
 
-    # ---- backward: dependency accumulation, deepest level first ----
-    deltas = truncate_plan(state.select("seed", "vid", "depth", "sigma", F.lit(0.0).alias("delta"))).persist()
+    # ---- backward: per-level dependency accumulation, deepest first.
+    # Each finalized (seed, vid, delta) level appends to the output
+    # list; a backward round touches ONLY levels d and d-1.
+    delta = truncate_plan(levels[max_depth].withColumn("delta", F.lit(0.0))).persist()
+    finalized: list[DataFrame] = []
     for d in range(max_depth, 0, -1):
-        succ = deltas.filter(F.col("depth") == d).select(
+        succ = delta.select(
             "seed", F.col("vid").alias("src"), F.col("sigma").alias("wsigma"), F.col("delta").alias("wdelta")
         )
         # walk predecessors on the transposed table (join keyed on its
-        # bucketed src = the successor endpoint)
+        # bucketed src = the successor endpoint); predecessors of a
+        # depth-d vertex are exactly the depth-(d-1) rows
         contrib = (
             edges_rev.join(succ, "src")
             .join(
-                deltas.filter(F.col("depth") == d - 1).select("seed", F.col("vid").alias("dst"), F.col("sigma").alias("vsigma")),
+                levels[d - 1].select("seed", F.col("vid").alias("dst"), F.col("sigma").alias("vsigma")),
                 ["seed", "dst"],
             )
             .groupBy("seed", F.col("dst").alias("vid"))
             .agg(F.sum((F.col("vsigma") / F.col("wsigma")) * (1.0 + F.col("wdelta"))).alias("dd"))
         )
-        prev_d = deltas
-        deltas = truncate_plan(
-            deltas.join(contrib, ["seed", "vid"], "left").select(
-                "seed", "vid", "depth", "sigma", (F.col("delta") + F.coalesce(F.col("dd"), F.lit(0.0))).alias("delta")
+        finalized.append(delta.select("seed", "vid", "delta"))
+        delta = truncate_plan(
+            levels[d - 1].join(contrib, ["seed", "vid"], "left").select(
+                "seed", "vid", "sigma", F.coalesce(F.col("dd"), F.lit(0.0)).alias("delta")
             )
         ).persist()
-        prev_d.unpersist()
+        # level d's sigma table is consumed (the finalized delta is
+        # eagerly localCheckpoint-materialized, so it no longer reads
+        # from the level cache) — release it now, not at GC time
+        levels[d].unpersist()
+    finalized.append(delta.select("seed", "vid", "delta"))
 
+    all_deltas = finalized[0]
+    for df in finalized[1:]:
+        all_deltas = all_deltas.unionByName(df)
     out = (
-        deltas.filter(F.col("vid") != F.col("seed"))
+        all_deltas.filter(F.col("vid") != F.col("seed"))
         .groupBy("vid")
         .agg((F.lit(0.5) * F.sum("delta")).alias("bc"))
         .join(graph.vertices.select("vid"), "vid", "right")

@@ -38,7 +38,7 @@ from essentials_spark.engine.static_table import (
     hint_state_join,
     prepare_static_edges,
 )
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, edge_fingerprint, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
 
@@ -232,8 +232,10 @@ def connected_components_contract(
     rmin = star = agg = None
     star_cnt = 0
     if runner.checkpoint_dir and runner.fingerprint is None:
+        # content hash, not a count: equal-cardinality different edge
+        # sets must not resume each other's checkpoints
         runner.fingerprint = (
-            f"cc_contract:n={n}:m={graph.edges.count()}:b={n_buckets}:cap={bucket_row_cap}"
+            f"cc_contract:n={n}:{edge_fingerprint(graph.edges)}:b={n_buckets}:cap={bucket_row_cap}"
         )
     resumed = runner.latest()
     if resumed is not None:
@@ -416,10 +418,23 @@ def _contract_phase23(
             roots = star.select(F.col("src").alias("vid")).unionByName(
                 star.select(F.col("dst").alias("vid"))
             ).distinct()
+        # The stitch solve gets a DEDICATED sub-runner: the inner CC
+        # must not inherit the contraction's fingerprint/checkpoint
+        # lineage — otherwise its resume restores the (a,b,kind)
+        # contract table as a label state, and its iter-numbered
+        # durable writes shadow the contraction's own phase markers
+        # (iter=1 'contract' / iter=2 'done').
+        stitch_runner = SuperstepRunner(
+            runner.spark,
+            runner.name + "_stitch",
+            checkpoint_dir=runner.checkpoint_dir,
+            checkpoint_every=runner.checkpoint_every,
+            fingerprint=(runner.fingerprint + ":stitch") if runner.fingerprint else None,
+        )
         labels2 = connected_components(
             Graph(vertices=roots, edges=star.withColumn("weight", F.lit(1.0))),
             max_iter=max_iter,
-            runner=runner,
+            runner=stitch_runner,
             edges_mode="shuffle",
             persist_result=False,
         )

@@ -37,8 +37,12 @@ def salsa(
     max_iter: int = 20,
     runner: SuperstepRunner | None = None,
     edges_mode: str = "bucketed",
+    include_ranks: bool = False,
 ) -> DataFrame:
-    """Returns (vid, auth, hub, auth_rank, hub_rank)."""
+    """Returns (vid, auth, hub) — plus (auth_rank, hub_rank) when
+    ``include_ranks``. Ranks use row_number over UNPARTITIONED windows
+    (a single-task n-scale sort funnel), so they are opt-in: a consumer
+    that only needs scores or a top-k should sort/limit instead."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "salsa")
     e = graph.edges.select("src", "dst")
@@ -99,11 +103,13 @@ def salsa(
         state.unpersist()
         state = new_state
 
-    ranked = state.withColumns(
-        {
-            "auth_rank": F.row_number().over(Window.orderBy(F.desc("auth"), "vid")),
-            "hub_rank": F.row_number().over(Window.orderBy(F.desc("hub"), "vid")),
-        }
-    )
+    out = state
+    if include_ranks:
+        out = state.withColumns(
+            {
+                "auth_rank": F.row_number().over(Window.orderBy(F.desc("auth"), "vid")),
+                "hub_rank": F.row_number().over(Window.orderBy(F.desc("hub"), "vid")),
+            }
+        )
     runner.finalize()
-    return ranked
+    return out

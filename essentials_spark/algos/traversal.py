@@ -24,19 +24,133 @@ from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
 from essentials_spark.graph.derive import Graph
 
 
+def _relax_min(
+    edges_df: DataFrame,
+    seeds: DataFrame,
+    runner: SuperstepRunner,
+    edges_mode: str = "bucketed",
+    max_iter: int = 10_000,
+    name_hint: str = "relax",
+) -> DataFrame:
+    """Label-correcting min-relaxation (Bellman-Ford frontier loop)
+    from arbitrary seed distances: edges (src, dst, weight), seeds
+    (vid, dist). Returns (vid, dist double) for reached vertices.
+    Shared by sssp and by every chain-contracted traversal (where the
+    seed set is the source's chain endpoints)."""
+    edges = prepare_static_edges(
+        edges_df.select("src", "dst", "weight"), runner, keys="src",
+        mode=edges_mode, name_hint=name_hint,
+    )
+    dist = truncate_plan(seeds.select("vid", F.col("dist").cast("double").alias("dist"))).persist()
+    frontier = dist
+    iteration = 0
+    while iteration < max_iter:
+        cand = (
+            edges.join(frontier.select(F.col("vid").alias("src"), "dist"), "src")
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+            .withColumnRenamed("dst", "vid")
+        )
+        merged = dist.join(cand, "vid", "full").select(
+            "vid",
+            F.least(F.col("dist"), F.col("cand")).alias("dist"),
+            (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+        )
+        merged = truncate_plan(merged)
+        improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
+        n_improved = improved.count()
+        iteration += 1
+        runner.log(iteration, improved=n_improved)
+        prev = dist
+        dist = merged.select("vid", "dist").persist()
+        prev.unpersist()
+        frontier = improved.select("vid", "dist")
+        if n_improved == 0:
+            break
+    return dist
+
+
+def _chain_traversal(
+    graph: Graph,
+    source: int,
+    use_hops: bool,
+    runner: SuperstepRunner,
+    contraction=None,
+    edges_mode: str = "bucketed",
+) -> DataFrame:
+    """Shared chain-contracted BFS/SSSP core (graph/chain_contract.py):
+    relax over the contracted super-graph (rounds = CONTRACTED
+    diameter, not turn-count diameter), then rehydrate interiors
+    exactly. An interior source seeds its two chain endpoints with the
+    in-chain prefix distances and overlays the direct in-chain path
+    for its own chain members — so one contraction artifact serves ANY
+    source (build once per graph, traverse many times)."""
+    from essentials_spark.graph.chain_contract import chain_contraction, expand_distances
+
+    spark = graph.edges.sparkSession
+    if contraction is None:
+        contraction = chain_contraction(graph.vertices, graph.edges)
+    wcol = F.col("hops") if use_hops else F.col("weight")
+    sedges = contraction.super_edges.select(
+        "src", "dst", wcol.cast("double").alias("weight")
+    )
+    srow = contraction.interior.filter(F.col("vid") == int(source)).collect()
+    s_chain = None
+    if srow:
+        r = srow[0]
+        da = r["da_hops"] if use_hops else r["da_w"]
+        db = r["db_hops"] if use_hops else r["db_w"]
+        seed_rows = [(int(r["end_a"]), float(da)), (int(r["end_b"]), float(db))]
+        s_chain = int(r["chain_id"])
+        s_pos = r["pos_hops"] if use_hops else r["pos_w"]
+    else:
+        seed_rows = [(int(source), 0.0)]
+    seeds = (
+        spark.createDataFrame(seed_rows, "vid long, dist double")
+        .groupBy("vid").agg(F.min("dist").alias("dist"))
+    )
+    term_dist = _relax_min(
+        sedges, seeds, runner, edges_mode=edges_mode, name_hint="chain_relax"
+    )
+    full = expand_distances(contraction, term_dist, "dist", use_hops=use_hops)
+    if s_chain is not None:
+        pos = F.col("pos_hops") if use_hops else F.col("pos_w")
+        direct = contraction.interior.filter(F.col("chain_id") == s_chain).select(
+            "vid", F.abs(pos - F.lit(s_pos)).cast("double").alias("direct")
+        )
+        full = full.join(direct, "vid", "full").select(
+            "vid", F.least(F.col("dist"), F.col("direct")).alias("dist")
+        )
+    return full
+
+
 def bfs(
     graph: Graph,
     source: int,
     max_iter: int = 10_000,
     runner: SuperstepRunner | None = None,
     edges_mode: str = "bucketed",
+    chain_contract: bool = False,
+    contraction=None,
 ) -> DataFrame:
     """Hop distances from ``source``; unreachable vertices omitted.
 
     Returns (vid: long, dist: int).
+
+    ``chain_contract=True`` (or an explicit prebuilt ``contraction``)
+    routes through degree-2 chain contraction: exact, and on chain-
+    dominated graphs the superstep count drops from the hop diameter
+    to the contracted diameter. Requires a symmetrized edge set.
     """
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "bfs")
+    if chain_contract or contraction is not None:
+        out = _chain_traversal(
+            graph, source, use_hops=True, runner=runner,
+            contraction=contraction, edges_mode=edges_mode,
+        ).select("vid", F.col("dist").cast("int").alias("dist"))
+        runner.finalize()
+        return out
     edges = prepare_static_edges(
         graph.edges.select("src", "dst"), runner, keys="src", mode=edges_mode, name_hint="bfs"
     )
@@ -77,45 +191,31 @@ def sssp(
     max_iter: int = 10_000,
     runner: SuperstepRunner | None = None,
     edges_mode: str = "bucketed",
+    chain_contract: bool = False,
+    contraction=None,
 ) -> DataFrame:
     """Single-source shortest paths (non-negative weights), Bellman-Ford
     frontier relaxation. Returns (vid: long, dist: double); unreachable
     vertices omitted.
+
+    ``chain_contract=True`` / ``contraction``: exact degree-2 chain
+    contraction (super-edge weight = chain weight sum); requires a
+    symmetrized edge set. See :func:`bfs`.
     """
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "sssp")
-    edges = prepare_static_edges(graph.edges, runner, keys="src", mode=edges_mode, name_hint="sssp")
-
-    dist = truncate_plan(
-        spark.createDataFrame([(int(source), 0.0)], "vid long, dist double")
-    ).persist()
-    frontier = dist
-    iteration = 0
-
-    while iteration < max_iter:
-        cand = (
-            edges.join(frontier.select(F.col("vid").alias("src"), "dist"), "src")
-            .groupBy("dst")
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
-            .withColumnRenamed("dst", "vid")
+    if chain_contract or contraction is not None:
+        out = _chain_traversal(
+            graph, source, use_hops=False, runner=runner,
+            contraction=contraction, edges_mode=edges_mode,
         )
-        merged = dist.join(cand, "vid", "full").select(
-            "vid",
-            F.least(F.col("dist"), F.col("cand")).alias("dist"),
-            (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
-        )
-        merged = truncate_plan(merged)
-        improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
-        n_improved = improved.count()
-        iteration += 1
-        runner.log(iteration, improved=n_improved)
-        prev = dist
-        dist = merged.select("vid", "dist").persist()
-        prev.unpersist()
-        frontier = improved.select("vid", "dist")
-        if n_improved == 0:
-            break
-
+        runner.finalize()
+        return out
+    seeds = spark.createDataFrame([(int(source), 0.0)], "vid long, dist double")
+    dist = _relax_min(
+        graph.edges, seeds, runner, edges_mode=edges_mode,
+        max_iter=max_iter, name_hint="sssp",
+    )
     runner.finalize()
     return dist
 

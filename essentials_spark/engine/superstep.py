@@ -62,6 +62,22 @@ def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
         return ckpt
 
 
+def edge_fingerprint(edges: DataFrame, cols: tuple[str, str] = ("src", "dst")) -> str:
+    """Content fingerprint of an edge table for resume validation:
+    row count + the sum of xxhash64(src, dst) over all rows. One
+    map-side-partial aggregate (same cost class as a bare count), but
+    unlike a count it distinguishes two different edge sets with equal
+    cardinality — a same-n different-edge-set rerun against a reused
+    checkpoint_dir must refuse the stale state, not resume it."""
+    row = edges.select(
+        F.count(F.lit(1)).alias("m"),
+        # bit_xor, not sum: xxhash64 values overflow a long sum under
+        # ANSI arithmetic; xor is closed over int64
+        F.bit_xor(F.xxhash64(*cols)).alias("h"),
+    ).collect()[0]
+    return f"m={row['m']}:h={row['h']}"
+
+
 class SuperstepRunner:
     """State manager for one algorithm run."""
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from essentials_spark.engine.static_table import prepare_static_edges
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, edge_fingerprint, truncate_plan
 from essentials_spark.functions.portable_hash import md5_int60
 
 
@@ -70,7 +70,11 @@ def _walk_resume(runner: SuperstepRunner, length: int):
     stepping from the newest. Returns (frontiers list 0..t0, t0) or
     (None, 0) for a fresh start — fresh also when any earlier step dir
     is missing (a partially-cleaned directory must not silently drop
-    walk prefix rows)."""
+    walk prefix rows) or carries a DIFFERENT fingerprint (a reused
+    checkpoint_dir can hold a stale high step from one graph and
+    overwritten low steps from another; the prefix must be validated
+    per step, not just at the latest)."""
+    import json
     import os
 
     resumed = runner.latest()
@@ -84,6 +88,13 @@ def _walk_resume(runner: SuperstepRunner, length: int):
         path = runner._ckpt_path(t)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             return None, 0
+        if runner.fingerprint is not None:
+            try:
+                with open(os.path.join(path, "_meta.json")) as fh:
+                    if json.load(fh).get("fingerprint") != runner.fingerprint:
+                        return None, 0
+            except Exception:
+                return None, 0
         fronts.append(runner.spark.read.parquet(path))
     fronts.append(latest_df)
     return fronts, t0
@@ -129,7 +140,9 @@ def random_walks(
     # frontier is durable when a checkpoint_dir is configured — a
     # killed corpus run restores the prefix and continues stepping
     if runner.checkpoint_dir and runner.fingerprint is None:
-        runner.fingerprint = f"walks:{kernel}:len={length}:m={edges.count()}"
+        # content hash (not a count): a same-size different edge set
+        # must refuse this run's checkpoints
+        runner.fingerprint = f"walks:{kernel}:len={length}:{edge_fingerprint(edges)}"
     fronts, t0 = (
         _walk_resume(runner, length) if runner.checkpoint_dir else (None, 0)
     )
@@ -383,7 +396,7 @@ def node2vec_walks(
     if runner.checkpoint_dir and runner.fingerprint is None:
         runner.fingerprint = (
             f"n2v:{kernel}:len={length}:w={w_return}/{w_common}/{w_far}"
-            f":cap={max_expand}:m={edges.count()}"
+            f":cap={max_expand}:{edge_fingerprint(edges)}"
         )
     fronts, t0 = (
         _walk_resume(runner, length) if runner.checkpoint_dir else (None, 0)

@@ -1,0 +1,117 @@
+"""Degree-2 chain contraction: construction invariants + A/B parity
+of chain-contracted BFS/SSSP against the plain frontier loops over
+adversarial shapes (interior sources, pendant chains, loop chains,
+pure cycles, parallel equal-length chains)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import graph_from_edges
+
+from essentials_spark.algos import bfs, sssp
+from essentials_spark.graph.chain_contract import chain_contraction, expand_distances
+
+
+def _bfs_pair(spark, pairs, source, n_vertices=None, weights=None):
+    g = graph_from_edges(spark, pairs, n_vertices=n_vertices, weights=weights)
+    plain = {r["vid"]: r["dist"] for r in bfs(g, source=source).collect()}
+    chain = {r["vid"]: r["dist"] for r in bfs(g, source=source, chain_contract=True).collect()}
+    return plain, chain
+
+
+def _sssp_pair(spark, pairs, source, weights, n_vertices=None):
+    g = graph_from_edges(spark, pairs, n_vertices=n_vertices, weights=weights)
+    plain = {r["vid"]: r["dist"] for r in sssp(g, source=source).collect()}
+    chain = {r["vid"]: r["dist"] for r in sssp(g, source=source, chain_contract=True).collect()}
+    return plain, chain
+
+
+# two hubs (0, 9) joined by two parallel chains of equal length plus a
+# pendant chain and an isolated vertex — the canonical adversarial mix
+PARALLEL = [
+    (0, 1), (1, 2), (2, 9),      # chain A: 0-1-2-9
+    (0, 3), (3, 4), (4, 9),      # chain B (parallel, same length)
+    (9, 5), (5, 6), (6, 7),      # pendant chain off 9
+    (0, 10),                     # pendant edge keeping hub 0 at deg 3
+]
+
+
+def test_contraction_structure_parallel_chains(spark):
+    g = graph_from_edges(spark, PARALLEL, n_vertices=11)
+    c = chain_contraction(g.vertices, g.edges)
+    inter = {r["vid"] for r in c.interior.collect()}
+    # 1..6 are degree-2 interiors; 7 is a chain END (degree 1) so it
+    # stays terminal; hubs 0, 9 and isolated 8, 10 stay terminal
+    assert inter == {1, 2, 3, 4, 5, 6}
+    se = c.super_edges.collect()
+    chain_rows = [r for r in se if r["chain_id"] is not None]
+    # parallel chains 0-9 MUST stay distinct rows (2 chains x 2
+    # orientations) + pendant 9-7 x 2
+    assert len(chain_rows) == 6
+    assert all(r["hops"] == 3 for r in chain_rows)
+    pq = sorted((r["src"], r["dst"]) for r in chain_rows)
+    assert pq == [(0, 9), (0, 9), (7, 9), (9, 0), (9, 0), (9, 7)]
+    # passthrough edge 0-10 survives with hops 1
+    assert sorted((r["src"], r["dst"]) for r in se if r["chain_id"] is None) == [(0, 10), (10, 0)]
+
+
+def test_chain_bfs_matches_plain_terminal_source(spark):
+    plain, chain = _bfs_pair(spark, PARALLEL, source=0, n_vertices=11)
+    assert chain == plain
+
+
+def test_chain_bfs_matches_plain_interior_source(spark):
+    for src in (1, 4, 5):
+        plain, chain = _bfs_pair(spark, PARALLEL, source=src, n_vertices=11)
+        assert chain == plain, f"source {src}"
+
+
+def test_chain_bfs_loop_chain(spark):
+    # loop chain: hub 0 with a degree-2 cycle hanging off it
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (4, 5)]
+    for src in (0, 2, 5):
+        plain, chain = _bfs_pair(spark, pairs, source=src, n_vertices=6)
+        assert chain == plain, f"source {src}"
+
+
+def test_chain_bfs_pure_cycle_falls_back(spark):
+    # a pure degree-2 cycle never finalizes — members must fall back
+    # to terminals and traversal stays exact
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    g = graph_from_edges(spark, pairs, n_vertices=5)
+    c = chain_contraction(g.vertices, g.edges)
+    assert c.interior.count() == 0
+    plain, chain = _bfs_pair(spark, pairs, source=2, n_vertices=5)
+    assert chain == plain
+
+
+def test_chain_bfs_long_path_mixed_lengths(spark):
+    # chains of very different lengths exercise the doubling rounds
+    # where short chains finalize long before the longest one
+    pairs = (
+        [(i, i + 1) for i in range(20)]            # path 0..20
+        + [(20, 21), (21, 0)]                      # close into a lollipop via 2-chain
+        + [(0, 30), (20, 31)]                      # pendants
+    )
+    for src in (0, 10, 30):
+        plain, chain = _bfs_pair(spark, pairs, source=src, n_vertices=32)
+        assert chain == plain, f"source {src}"
+
+
+def test_chain_sssp_matches_plain_weighted(spark):
+    weights = [3.0, 1.0, 2.0, 1.0, 1.0, 5.0, 2.0, 2.0, 1.0, 4.0]
+    for src in (0, 3, 9):
+        plain, chain = _sssp_pair(spark, PARALLEL, source=src, weights=weights, n_vertices=11)
+        assert set(chain) == set(plain), f"source {src}"
+        for v in plain:
+            assert chain[v] == pytest.approx(plain[v], abs=1e-12), f"source {src} vid {v}"
+
+
+def test_expand_distances_null_safe(spark):
+    # interior whose end_b side is unreachable still rehydrates via a
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3)], n_vertices=5)
+    c = chain_contraction(g.vertices, g.edges)
+    dist = spark.createDataFrame([(0, 0.0)], "vid long, dist double")
+    got = {r["vid"]: r["dist"] for r in expand_distances(c, dist).collect()}
+    # terminals reached: only 0; interiors 1, 2 rehydrate from side 0
+    assert got[0] == 0.0 and got[1] == 1.0 and got[2] == 2.0

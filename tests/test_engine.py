@@ -312,3 +312,92 @@ def test_node2vec_resume_per_step_exact(spark, tmp_path):
     b = sorted(map(tuple, node2vec_walks(edges, start, length=4, runner=r2).collect()))
     assert a == b
     assert any(m.get("resumed") for m in r2.metrics)
+
+
+def test_cc_contract_resume_stitch_subrunner_exact(spark, tmp_path):
+    """single_solve_max=0 forces the stitch phase through the inner
+    dataframe connected_components — which must run on a DEDICATED
+    sub-runner: inheriting the contraction's runner made the inner CC
+    restore the (a,b,kind) contract table as a label state
+    (AnalysisException) and shadow the contraction's phase markers.
+    Covers full run, phase-1 resume, and completed-run restore in
+    exactly the at-scale configuration the feature targets."""
+    import glob
+    import shutil
+
+    from essentials_spark.algos import connected_components, connected_components_contract
+
+    pairs = [(i, i + 1) for i in range(25)] + [(40 + i, 40 + (i * 7 + 1) % 20) for i in range(20)]
+    g = graph_from_edges(spark, pairs, n_vertices=60)
+    expect = {r["vid"]: r["label"] for r in connected_components(g).collect()}
+
+    ck = str(tmp_path / "ckstitch")
+    r1 = SuperstepRunner(spark, "ccts", checkpoint_dir=ck)
+    a = {
+        r["vid"]: r["label"]
+        for r in connected_components_contract(g, n_buckets=4, runner=r1, single_solve_max=0).collect()
+    }
+    assert a == expect
+    iters = sorted(glob.glob(ck + "/ccts/iter=*"))
+    # contraction phase markers intact: exactly iter 1 (contract) and 2
+    # (done) — the inner CC's higher converged iterations must land
+    # under the sub-runner's namespace, not here
+    assert [d.rsplit("=", 1)[1] for d in iters] == ["000001", "000002"]
+
+    # completed-run restore
+    r2 = SuperstepRunner(spark, "ccts", checkpoint_dir=ck)
+    b = {
+        r["vid"]: r["label"]
+        for r in connected_components_contract(g, n_buckets=4, runner=r2, single_solve_max=0).collect()
+    }
+    assert b == expect
+    assert any(m.get("resumed") == "done" for m in r2.metrics)
+
+    # death after phase 1: remove 'done', resume through the stitch
+    # (the first checkpointed pass through this branch — the inner CC
+    # must not pick up the contract table via a shared fingerprint)
+    shutil.rmtree(iters[-1])
+    r3 = SuperstepRunner(spark, "ccts", checkpoint_dir=ck)
+    c = {
+        r["vid"]: r["label"]
+        for r in connected_components_contract(g, n_buckets=4, runner=r3, single_solve_max=0).collect()
+    }
+    assert c == expect
+    assert any(m.get("resumed") == "contract" for m in r3.metrics)
+
+
+def test_walk_resume_refuses_cross_graph_prefix(spark, tmp_path):
+    """A reused checkpoint_dir can hold a stale high step from graph A
+    under overwritten low steps from graph B. The resume prefix loop
+    must validate EVERY step's fingerprint — latest()-only validation
+    silently splices graph B's frontiers into graph A's corpus."""
+    from essentials_spark.sampling import random_walks
+
+    def sym(pairs):
+        rows = []
+        for u, v in pairs:
+            rows.append((u, v))
+            rows.append((v, u))
+        return spark.createDataFrame(rows, "src long, dst long").dropDuplicates(["src", "dst"])
+
+    edges_a = sym([(0, 1), (1, 2), (2, 3), (1, 3), (3, 4), (4, 0)])
+    edges_b = sym([(0, 4), (4, 2), (2, 1), (1, 0), (3, 0)])
+    start = spark.createDataFrame([(f"x{i}#0", i) for i in range(5)], "wid string, vid long")
+
+    ck = str(tmp_path / "ckcross")
+    r1 = SuperstepRunner(spark, "wx", checkpoint_dir=ck)
+    a = sorted(map(tuple, random_walks(edges_a, start, length=4, runner=r1).collect()))
+
+    # graph B, same dir/name, shorter: refuses A's checkpoints (latest
+    # fingerprint mismatch), runs fresh, OVERWRITES steps 0..2; A's
+    # steps 3..4 survive with A's fingerprint
+    r2 = SuperstepRunner(spark, "wx", checkpoint_dir=ck)
+    random_walks(edges_b, start, length=2, runner=r2).collect()
+
+    # graph A rerun: latest()=step 4 matches A's fingerprint, but the
+    # prefix is B's — must fall back to a fresh start and still
+    # reproduce A's corpus exactly
+    r3 = SuperstepRunner(spark, "wx", checkpoint_dir=ck)
+    c = sorted(map(tuple, random_walks(edges_a, start, length=4, runner=r3).collect()))
+    assert c == a
+    assert not any(m.get("resumed") for m in r3.metrics)
