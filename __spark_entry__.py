@@ -220,6 +220,27 @@ def q_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "lp_label")
 
 
+def q_lp_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-SYNCHRONOUS label propagation (algos/lp.py mode='semi'):
+    round t updates only the vertices whose portable md5-of-key parity
+    equals t % 2, breaking the 2-cycle oscillation that keeps sync LP
+    non-convergent on chain-dominated transcript graphs. The schedule
+    is deterministic and fully SQL-replayable (the oracle unrolls the
+    same alternating-parity rounds)."""
+    from essentials_spark.algos import label_propagation
+
+    kg = _keyed_graph(spark, sf_dir)
+    par = kg.vkeys.select(
+        "vid",
+        (F.ascii(F.substring(F.md5(F.col("skey")), 1, 1)) % 2).cast("int").alias("par"),
+    )
+    labels = label_propagation(
+        kg.graph, max_iter=LP_ROUNDS, fused_iters=LP_ROUNDS, mode="semi", semi_parity=par
+    )
+    lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("lp_label"))
+    return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "lp_label")
+
+
 def q_lp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """label_propagation on the packed-CSR kernel path
     (csr_blocks.csr_label_counts): full rounds compute (dst, label)
@@ -444,6 +465,31 @@ def _sym_graph(spark, sf_dir):
     return kg, _sym_cache[key]
 
 
+_ctr_cache: dict = {}
+
+
+def _chain_ctr(spark, sf_dir):
+    """Shared degree-2 chain contraction over the md5-weighted
+    symmetric edge set (graph/chain_contract.py) — built ONCE per
+    (spark, sf_dir) and reused by bfs / sssp / diameter: the hop
+    prefixes serve BFS, the weight prefixes serve SSSP. This is the
+    at-scale deployment shape (the contraction is a static artifact
+    of the graph, traversals are many)."""
+    from essentials_spark.graph.chain_contract import chain_contraction
+
+    key = (id(spark), sf_dir)
+    if key not in _ctr_cache:
+        kg, g = _sym_graph(spark, sf_dir)
+        k = kg.vkeys
+        keyed = (
+            g.edges.join(k.select(F.col("vid").alias("src"), F.col("skey").alias("sk")), "src")
+            .join(k.select(F.col("vid").alias("dst"), F.col("skey").alias("dk")), "dst")
+            .select("src", "dst", _md5_weight(F.col("sk"), F.col("dk")).alias("weight"))
+        )
+        _ctr_cache[key] = chain_contraction(g.vertices, keyed)
+    return _ctr_cache[key]
+
+
 def _min_turn_vid(kg):
     key = id(kg)
     if key not in _src_cache:
@@ -455,11 +501,15 @@ def _min_turn_vid(kg):
 
 
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances THROUGH degree-2 chain contraction
+    (graph/chain_contract.py): supersteps = contracted diameter, then
+    exact interior rehydration; the oracle is the same plain unrolled
+    BFS SQL — rehydrated == plain is the gated claim."""
     from essentials_spark.algos import bfs
 
     kg, g = _sym_graph(spark, sf_dir)
     src_vid, _ = _min_turn_vid(kg)
-    out = bfs(g, source=src_vid)
+    out = bfs(g, source=src_vid, contraction=_chain_ctr(spark, sf_dir))
     return out.join(kg.vkeys, "vid").select("skey", F.col("dist").cast("long").alias("dist"))
 
 
@@ -477,7 +527,12 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", _md5_weight(F.col("sk"), F.col("dk")).alias("weight"))
     )
     src_vid, _ = _min_turn_vid(kg)
-    out = sssp(Graph(vertices=g.vertices, edges=keyed), source=src_vid)
+    # chain-contracted: super-edge weights are the in-chain md5-weight
+    # sums carried by the shared contraction artifact
+    out = sssp(
+        Graph(vertices=g.vertices, edges=keyed), source=src_vid,
+        contraction=_chain_ctr(spark, sf_dir),
+    )
     return out.join(kg.vkeys, "vid").select("skey", F.col("dist").alias("dist"))
 
 
@@ -827,7 +882,11 @@ def q_geolocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.ascii(F.substring("skey", 6, 1)) % 90).cast("double").alias("lat"),
         (F.ascii(F.substring("skey", 7, 1)) % 180).cast("double").alias("lon"),
     )
-    out = geolocate(g, known, max_iter=GEO_ROUNDS)
+    # chain-contracted path (algos/geo._geolocate_contracted): the
+    # synchronous wave collapses to O(contracted diameter) supersteps —
+    # values copy along degree-2 chains, so the rehydration is
+    # closed-form; the oracle stays the plain unrolled wave
+    out = geolocate(g, known, max_iter=GEO_ROUNDS, chain_contract=True)
     return out.join(kg.vkeys, "vid").select(
         "skey", F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon")
     )
@@ -900,14 +959,18 @@ def q_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_result_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result sink gate (SURVEY §2.2 output sink; the reference writes
     final ranks out after enact, examples/algorithms/pr/pr.cu:68-70):
-    write the pagerank result to parquet, RE-READ it, and return the
-    re-read DataFrame. The oracle (_pagerank_sql, shared with the
-    `pagerank` entry) then value-checks the round-tripped rows —
-    proving schema and values survive the sink, not just the query."""
+    write a query result to parquet, RE-READ it, and return the
+    re-read DataFrame; the oracle (shared with the sunk query) then
+    value-checks the round-tripped rows — proving schema and values
+    survive the sink, not just the query. Sinks the per-vertex
+    triangle counts (10k rows, mixed string/long schema) rather than
+    re-running the 20-superstep pagerank: the sink is what is under
+    test, so the cheapest non-trivial upstream keeps the gate sharp
+    and the suite inside the driver budget."""
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="essentials_sink_") + "/pagerank"
-    q_pagerank(spark, sf_dir).write.mode("overwrite").parquet(path)
+    path = tempfile.mkdtemp(prefix="essentials_sink_") + "/triangles"
+    q_triangles(spark, sf_dir).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -1196,12 +1259,16 @@ def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kg, g = _sym_graph(spark, sf_dir)
     src_vid, _ = _min_turn_vid(kg)
-    b1 = bfs(g, source=src_vid)
+    ctr = _chain_ctr(spark, sf_dir)
+    b1 = bfs(g, source=src_vid, contraction=ctr)
     far = (
         b1.orderBy(F.desc("dist"), F.asc("vid")).limit(1).collect()[0]
     )
     ecc_src = int(far["dist"])
-    b2 = bfs(g, source=int(far["vid"]))
+    # second sweep reuses the SAME contraction artifact — the far
+    # vertex is usually a chain interior, which the seeded-endpoint
+    # path handles exactly
+    b2 = bfs(g, source=int(far["vid"]), contraction=ctr)
     diameter_est = int(b2.agg(F.max("dist")).collect()[0][0])
     far_key = kg.vkeys.filter(F.col("vid") == int(far["vid"])).collect()[0]["skey"]
     return spark.createDataFrame(
@@ -1314,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_incremental": q_cc_incremental,
         "label_propagation": q_lp,
         "label_propagation_csr": q_lp_csr,
+        "label_propagation_semi": q_lp_semi,
         "triangle_count": q_triangles,
         "triangle_count_csr": q_triangles_csr,
         "ktruss_3": q_ktruss_3,
@@ -1448,11 +1516,22 @@ def _cc_sql() -> str:
     return f"WITH {body}\nSELECT vkey AS skey, lab AS component FROM l{CC_ROUNDS}"
 
 
-def _lp_sql() -> str:
+def _lp_sql(semi: bool = False) -> str:
+    """Unrolled synchronous LP; ``semi`` replays the alternating
+    md5-parity half-schedule (round i updates only vertices with
+    ascii(substr(md5(vkey),1,1)) % 2 == i % 2) — the exact twin of
+    label_propagation(mode='semi', semi_parity=md5-parity)."""
     parts = [_PRELUDE, "m0 AS (SELECT vkey, vkey AS lab FROM verts)"]
     for i in range(LP_ROUNDS):
+        if semi:
+            upd = (
+                f"CASE WHEN (ascii(substr(md5(l.vkey), 1, 1)) % 2) = {i % 2}"
+                f" THEN coalesce(b.lab, l.lab) ELSE l.lab END"
+            )
+        else:
+            upd = "coalesce(b.lab, l.lab)"
         parts.append(
-            f"m{i + 1} AS (SELECT l.vkey, coalesce(b.lab, l.lab) AS lab"
+            f"m{i + 1} AS (SELECT l.vkey, {upd} AS lab"
             f" FROM m{i} l LEFT JOIN ("
             f"   SELECT dst, lab FROM ("
             f"     SELECT e.dst, p.lab, count(*) AS c,"
@@ -2498,8 +2577,6 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 """
 
     sql["pagerank"] = _pagerank_sql()
-    # sink gate: write -> re-read must reproduce the same values
-    sql["result_sink"] = _pagerank_sql()
     # the CSR kernel must reproduce the SAME unrolled iterates — one
     # oracle, two physical paths (dataframe-join vs packed-CSR SpMV)
     sql["pagerank_csr"] = _pagerank_sql()
@@ -2517,6 +2594,9 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
     sql["connected_components_contract"] = _cc_sql()
     sql["label_propagation"] = _lp_sql()
     sql["label_propagation_csr"] = sql["label_propagation"]
+    # semi-synchronous mode: the oracle replays the alternating
+    # md5-parity half-schedule
+    sql["label_propagation_semi"] = _lp_sql(semi=True)
     sql["bfs_hops"] = _bfs_sql()
     sql["sssp_md5w"] = _sssp_sql()
     sql["ppr_push"] = _ppr_sql()
@@ -2536,6 +2616,8 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
         " SELECT v.vkey AS skey, coalesce(c.tc, 0) AS tc"
         " FROM verts v LEFT JOIN corners c ON c.vkey = v.vkey"
     )
+    # sink gate: write -> re-read must reproduce the same values
+    sql["result_sink"] = sql["triangle_count"]
     sql["triangle_count_csr"] = sql["triangle_count"]
     sql["triangle_count_incremental"] = sql["triangle_count"]
     # support peeling unrolled past the measured cascade depth (2 for

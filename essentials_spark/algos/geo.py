@@ -84,6 +84,44 @@ def _weiszfeld(pairs: DataFrame, init: DataFrame, iters: int, eps: float) -> Dat
     return y.select("vid", F.col("ylat").alias("lat"), F.col("ylon").alias("lon"))
 
 
+def _locate_from_pairs(
+    pairs: DataFrame, method: str, spatial_iters: int, eps: float
+) -> tuple[DataFrame, DataFrame | None]:
+    """One locating aggregation: (vid, nlat, nlon) pusher multiset ->
+    (vid, lat, lon) per receiving vertex. method='mean': plain
+    averages. method='reference': the geo.hxx rules — 1 pusher copies,
+    2 take the spherical midpoint, >2 run Weiszfeld from the mean.
+    Returns (new_locations, stats_to_unpersist)."""
+    if method == "mean":
+        return pairs.groupBy("vid").agg(
+            F.avg("nlat").alias("lat"), F.avg("nlon").alias("lon")
+        ), None
+    stats = pairs.groupBy("vid").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct(F.col("nlat").alias("a"), F.col("nlon").alias("o"))).alias("p1"),
+        F.max(F.struct(F.col("nlat").alias("a"), F.col("nlon").alias("o"))).alias("p2"),
+        F.avg("nlat").alias("ylat"),
+        F.avg("nlon").alias("ylon"),
+    )
+    stats = truncate_plan(stats).persist()
+    mid_lat, mid_lon = spherical_midpoint(
+        F.col("p1.a"), F.col("p1.o"), F.col("p2.a"), F.col("p2.o")
+    )
+    easy = stats.filter(F.col("n") <= 2).select(
+        "vid",
+        F.when(F.col("n") == 1, F.col("p1.a")).otherwise(mid_lat).alias("lat"),
+        F.when(F.col("n") == 1, F.col("p1.o")).otherwise(mid_lon).alias("lon"),
+    )
+    hard_ids = stats.filter(F.col("n") > 2)
+    hard = _weiszfeld(
+        pairs.join(hard_ids.select("vid"), "vid", "left_semi"),
+        hard_ids.select("vid", "ylat", "ylon"),
+        iters=spatial_iters,
+        eps=eps,
+    )
+    return easy.unionByName(hard), stats
+
+
 def geolocate(
     graph: Graph,
     known: DataFrame,
@@ -93,6 +131,7 @@ def geolocate(
     method: str = "mean",
     spatial_iters: int = 8,
     eps: float = 1e-3,
+    chain_contract: bool = False,
 ) -> DataFrame:
     """known: (vid, lat, lon). Returns (vid, lat, lon) for every vertex
     that is connected to at least one located vertex.
@@ -114,6 +153,10 @@ def geolocate(
 
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "geo")
+    if chain_contract:
+        return _geolocate_contracted(
+            graph, known, runner, edges_mode, method, spatial_iters, eps, max_iter
+        )
     edges = prepare_static_edges(
         canonicalize_edges(graph.edges, symmetrize=True, dedup=True, drop_self_loops=True).select("src", "dst"),
         runner, keys="src", mode=edges_mode, name_hint="geo",
@@ -168,35 +211,9 @@ def geolocate(
             )
         else:
             pairs = pushed.join(located.select("vid"), "vid", "left_anti")
-        if method == "mean":
-            new = pairs.groupBy("vid").agg(F.avg("nlat").alias("lat"), F.avg("nlon").alias("lon"))
-        else:
-            stats = pairs.groupBy("vid").agg(
-                F.count("*").alias("n"),
-                F.min(F.struct(F.col("nlat").alias("a"), F.col("nlon").alias("o"))).alias("p1"),
-                F.max(F.struct(F.col("nlat").alias("a"), F.col("nlon").alias("o"))).alias("p2"),
-                F.avg("nlat").alias("ylat"),
-                F.avg("nlon").alias("ylon"),
-            )
-            stats = truncate_plan(stats).persist()
-            mid_lat, mid_lon = spherical_midpoint(
-                F.col("p1.a"), F.col("p1.o"), F.col("p2.a"), F.col("p2.o")
-            )
-            easy = stats.filter(F.col("n") <= 2).select(
-                "vid",
-                F.when(F.col("n") == 1, F.col("p1.a")).otherwise(mid_lat).alias("lat"),
-                F.when(F.col("n") == 1, F.col("p1.o")).otherwise(mid_lon).alias("lon"),
-            )
-            hard_ids = stats.filter(F.col("n") > 2)
-            hard = _weiszfeld(
-                pairs.join(hard_ids.select("vid"), "vid", "left_semi"),
-                hard_ids.select("vid", "ylat", "ylon"),
-                iters=spatial_iters,
-                eps=eps,
-            )
-            new = easy.unionByName(hard)
+        new, stats = _locate_from_pairs(pairs, method, spatial_iters, eps)
         new = truncate_plan(new)  # materializes: round intermediates now releasable
-        if method != "mean":
+        if stats is not None:
             stats.unpersist()
         n_new = new.count()
         it += 1
@@ -217,3 +234,130 @@ def geolocate(
 
     runner.finalize()
     return located
+
+
+def _geolocate_contracted(
+    graph: Graph,
+    known: DataFrame,
+    runner: SuperstepRunner,
+    edges_mode: str,
+    method: str,
+    spatial_iters: int,
+    eps: float,
+    max_iter: int,
+) -> DataFrame:
+    """Chain-contracted geolocation — identical values to the plain
+    synchronous wave, in O(contracted diameter) supersteps.
+
+    The plain loop is a BFS wave from the anchors: a vertex located at
+    level L takes its location from EXACTLY its level-(L-1) neighbors
+    (a lower-level neighbor would have located it earlier). On a
+    degree-2 chain that wave COPIES coordinates unchanged (one pusher
+    -> that location, for both methods), so:
+
+    1. levels of terminals = multi-source hop-SSSP over the contracted
+       super-graph (rounds = contracted diameter);
+    2. terminal values = aggregation over DELIVERING super-edges — an
+       edge (U -> A, hops h) with lv(U) + h == lv(A) delivers value(U)
+       once (the chain's A-adjacent interior carries U's endpoint value
+       verbatim); iterate assignment in delivery-DAG order, assigning A
+       only when every delivering source is valued (rounds = DAG
+       depth);
+    3. interior rehydration is closed-form: the side that arrives
+       first (lv(end) + prefix) supplies its endpoint's value; a tie
+       means both chain neighbors push, so the pair aggregate (mean /
+       spherical midpoint — n=2 either way) applies.
+    """
+    from essentials_spark.engine.static_table import prepare_static_edges
+    from essentials_spark.graph.chain_contract import chain_contraction
+    from essentials_spark.algos.traversal import _relax_min
+
+    sym = canonicalize_edges(
+        graph.edges, symmetrize=True, dedup=True, drop_self_loops=True
+    ).select("src", "dst")
+    contraction = chain_contraction(graph.vertices, sym, keep=known.select("vid"))
+
+    # 1. terminal levels (hop distances from the anchor set)
+    lv = _relax_min(
+        contraction.super_edges.select("src", "dst", F.col("hops").cast("double").alias("weight")),
+        known.select("vid", F.lit(0.0).alias("dist")),
+        runner, edges_mode=edges_mode, max_iter=max_iter, name_hint="geo_lv",
+    ).withColumnRenamed("dist", "lv")
+    lv = truncate_plan(lv).persist()
+
+    # 2. delivering super-edges: (U -> A, h) with lv(U) + h == lv(A)
+    # (integer-valued doubles — the equality is exact)
+    deliver = truncate_plan(
+        contraction.super_edges.alias("e")
+        .join(lv.select(F.col("vid").alias("src"), F.col("lv").alias("lv_u")), "src")
+        .join(lv.select(F.col("vid").alias("dst"), F.col("lv").alias("lv_a")), "dst")
+        .filter(F.col("lv_u") + F.col("hops").cast("double") == F.col("lv_a"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("vid"))
+    ).persist()
+    need = deliver.groupBy("vid").agg(F.count(F.lit(1)).alias("needed"))
+
+    values = truncate_plan(known.select("vid", "lat", "lon")).persist()
+    it = 0
+    while it < max_iter:
+        # terminals whose every delivering source is valued, not yet valued
+        got = (
+            deliver.join(values.select(F.col("vid").alias("u"), "lat", "lon"), "u")
+            .join(values.select("vid"), "vid", "left_anti")
+        )
+        ready = (
+            got.groupBy("vid").agg(F.count(F.lit(1)).alias("have"))
+            .join(need, "vid")
+            .filter(F.col("have") == F.col("needed"))
+            .select("vid")
+        )
+        pairs = got.join(ready, "vid", "left_semi").select(
+            "vid", F.col("lat").alias("nlat"), F.col("lon").alias("nlon")
+        )
+        new, stats = _locate_from_pairs(pairs, method, spatial_iters, eps)
+        new = truncate_plan(new)
+        if stats is not None:
+            stats.unpersist()
+        n_new = new.count()
+        it += 1
+        runner.log(it, located=n_new, phase="terminal_dag")
+        if n_new == 0:
+            break
+        prev = values
+        values = truncate_plan(values.unionByName(new)).persist()
+        prev.unpersist()
+
+    # 3. closed-form interior rehydration
+    va = values.select(F.col("vid").alias("end_a"), F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"))
+    vb = values.select(F.col("vid").alias("end_b"), F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"))
+    la = lv.select(F.col("vid").alias("end_a"), F.col("lv").alias("lv_a"))
+    lb = lv.select(F.col("vid").alias("end_b"), F.col("lv").alias("lv_b"))
+    inter = (
+        contraction.interior.join(va, "end_a", "left").join(vb, "end_b", "left")
+        .join(la, "end_a", "left").join(lb, "end_b", "left")
+        .withColumns(
+            {
+                "side_a": F.col("lv_a") + F.col("da_hops").cast("double"),
+                "side_b": F.col("lv_b") + F.col("db_hops").cast("double"),
+            }
+        )
+        .filter(F.col("side_a").isNotNull() | F.col("side_b").isNotNull())
+    )
+    a_first = F.col("side_b").isNull() | (F.col("side_a") < F.col("side_b"))
+    b_first = F.col("side_a").isNull() | (F.col("side_b") < F.col("side_a"))
+    if method == "mean":
+        tie_lat = (F.col("lat_a") + F.col("lat_b")) / 2
+        tie_lon = (F.col("lon_a") + F.col("lon_b")) / 2
+    else:
+        tie_lat, tie_lon = spherical_midpoint(
+            F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+        )
+    interior_vals = inter.select(
+        "vid",
+        F.when(a_first, F.col("lat_a")).when(b_first, F.col("lat_b")).otherwise(tie_lat).alias("lat"),
+        F.when(a_first, F.col("lon_a")).when(b_first, F.col("lon_b")).otherwise(tie_lon).alias("lon"),
+    )
+    out = truncate_plan(values.unionByName(interior_vals))
+    lv.unpersist()
+    deliver.unpersist()
+    runner.finalize()
+    return out

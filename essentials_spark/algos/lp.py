@@ -72,6 +72,8 @@ def label_propagation(
     small_round_max: int | None = None,
     kernel: str = "dataframe",
     n_buckets: int | None = None,
+    mode: str = "sync",
+    semi_parity: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (vid: long, label: long). Labels init to vid.
     ``persist_result=False`` releases the result's CacheManager pin
@@ -85,9 +87,23 @@ def label_propagation(
     packed CSR blocks (csr_blocks.csr_label_counts) instead of the
     join + groupBy — the same A/B-exact physical alternative CC and PR
     ship; mid/small delta rounds stay dataframe-side (their restricted
-    streams are frontier-scale, where the block scan would dominate)."""
+    streams are frontier-scale, where the block scan would dominate).
+
+    ``mode='semi'``: SEMI-SYNCHRONOUS updates — each round only a
+    deterministic half of the vertices (``semi_parity``: (vid, par
+    in {0,1}); default par = vid % 2) adopts the neighbor mode, parity
+    alternating per round. Breaks the 2-cycle oscillation that keeps
+    sync LP at ~n-scale frontiers forever on chain/bipartite structure
+    (sync LP provably never converges on 2-colorable regions — each
+    side keeps re-adopting the other's previous labels), so
+    convergence-mode LP becomes usable on transcript graphs.
+    Deterministic and oracle-replayable; convergence requires TWO
+    consecutive zero-change rounds (one covers only one parity)."""
     spark = graph.edges.sparkSession
     runner = runner or SuperstepRunner(spark, "lp")
+    semi = mode == "semi"
+    if mode not in ("sync", "semi"):
+        raise ValueError(f"unknown LP mode {mode!r}")
 
     edges = graph.edges if pre_symmetrized else canonicalize_edges(
         graph.edges, symmetrize=True, dedup=True, drop_self_loops=True
@@ -105,11 +121,24 @@ def label_propagation(
             runner, keys="bucket", n_buckets=n_buckets, name_hint="lp_blocks",
         )
 
-    labels = truncate_plan(graph.vertices.select("vid", F.col("vid").alias("label")))
+    init = graph.vertices.select("vid", F.col("vid").alias("label"))
+    if semi:
+        # parity rides in the state so rounds never re-join it; a
+        # missing parity row defaults to 0 (deterministic)
+        if semi_parity is not None:
+            par_df = semi_parity.select("vid", F.col("par").cast("int").alias("par"))
+        else:
+            par_df = graph.vertices.select(
+                "vid", F.pmod(F.col("vid"), F.lit(2)).cast("int").alias("par")
+            )
+        init = init.join(par_df, "vid", "left").select(
+            "vid", "label", F.coalesce(F.col("par"), F.lit(0)).alias("par")
+        )
+    labels = truncate_plan(init)
     n = labels.count()
 
     if runner.fingerprint is None:
-        runner.fingerprint = f"lp:n={n}:m={m}:max_iter={max_iter}"
+        runner.fingerprint = f"lp:{mode}:n={n}:m={m}:max_iter={max_iter}"
     iteration = 0
     converged = False
     resumed = runner.latest()
@@ -119,9 +148,15 @@ def label_propagation(
     labels = labels.persist()
     # changed set: vertices whose label moved last round (all, at
     # start; on a non-converged resume the full set is a safe superset
-    # — extra recompute, identical values)
+    # — extra recompute, identical values). Semi mode also carries the
+    # PREVIOUS round's delta: an inactive vertex reacts to a neighbor
+    # change only on its next active round, so the sound restricted
+    # frontier is N(changed_t UNION changed_{t-1}) and convergence
+    # needs both deltas empty.
     changed = labels.select("vid")
     changed_rows = n
+    prev_changed = changed
+    prev_rows = n
 
     # out-degree table for the message-mass gates (bucketed scan +
     # partial agg — no shuffle; symmetrized table so in-deg == out-deg)
@@ -140,7 +175,7 @@ def label_propagation(
         )
         return int(row or 0)
 
-    def one_round(cur: DataFrame, chg: DataFrame, chg_rows: int, shape: str) -> DataFrame:
+    def one_round(cur: DataFrame, chg: DataFrame, chg_rows: int, shape: str, rnd: int = 0) -> DataFrame:
         """One mode-of-neighbors round -> (vid, label, old). ``shape``
         ('full' | 'mid' | 'small') is decided by the caller from the
         ACTUAL frontier's row count and message mass (module
@@ -202,10 +237,16 @@ def label_propagation(
         # small rounds: winners are affected-scale — broadcast them so
         # the state update is a pure scan (no state exchange)
         best_side = F.broadcast(best) if small else best
+        upd = F.coalesce(F.col("new_label"), F.col("label"))
+        if semi:
+            # only the round's active parity adopts; the other half
+            # keeps its label verbatim (the 2-cycle breaker)
+            upd = F.when(F.col("par") == F.lit(rnd % 2), upd).otherwise(F.col("label"))
         return cur.join(best_side, "vid", "left").select(
             "vid",
-            F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            upd.alias("label"),
             F.col("label").alias("old"),
+            *(["par"] if semi else []),
         )
 
     # clamp fused depth — see pagerank.py: unrolled-plan stats grow
@@ -226,12 +267,19 @@ def label_propagation(
         # rounds — there the affected set is ~n too, and the restricted
         # shapes just add a distinct + an extra join (or near-m-scale
         # broadcasts) on top of the same full recompute (observed on
-        # transcript graphs: changed = 98% of n every round)
-        if 2 * changed_rows >= n:
+        # transcript graphs: changed = 98% of n every round). Semi mode
+        # gates on the TWO-round union (docstring at `changed` init):
+        # an inactive vertex reacts one round late.
+        if semi:
+            front = changed.unionByName(prev_changed).distinct()
+            front_rows = changed_rows + prev_rows
+        else:
+            front, front_rows = changed, changed_rows
+        if 2 * front_rows >= n:
             shape = "full"
-        elif changed_rows and changed_rows < small_bound and _mass(changed) < mass_cap:
+        elif front_rows and front_rows < small_bound and _mass(front) < mass_cap:
             affected_probe = (
-                edges.join(F.broadcast(changed.select(F.col("vid").alias("src"))), "src")
+                edges.join(F.broadcast(front.select(F.col("vid").alias("src"))), "src")
                 .select(F.col("dst").alias("vid"))
                 .distinct()
             )
@@ -244,10 +292,12 @@ def label_propagation(
         # action: their restricted stream wants a FRESH frontier, and a
         # stale mid hint pays near-m-scale work per sub-round.
         k = min(max(1, fused_iters), max_iter - iteration) if shape != "mid" else 1
-        cur, chg = labels, changed
+        cur, chg = labels, front
+        state_cols = ["vid", "label"] + (["par"] if semi else [])
+        sub_deltas: list[DataFrame] = []  # per-sub-round deltas (semi)
         intermediates = []
         for j in range(k):
-            cur = one_round(cur.select("vid", "label"), chg, changed_rows, shape)
+            cur = one_round(cur.select(*state_cols), chg, front_rows, shape, rnd=iteration + j)
             # last fused iterate flows straight into materialize —
             # persisting it too writes a redundant n-scale cache copy
             # (see algos/cc.py); non-final iterates are referenced by
@@ -255,25 +305,44 @@ def label_propagation(
             if j < k - 1:
                 cur = cur.persist()
                 intermediates.append(cur)
-                chg = cur.filter(F.col("label") != F.col("old")).select("vid")
+                sub = cur.filter(F.col("label") != F.col("old")).select("vid")
+                sub_deltas.append(sub)
+                # semi: the restricted stream for sub-round j+1 needs
+                # the union of the last TWO deltas
+                if semi:
+                    older = sub_deltas[-2] if len(sub_deltas) >= 2 else changed
+                    chg = sub.unionByName(older).distinct()
+                else:
+                    chg = sub
         new_labels = runner.materialize(cur, iteration + k)
         delta = new_labels.filter(F.col("label") != F.col("old")).select("vid")
         n_changed = delta.count()
-        for df in intermediates:
-            df.unpersist()
         iteration += k
         runner.log(
             iteration,
             changed=n_changed,
             shape=shape,
-            frontier_rows=changed_rows,
+            frontier_rows=front_rows,
             edges_processed=m * k,
         )
         labels.unpersist()
         labels = new_labels.drop("old").persist()
+        if semi:
+            # previous-round delta: last fused sub-round's (or the
+            # prior outer delta when the block had one round);
+            # truncate_plan pins it before the intermediates it reads
+            # from are released below
+            if sub_deltas:
+                prev_changed = truncate_plan(sub_deltas[-1])
+                prev_rows = prev_changed.count()
+            else:
+                prev_changed = changed
+                prev_rows = changed_rows
         changed = delta
         changed_rows = n_changed
-        if n_changed == 0:
+        for df in intermediates:
+            df.unpersist()
+        if n_changed == 0 and (not semi or prev_rows == 0):
             prev = labels
             labels = runner.materialize(
                 labels, iteration, eager=True, force=True, meta={"converged": True}

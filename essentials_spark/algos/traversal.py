@@ -98,11 +98,15 @@ def _chain_traversal(
     s_chain = None
     if srow:
         r = srow[0]
-        da = r["da_hops"] if use_hops else r["da_w"]
-        db = r["db_hops"] if use_hops else r["db_w"]
+        # seeds walk OUTWARD from the source toward each endpoint, so
+        # the weighted prefixes are the outbound directional sums
+        da = r["da_hops"] if use_hops else r["da_w_out"]
+        db = r["db_hops"] if use_hops else r["db_w_out"]
         seed_rows = [(int(r["end_a"]), float(da)), (int(r["end_b"]), float(db))]
         s_chain = int(r["chain_id"])
-        s_pos = r["pos_hops"] if use_hops else r["pos_w"]
+        s_pos_h = int(r["pos_hops"])
+        s_pos_in = float(r["pos_w_in"])
+        s_pos_out = float(r["pos_w_out"])
     else:
         seed_rows = [(int(source), 0.0)]
     seeds = (
@@ -114,9 +118,18 @@ def _chain_traversal(
     )
     full = expand_distances(contraction, term_dist, "dist", use_hops=use_hops)
     if s_chain is not None:
-        pos = F.col("pos_hops") if use_hops else F.col("pos_w")
+        # direct in-chain path source -> same-chain member: walking
+        # away from the p endpoint sums inbound-prefix deltas, walking
+        # toward p sums outbound-prefix deltas (asymmetric weights)
+        if use_hops:
+            direct_col = F.abs(F.col("pos_hops") - F.lit(s_pos_h)).cast("double")
+        else:
+            direct_col = F.when(
+                F.col("pos_hops") >= F.lit(s_pos_h),
+                F.col("pos_w_in") - F.lit(s_pos_in),
+            ).otherwise(F.lit(s_pos_out) - F.col("pos_w_out"))
         direct = contraction.interior.filter(F.col("chain_id") == s_chain).select(
-            "vid", F.abs(pos - F.lit(s_pos)).cast("double").alias("direct")
+            "vid", direct_col.alias("direct")
         )
         full = full.join(direct, "vid", "full").select(
             "vid", F.least(F.col("dist"), F.col("direct")).alias("dist")

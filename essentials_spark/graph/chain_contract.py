@@ -21,14 +21,23 @@ direction); pointer doubling composes them until every half-edge
 reaches a non-interior endpoint — O(log max-chain-length) rounds, each
 one interior-scale self-join. No per-row Python anywhere. Pure
 degree-2 CYCLES never finalize; their vertices are simply excluded
-from contraction (detected when the non-final count stops shrinking),
-so correctness never depends on the graph being cycle-free.
+from contraction (detected when every surviving walk is longer than
+any simple chain can be), so correctness never depends on the graph
+being cycle-free.
+
+Weights are tracked PER DIRECTION: a symmetrized edge set may carry
+asymmetric weights (weight(u->v) != weight(v->u)), so every half-edge
+accumulates both its outbound sum (v -> endpoint) and inbound sum
+(endpoint -> v). Super-edge p->q weight = (p->member inbound prefix) +
+(member->q outbound suffix), identical for every member.
 
 Exactness: interiors have no branching, so any path through a chain
 traverses it whole, and a shortest path to an interior vertex v is a
 shortest path to one of its chain endpoints plus the in-chain prefix:
-dist(v) = min(dist(A) + dA, dist(B) + dB). Both hop counts and weight
-sums are carried, so BFS and weighted SSSP rehydrate exactly.
+dist(v) = min(dist(A) + w_in_A(v), dist(B) + w_in_B(v)). Both hop
+counts and directional weight sums are carried, so BFS and weighted
+SSSP rehydrate exactly (bit-exact for integer-valued weights; within
+summation-order ULPs for general floats).
 """
 
 from __future__ import annotations
@@ -46,19 +55,23 @@ class ChainContraction:
     """Result handle.
 
     - ``super_edges``: (src, dst, hops long, weight double, chain_id
-      long) — SYMMETRIC contracted edge set over terminal vertices:
-      one pair of rows per maximal chain (chain_id = the interior
+      long) — directed contracted edge set over terminal vertices:
+      one row PER DIRECTION per maximal chain (chain_id = the interior
       vertex adjacent to the src-side endpoint; parallel chains stay
-      distinct rows) plus every original terminal-terminal edge with
-      hops=1 (chain_id null).
-    - ``interior``: (vid, end_a, da_hops, da_w, last_a, end_b,
-      db_hops, db_w, last_b, chain_id, pos_hops, pos_w) — one row per
-      contracted interior vertex; ``last_*`` is the interior vertex
-      adjacent to that endpoint, ``chain_id`` is the p-side head (one
-      value per maximal chain, shared by all its members), and
-      ``pos_hops``/``pos_w`` are the member's hop/weight prefix from
-      the p endpoint (a consistent in-chain coordinate, used for
-      interior-source traversals and chain-aware BC).
+      distinct rows; weight = directional traversal sum src -> dst)
+      plus every original terminal-terminal edge with hops=1
+      (chain_id null).
+    - ``interior``: one row per contracted interior vertex v —
+      (vid, end_a, da_hops, da_w_out, da_w_in, last_a,
+       end_b, db_hops, db_w_out, db_w_in, last_b,
+       chain_id, pos_hops, pos_w_out, pos_w_in) where direction a/b
+      walks toward that endpoint; ``*_w_out`` sums edge weights in the
+      v->endpoint direction, ``*_w_in`` in the endpoint->v direction;
+      ``last_*`` is the interior vertex adjacent to that endpoint;
+      ``chain_id`` is the p-side head (one value per maximal chain,
+      shared by all members); ``pos_*`` are the member's prefix
+      coordinates from the p endpoint (pos_w_in = weight p..v walking
+      AWAY from p, pos_w_out = weight v..p walking toward p).
     - ``terminals``: (vid) — vertices present in the contracted graph
       (non-interior, incl. degree-2 vertices protected by ``keep`` and
       pure-cycle members).
@@ -83,14 +96,22 @@ def chain_contraction(
     max_rounds: int = 64,
 ) -> ChainContraction:
     """Contract maximal degree-2 chains of a SYMMETRIZED, deduplicated,
-    self-loop-free edge set (src, dst[, weight]; weight defaults 1.0).
+    self-loop-free edge set (src, dst[, weight]; weight defaults 1.0;
+    both orientations must be present, weights may differ by
+    direction).
 
     ``keep``: optional (vid) rows that must stay terminal even at
-    degree 2 — traversal sources pass themselves here so rehydration
-    never has to handle an interior source."""
+    degree 2 — callers that cannot route an interior source through
+    rehydration pass their sources here."""
     e = edges.select("src", "dst", *(["weight"] if "weight" in edges.columns else []))
     if "weight" not in e.columns:
         e = e.withColumn("weight", F.lit(1.0))
+    # reverse-direction weight alongside each edge (both orientations
+    # exist on a symmetrized set, so this inner join is total)
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight").alias("win")
+    )
+    ew = e.join(rev, ["src", "dst"])
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     interior0 = deg.filter(F.col("deg") == 2).select(F.col("src").alias("vid"))
@@ -99,27 +120,31 @@ def chain_contraction(
 
     # per-interior neighbor pair, dst-ascending (deg==2 guarantees two
     # distinct rows after dedup) — ONE aggregation carries both
-    # neighbor ids and both edge weights
+    # neighbor ids and both directional edge weights
     nb = truncate_plan(
-        e.join(interior0.select(F.col("vid").alias("src")), "src")
+        ew.join(interior0.select(F.col("vid").alias("src")), "src")
         .groupBy("src")
-        .agg(F.sort_array(F.collect_list(F.struct("dst", "weight"))).alias("ns"))
+        .agg(F.sort_array(F.collect_list(F.struct("dst", "weight", "win"))).alias("ns"))
         .select(
             F.col("src").alias("vid"),
             F.col("ns")[0]["dst"].alias("n1"),
-            F.col("ns")[0]["weight"].alias("w1"),
+            F.col("ns")[0]["weight"].alias("w1o"),
+            F.col("ns")[0]["win"].alias("w1i"),
             F.col("ns")[1]["dst"].alias("n2"),
-            F.col("ns")[1]["weight"].alias("w2"),
+            F.col("ns")[1]["weight"].alias("w2o"),
+            F.col("ns")[1]["win"].alias("w2i"),
         )
     ).persist()
 
     # half-edges: (v, x) = standing at interior v, walking toward x.
-    # State: end/hops/w = farthest composed position; final once the
-    # walk exits the interior set; (nv, nx) = next half-edge to
-    # compose with; last = interior vertex adjacent to the endpoint
-    # (set exactly when the final hop is taken).
-    h0 = nb.select("vid", F.col("n1").alias("x"), F.col("w1").alias("w")).unionByName(
-        nb.select("vid", F.col("n2").alias("x"), F.col("w2").alias("w"))
+    # State: end/hops/w_out/w_in = farthest composed position with the
+    # directional weight sums; final once the walk exits the interior
+    # set; (nv, nx) = next half-edge to compose with; last = interior
+    # vertex adjacent to the endpoint (set when the final hop is taken).
+    h0 = nb.select(
+        "vid", F.col("n1").alias("x"), F.col("w1o").alias("wo"), F.col("w1i").alias("wi")
+    ).unionByName(
+        nb.select("vid", F.col("n2").alias("x"), F.col("w2o").alias("wo"), F.col("w2i").alias("wi"))
     )
     x_side = nb.select(
         F.col("vid").alias("x"), F.col("n1").alias("xn1"), F.col("n2").alias("xn2")
@@ -130,7 +155,8 @@ def chain_contraction(
             "x",
             F.col("x").alias("end"),
             F.lit(1).cast("long").alias("hops"),
-            F.col("w").cast("double").alias("w"),
+            F.col("wo").cast("double").alias("w_out"),
+            F.col("wi").cast("double").alias("w_in"),
             F.col("xn1").isNull().alias("final"),
             F.when(F.col("xn1").isNotNull(), F.col("x")).alias("nv"),
             F.when(
@@ -158,7 +184,8 @@ def chain_contraction(
         s = cur.select(
             F.col("v").alias("sv"), F.col("x").alias("sx"),
             F.col("end").alias("send"), F.col("hops").alias("shops"),
-            F.col("w").alias("sw"), F.col("final").alias("sfinal"),
+            F.col("w_out").alias("swo"), F.col("w_in").alias("swi"),
+            F.col("final").alias("sfinal"),
             F.col("nv").alias("snv"), F.col("nx").alias("snx"),
             F.col("last").alias("slast"),
         )
@@ -168,7 +195,8 @@ def chain_contraction(
                 "v", "x",
                 F.when(F.col("final"), F.col("end")).otherwise(F.col("send")).alias("end"),
                 F.when(F.col("final"), F.col("hops")).otherwise(F.col("hops") + F.col("shops")).alias("hops"),
-                F.when(F.col("final"), F.col("w")).otherwise(F.col("w") + F.col("sw")).alias("w"),
+                F.when(F.col("final"), F.col("w_out")).otherwise(F.col("w_out") + F.col("swo")).alias("w_out"),
+                F.when(F.col("final"), F.col("w_in")).otherwise(F.col("w_in") + F.col("swi")).alias("w_in"),
                 F.when(F.col("final"), F.lit(True)).otherwise(F.coalesce(F.col("sfinal"), F.lit(False))).alias("final"),
                 F.when(F.col("final"), F.lit(None).cast("long")).otherwise(F.col("snv")).alias("nv"),
                 F.when(F.col("final"), F.lit(None).cast("long")).otherwise(F.col("snx")).alias("nx"),
@@ -197,19 +225,25 @@ def chain_contraction(
     #   smaller (endpoints tie, heads cannot).
     # chain_id := the head interior vertex on the p side — an interior
     # vertex belongs to exactly one chain, so this is chain-unique and
-    # identical for every member; pos := hops walking in from p.
+    # identical for every member; pos := prefix walking in from p.
     base = (
         resolved.groupBy("v")
-        .agg(F.sort_array(F.collect_list(F.struct("x", "end", "hops", "w", "last"))).alias("ds"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("x", "end", "hops", "w_out", "w_in", "last"))
+            ).alias("ds")
+        )
         .select(
             F.col("v").alias("vid"),
             F.col("ds")[0]["end"].alias("end_a"),
             F.col("ds")[0]["hops"].alias("da_hops"),
-            F.col("ds")[0]["w"].alias("da_w"),
+            F.col("ds")[0]["w_out"].alias("da_w_out"),
+            F.col("ds")[0]["w_in"].alias("da_w_in"),
             F.col("ds")[0]["last"].alias("last_a"),
             F.col("ds")[1]["end"].alias("end_b"),
             F.col("ds")[1]["hops"].alias("db_hops"),
-            F.col("ds")[1]["w"].alias("db_w"),
+            F.col("ds")[1]["w_out"].alias("db_w_out"),
+            F.col("ds")[1]["w_in"].alias("db_w_in"),
             F.col("ds")[1]["last"].alias("last_b"),
         )
     )
@@ -221,17 +255,24 @@ def chain_contraction(
             {
                 "chain_id": F.when(use_a, F.col("last_a")).otherwise(F.col("last_b")),
                 "pos_hops": F.when(use_a, F.col("da_hops")).otherwise(F.col("db_hops")),
-                "pos_w": F.when(use_a, F.col("da_w")).otherwise(F.col("db_w")),
+                # pos_w_in: weight of p..v walking AWAY from p (the
+                # inbound prefix of the p-side direction); pos_w_out:
+                # v..p walking toward p
+                "pos_w_in": F.when(use_a, F.col("da_w_in")).otherwise(F.col("db_w_in")),
+                "pos_w_out": F.when(use_a, F.col("da_w_out")).otherwise(F.col("db_w_out")),
             }
         )
     ).persist()
     nb.unpersist()
     cur.unpersist()
 
-    # one super-edge per maximal chain: every member emits the same
-    # (endpoints sorted, total hops/weight, head pair) tuple; the head
-    # pair (interior vertices adjacent to each endpoint) keeps PARALLEL
-    # same-length chains distinct. chain_id = head on the src side.
+    # one super-edge PER DIRECTION per maximal chain. Group by the
+    # head pair (interior vertices adjacent to each endpoint): chain-
+    # unique, identical for every member, and keeps PARALLEL
+    # same-length chains distinct; min() over the member-emitted sums
+    # makes the row deterministic even when float summation order
+    # differs between members. Directional weight p->q = (p->member
+    # inbound prefix) + (member->q outbound suffix).
     int_use_a = F.when(
         F.col("end_a") != F.col("end_b"), F.col("end_a") < F.col("end_b")
     ).otherwise(F.col("last_a") <= F.col("last_b"))
@@ -240,10 +281,15 @@ def chain_contraction(
             F.when(int_use_a, F.col("end_a")).otherwise(F.col("end_b")).alias("p"),
             F.when(int_use_a, F.col("end_b")).otherwise(F.col("end_a")).alias("q"),
             (F.col("da_hops") + F.col("db_hops")).alias("hops"),
-            (F.col("da_w") + F.col("db_w")).alias("weight"),
+            F.when(int_use_a, F.col("da_w_in") + F.col("db_w_out"))
+            .otherwise(F.col("db_w_in") + F.col("da_w_out")).alias("w_pq"),
+            F.when(int_use_a, F.col("db_w_in") + F.col("da_w_out"))
+            .otherwise(F.col("da_w_in") + F.col("db_w_out")).alias("w_qp"),
             F.when(int_use_a, F.col("last_a")).otherwise(F.col("last_b")).alias("head_p"),
             F.when(int_use_a, F.col("last_b")).otherwise(F.col("last_a")).alias("head_q"),
-        ).distinct()
+        )
+        .groupBy("p", "q", "head_p", "head_q")
+        .agg(F.min("hops").alias("hops"), F.min("w_pq").alias("w_pq"), F.min("w_qp").alias("w_qp"))
     ).persist()
 
     terminals = truncate_plan(
@@ -260,12 +306,12 @@ def chain_contraction(
         )
     )
     chain_edges = chains.select(
-        F.col("p").alias("src"), F.col("q").alias("dst"), "hops", "weight",
-        F.col("head_p").alias("chain_id"),
+        F.col("p").alias("src"), F.col("q").alias("dst"), "hops",
+        F.col("w_pq").alias("weight"), F.col("head_p").alias("chain_id"),
     ).unionByName(
         chains.filter(F.col("p") != F.col("q")).select(
-            F.col("q").alias("src"), F.col("p").alias("dst"), "hops", "weight",
-            F.col("head_q").alias("chain_id"),
+            F.col("q").alias("src"), F.col("p").alias("dst"), "hops",
+            F.col("w_qp").alias("weight"), F.col("head_q").alias("chain_id"),
         )
     )
     super_edges = truncate_plan(passthrough.unionByName(chain_edges)).persist()
@@ -282,11 +328,12 @@ def expand_distances(
     """Rehydrate per-vertex distances: given (vid, <value_col>) over
     TERMINAL vertices (reachable only), return the same over ALL
     reachable original vertices. Interior v takes
-    min(dist(end_a) + prefix_a, dist(end_b) + prefix_b), null-safe
+    min(dist(end_a) + inbound_prefix_a, dist(end_b) + inbound_prefix_b)
+    — the INBOUND (endpoint -> v) directional sums — null-safe
     (F.least skips an unreachable side); ``use_hops`` picks the hop
     prefix (BFS) vs the weight prefix (SSSP)."""
-    da = F.col("da_hops") if use_hops else F.col("da_w")
-    db = F.col("db_hops") if use_hops else F.col("db_w")
+    da = F.col("da_hops") if use_hops else F.col("da_w_in")
+    db = F.col("db_hops") if use_hops else F.col("db_w_in")
     d_a = dist.select(F.col("vid").alias("end_a"), F.col(value_col).alias("dist_a"))
     d_b = dist.select(F.col("vid").alias("end_b"), F.col(value_col).alias("dist_b"))
     interior_dist = (

@@ -88,3 +88,33 @@ def tc_oracle(n, undirected_edges):
                 if nbrs[j] in adj[nbrs[i]]:
                     counts[v] += 1
     return counts, int(counts.sum())
+
+
+def lp_semi_oracle(n, undirected_edges, max_iter=20, parity=None):
+    """Semi-synchronous LP: round t (0-based) updates only vertices
+    with parity(v) == t % 2; most-frequent neighbor label, min-label
+    tiebreak; stops after two consecutive no-change rounds (one round
+    covers only one parity class)."""
+    parity = parity or (lambda v: v % 2)
+    adj = defaultdict(set)
+    for u, v in undirected_edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    labels = np.arange(n)
+    zero = 0
+    for t in range(max_iter):
+        new = labels.copy()
+        for v in range(n):
+            if parity(v) != t % 2 or not adj[v]:
+                continue
+            cnt = Counter(labels[u] for u in adj[v])
+            new[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        if np.array_equal(new, labels):
+            zero += 1
+            if zero >= 2:
+                break
+        else:
+            zero = 0
+        labels = new
+    return labels

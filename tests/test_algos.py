@@ -520,3 +520,70 @@ def test_incremental_pagerank_warm_start_exact_and_fewer_iters(spark):
     iters_warm = max(m["iteration"] for m in r_warm_runner.metrics)
     assert iters_warm < iters_cold, (iters_warm, iters_cold)
     assert late  # the batch actually moved the fixpoint
+
+
+def test_lp_semi_converges_where_sync_oscillates(spark):
+    """Sync LP 2-cycles forever on a path (bipartite halves keep
+    swapping); the semi-synchronous mode must reach a genuine fixpoint
+    (two consecutive zero-change rounds) and match the replayed
+    schedule exactly."""
+    from essentials_spark.engine.superstep import SuperstepRunner
+
+    from tests.oracles import lp_semi_oracle
+
+    n = 24
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    g = graph_from_edges(spark, pairs)
+
+    r_sync = SuperstepRunner(spark, "lp_sync_path")
+    label_propagation(g, max_iter=12, runner=r_sync)
+    sync_changed = [m["changed"] for m in r_sync.metrics]
+    assert sync_changed[-1] > 0, "sync LP unexpectedly converged on a path"
+
+    r_semi = SuperstepRunner(spark, "lp_semi_path")
+    got = _collect_by_vid(label_propagation(g, max_iter=60, mode="semi", runner=r_semi), "label")
+    exp = lp_semi_oracle(n, pairs, max_iter=60)
+    assert np.array_equal(got, exp)
+    assert r_semi.metrics[-1]["changed"] == 0, "semi LP did not converge"
+    assert len(r_semi.metrics) < 60  # converged well before the cap
+
+
+def test_lp_semi_fuzz_all_shapes_vs_oracle(spark):
+    """Random graphs through every physical shape in semi mode: all
+    must equal the semi-synchronous schedule replay at the same
+    max_iter — including fused blocks (parity advances per sub-round)
+    and the two-round-union restricted frontier."""
+    from tests.oracles import lp_semi_oracle
+
+    rng = np.random.RandomState(99)
+    for trial in range(3):
+        n = int(rng.randint(20, 48))
+        m = int(rng.randint(n, 2 * n))
+        pairs = list({(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b})
+        g = graph_from_edges(spark, pairs, n_vertices=n)
+        exp = lp_semi_oracle(n, pairs, max_iter=7)
+        for kw in (
+            {},
+            {"small_round_max": 0},
+            {"small_round_max": 10**9},
+            {"fused_iters": 3},
+            {"kernel": "csr", "n_buckets": 4, "fused_iters": 3},
+        ):
+            got = _collect_by_vid(label_propagation(g, max_iter=7, mode="semi", **kw), "label")
+            assert np.array_equal(got, exp), f"trial {trial} kw {kw}"
+
+
+def test_lp_semi_custom_parity(spark):
+    """semi_parity overrides the vid-parity default (the gate uses a
+    portable md5-of-key parity so DuckDB can replay the schedule)."""
+    from tests.oracles import lp_semi_oracle
+
+    n = 20
+    pairs = [(i, i + 1) for i in range(n - 1)] + [(0, 10)]
+    g = graph_from_edges(spark, pairs)
+    par = spark.createDataFrame([(v, 1 - (v % 2)) for v in range(n)], "vid long, par int")
+    got = _collect_by_vid(
+        label_propagation(g, max_iter=40, mode="semi", semi_parity=par), "label"
+    )
+    exp = lp_semi_oracle(n, pairs, max_iter=40, parity=lambda v: 1 - (v % 2))
+    assert np.array_equal(got, exp)

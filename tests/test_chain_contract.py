@@ -107,6 +107,25 @@ def test_chain_sssp_matches_plain_weighted(spark):
             assert chain[v] == pytest.approx(plain[v], abs=1e-12), f"source {src} vid {v}"
 
 
+def test_chain_sssp_asymmetric_direction_weights(spark):
+    """A symmetrized edge set may carry DIRECTION-DEPENDENT weights
+    (the gate's md5(src>dst) weights do) — the contraction must track
+    outbound and inbound sums separately."""
+    from essentials_spark.graph.derive import Graph
+
+    rows = []
+    for i, (u, v) in enumerate(PARALLEL):
+        rows.append((u, v, float(1 + (3 * i) % 7)))
+        rows.append((v, u, float(1 + (5 * i + 2) % 7)))  # different reverse weight
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double").dropDuplicates(["src", "dst"])
+    vertices = spark.range(11).select(F.col("id").alias("vid"))
+    g = Graph(vertices=vertices, edges=edges)
+    for src in (0, 3, 9, 6):
+        plain = {r["vid"]: r["dist"] for r in sssp(g, source=src).collect()}
+        chain = {r["vid"]: r["dist"] for r in sssp(g, source=src, chain_contract=True).collect()}
+        assert chain == plain, f"source {src}"
+
+
 def test_expand_distances_null_safe(spark):
     # interior whose end_b side is unreachable still rehydrates via a
     g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3)], n_vertices=5)
@@ -115,3 +134,63 @@ def test_expand_distances_null_safe(spark):
     got = {r["vid"]: r["dist"] for r in expand_distances(c, dist).collect()}
     # terminals reached: only 0; interiors 1, 2 rehydrate from side 0
     assert got[0] == 0.0 and got[1] == 1.0 and got[2] == 2.0
+
+
+def _geo_ab(spark, pairs, anchors, n_vertices, method="mean"):
+    from essentials_spark.algos import geolocate
+
+    g = graph_from_edges(spark, pairs, n_vertices=n_vertices)
+    known = spark.createDataFrame(anchors, "vid long, lat double, lon double")
+    plain = {
+        r["vid"]: (round(r["lat"], 9), round(r["lon"], 9))
+        for r in geolocate(g, known, max_iter=60, method=method).collect()
+    }
+    chain = {
+        r["vid"]: (round(r["lat"], 9), round(r["lon"], 9))
+        for r in geolocate(g, known, max_iter=60, method=method, chain_contract=True).collect()
+    }
+    return plain, chain
+
+
+def test_geolocate_chain_contract_matches_plain_mean(spark):
+    """Contracted geolocation == plain synchronous wave: values COPY
+    along chains, meet-in-the-middle averages at wave collisions, and
+    terminal aggregation over delivering chains. Fixture: two anchors
+    with different coords so collisions are visible, plus a pendant."""
+    anchors = [(0, 10.0, 20.0), (9, 50.0, 80.0)]
+    plain, chain = _geo_ab(spark, PARALLEL, anchors, n_vertices=11)
+    assert chain == plain
+
+
+def test_geolocate_chain_contract_odd_even_meeting(spark):
+    """Wave collisions at both parities: an even-length chain meets at
+    a vertex (two pushers -> average), an odd-length chain meets on an
+    edge (each side keeps its own value)."""
+    pairs = (
+        [(0, 1), (1, 2), (2, 3), (3, 4)]          # even interior count
+        + [(0, 5), (5, 6), (6, 7), (7, 8), (8, 4)]  # odd count, parallel route
+    )
+    anchors = [(0, 10.0, 20.0), (4, 50.0, 80.0)]
+    plain, chain = _geo_ab(spark, pairs, anchors, n_vertices=9)
+    assert chain == plain
+
+
+def test_geolocate_chain_contract_reference_method(spark):
+    """method='reference' through the contracted path: chain interiors
+    copy (1 pusher) / spherical-midpoint (tie), terminals run the full
+    midpoint/Weiszfeld rules over delivered values."""
+    # hub 9 receives 3 deliveries (two parallel chains + pendant path
+    # back) -> exercises the Weiszfeld n>2 branch at a terminal
+    pairs = PARALLEL + [(10, 7)]
+    anchors = [(0, 10.0, 20.0), (10, 30.0, 40.0)]
+    plain, chain = _geo_ab(spark, pairs, anchors, n_vertices=11, method="reference")
+    assert chain == plain
+
+
+def test_geolocate_chain_contract_interior_anchor(spark):
+    """An anchor sitting on a degree-2 chain must stay terminal (keep=
+    anchors) and seed the wave from inside the chain."""
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (0, 6)]
+    anchors = [(2, 10.0, 20.0)]
+    plain, chain = _geo_ab(spark, pairs, anchors, n_vertices=7)
+    assert chain == plain
