@@ -513,6 +513,20 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(kg.vkeys, "vid").select("skey", F.col("dist").cast("long").alias("dist"))
 
 
+def q_bfs_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS on the (min,+) tropical CSR kernel
+    (csr_blocks.csr_tropical_push) through the shared chain
+    contraction: the contracted-graph relax runs as vectorized
+    np.minimum.at gather/scatter per bucket — sixth A/B-gated CSR
+    kernel family. Same oracle as bfs_hops."""
+    from essentials_spark.algos import bfs
+
+    kg, g = _sym_graph(spark, sf_dir)
+    src_vid, _ = _min_turn_vid(kg)
+    out = bfs(g, source=src_vid, contraction=_chain_ctr(spark, sf_dir), kernel="csr", n_buckets=8)
+    return out.join(kg.vkeys, "vid").select("skey", F.col("dist").cast("long").alias("dist"))
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.algos import sssp
     from essentials_spark.graph.derive import Graph
@@ -532,6 +546,28 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sssp(
         Graph(vertices=g.vertices, edges=keyed), source=src_vid,
         contraction=_chain_ctr(spark, sf_dir),
+    )
+    return out.join(kg.vkeys, "vid").select("skey", F.col("dist").alias("dist"))
+
+
+def q_sssp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP on the tropical CSR kernel through the shared
+    chain contraction (directional md5-weight sums carried by the
+    super-edges). Same oracle as sssp_md5w."""
+    from essentials_spark.algos import sssp
+    from essentials_spark.graph.derive import Graph
+
+    kg, g = _sym_graph(spark, sf_dir)
+    k = kg.vkeys
+    keyed = (
+        g.edges.join(k.select(F.col("vid").alias("src"), F.col("skey").alias("sk")), "src")
+        .join(k.select(F.col("vid").alias("dst"), F.col("skey").alias("dk")), "dst")
+        .select("src", "dst", _md5_weight(F.col("sk"), F.col("dk")).alias("weight"))
+    )
+    src_vid, _ = _min_turn_vid(kg)
+    out = sssp(
+        Graph(vertices=g.vertices, edges=keyed), source=src_vid,
+        contraction=_chain_ctr(spark, sf_dir), kernel="csr", n_buckets=8,
     )
     return out.join(kg.vkeys, "vid").select("skey", F.col("dist").alias("dist"))
 
@@ -660,6 +696,25 @@ def q_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in kg.vkeys.filter(F.col("skey").startswith("turn|")).orderBy("skey").limit(3).collect()
     ]
     out = betweenness_centrality(g, sources=seeds)
+    return out.join(kg.vkeys, "vid").select("skey", F.round("bc", 6).alias("bc"))
+
+
+def q_bc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Brandes BC through degree-2 chain contraction
+    (algos/bc.betweenness_centrality_contracted): dist/sigma/delta run
+    over the contracted super-graph in O(contracted diameter) rounds,
+    interior dependencies rehydrate in closed form (through-flow +
+    in-chain target counts + tie sigma-shares). Same sources and
+    oracle as betweenness_3src — rehydrated == plain is the gated
+    claim."""
+    from essentials_spark.algos import betweenness_centrality_contracted
+
+    kg, g = _sym_graph(spark, sf_dir)
+    seeds = [
+        r["vid"]
+        for r in kg.vkeys.filter(F.col("skey").startswith("turn|")).orderBy("skey").limit(3).collect()
+    ]
+    out = betweenness_centrality_contracted(g, sources=seeds)
     return out.join(kg.vkeys, "vid").select("skey", F.round("bc", 6).alias("bc"))
 
 
@@ -1341,77 +1396,96 @@ def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order IS the driver's execution order, chosen so
+    the suite degrades gracefully if the driver's per-round budget
+    (time or entry count) cuts the tail:
+
+    1. the round-4/5 additions first (cheap-ascending) — the entries
+       with the fewest prior green gate rows get hard-signal coverage
+       before anything else;
+    2. the north-rule headline four (pagerank / cc / lp / tc);
+    3. everything long-established, cheap-ascending, with the
+       most expensive convergence-contract entry
+       (pagerank_incremental, ~180 supersteps to tol=1e-13) last —
+       it carries four rounds of green history, so it is the least
+       costly row to lose to a budget cut."""
     return {
-        "bfs_hops": q_bfs,
-        "sssp_md5w": q_sssp,
-        "spmv_keylen": q_spmv,
-        "spgemm_square": q_spgemm,
-        "ppr_push": q_ppr,
-        "hits_norm": q_hits,
-        "kcore_decomposition": q_kcore,
-        "kcore_peel": q_kcore_peel,
-        "kcore_local": q_kcore_local,
-        "connected_components_csr": q_cc_csr,
-        "connected_components_contract": q_cc_contract,
-        "betweenness_3src": q_bc,
-        "mst_total_weight": q_mst_total,
-        "mst_incremental": q_mst_incremental,
-        "degree_stats": q_degree_stats,
-        "color_validity": q_color_validity,
-        "geolocate_spread": q_geolocate,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_signatures": q_simhash,
-        "ann_lsh_topk": q_lsh_topk,
-        "ann_ivf_topk": q_ivf_topk,
-        "embedding_cosine_pairs": q_embed_pairs,
-        "result_sink": q_result_sink,
-        "streaming_edges": q_streaming_edges,
-        "curate_corpus": q_curate,
-        "ngram_jaccard": q_jaccard,
-        "mtx_reader_sym": q_mtx_reader,
-        "smtx_reader": q_smtx_reader,
+        # --- group 1: fewest prior gate rows, cheap first ---
+        "exact_dedup": q_exact_dedup,
+        "lang_pred": q_lang_pred,
+        "tool_transitions": q_tool_transitions,
+        "conv_stats": q_conv_stats,
+        "ann_topk": q_ann_topk,
+        "bm25": q_bm25,
+        "transitivity": q_transitivity,
+        "neighbor_sample": q_neighbor_sample,
+        "clustering_coeff": q_clustering_coeff,
+        "random_walks": q_random_walks,
+        "walk_contexts": q_walk_contexts,
+        "random_walks_csr": q_random_walks_csr,
+        "adamic_adar": q_adamic_adar,
+        "node2vec_walks": q_node2vec,
+        "node2vec_walks_csr": q_node2vec_csr,
+        "salsa": q_salsa,
+        "label_propagation_semi": q_lp_semi,
+        "temporal_reach": q_temporal_reach,
+        "harmonic_4src": q_harmonic,
+        "diameter_2sweep": q_diameter,
+        "bfs_hops_csr": q_bfs_csr,
+        "sssp_md5w_csr": q_sssp_csr,
+        "betweenness_3src_chain": q_bc_chain,
+        "ktruss_4": q_ktruss_4,
+        # --- group 2: north-rule headline four ---
+        "pagerank": q_pagerank,
+        "connected_components": q_cc,
+        "label_propagation": q_lp,
+        "triangle_count": q_triangles,
+        # --- group 3: long-established, cheap-ascending ---
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_stats": q_doc_stats,
+        "doc_quality": q_doc_quality,
         "points_reader": q_points_reader,
+        "ngram_jaccard": q_jaccard,
         "transcripts_from_events": q_transcripts,
         "edge_derivation": q_edges,
         "degree_histogram": q_degree_histogram,
-        "pagerank": q_pagerank,
-        "pagerank_csr": q_pagerank_csr,
-        "pagerank_incremental": q_pagerank_incremental,
-        "connected_components": q_cc,
-        "connected_components_incremental": q_cc_incremental,
-        "label_propagation": q_lp,
-        "label_propagation_csr": q_lp_csr,
-        "label_propagation_semi": q_lp_semi,
-        "triangle_count": q_triangles,
+        "spmv_keylen": q_spmv,
+        "degree_stats": q_degree_stats,
+        "mtx_reader_sym": q_mtx_reader,
+        "smtx_reader": q_smtx_reader,
+        "spgemm_square": q_spgemm,
+        "tc_total": q_tc_total,
+        "streaming_edges": q_streaming_edges,
+        "simhash_signatures": q_simhash,
         "triangle_count_csr": q_triangles_csr,
         "ktruss_3": q_ktruss_3,
-        "ktruss_4": q_ktruss_4,
+        "ann_ivf_topk": q_ivf_topk,
+        "connected_components_contract": q_cc_contract,
+        "connected_components_incremental": q_cc_incremental,
+        "embedding_cosine_pairs": q_embed_pairs,
+        "result_sink": q_result_sink,
+        "sssp_md5w": q_sssp,
+        "kcore_local": q_kcore_local,
+        "color_validity": q_color_validity,
         "ktruss_4_window": q_ktruss_4_window,
-        "truss_decomposition": q_truss_decomposition,
+        "label_propagation_csr": q_lp_csr,
+        "ppr_push": q_ppr,
+        "bfs_hops": q_bfs,
         "triangle_count_incremental": q_tc_incremental,
-        "tc_total": q_tc_total,
-        "doc_stats": q_doc_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_quality": q_doc_quality,
-        "lang_pred": q_lang_pred,
-        "ann_topk": q_ann_topk,
-        "exact_dedup": q_exact_dedup,
-        "random_walks": q_random_walks,
-        "random_walks_csr": q_random_walks_csr,
-        "walk_contexts": q_walk_contexts,
-        "node2vec_walks": q_node2vec,
-        "node2vec_walks_csr": q_node2vec_csr,
-        "neighbor_sample": q_neighbor_sample,
-        "adamic_adar": q_adamic_adar,
-        "tool_transitions": q_tool_transitions,
-        "conv_stats": q_conv_stats,
-        "salsa": q_salsa,
-        "clustering_coeff": q_clustering_coeff,
-        "transitivity": q_transitivity,
-        "bm25": q_bm25,
-        "harmonic_4src": q_harmonic,
-        "diameter_2sweep": q_diameter,
-        "temporal_reach": q_temporal_reach,
+        "curate_corpus": q_curate,
+        "connected_components_csr": q_cc_csr,
+        "minhash_dedup": q_minhash_dedup,
+        "ann_lsh_topk": q_lsh_topk,
+        "kcore_peel": q_kcore_peel,
+        "hits_norm": q_hits,
+        "geolocate_spread": q_geolocate,
+        "truss_decomposition": q_truss_decomposition,
+        "mst_total_weight": q_mst_total,
+        "kcore_decomposition": q_kcore,
+        "betweenness_3src": q_bc,
+        "mst_incremental": q_mst_incremental,
+        "pagerank_csr": q_pagerank_csr,
+        "pagerank_incremental": q_pagerank_incremental,
     }
 
 
@@ -2526,6 +2600,9 @@ def oracle_sql() -> dict[str, str]:
     # bucketed local-fixpoint kernel path vs the same oracle (x3)
     sql["kcore_local"] = _kcore_sql()
     sql["betweenness_3src"] = _bc_sql()
+    # chain-contracted Brandes: same sources, same unrolled oracle —
+    # the rehydration algebra is the gated claim
+    sql["betweenness_3src_chain"] = sql["betweenness_3src"]
     sql["mst_total_weight"] = _mst_sql()
     # incremental micro-batch maintenance vs the same MSF invariant
     sql["mst_incremental"] = _mst_sql()
@@ -2599,6 +2676,10 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
     sql["label_propagation_semi"] = _lp_sql(semi=True)
     sql["bfs_hops"] = _bfs_sql()
     sql["sssp_md5w"] = _sssp_sql()
+    # tropical CSR-kernel paths: same unrolled oracles, different
+    # physical plan (A/B-gated like every CSR kernel family)
+    sql["bfs_hops_csr"] = sql["bfs_hops"]
+    sql["sssp_md5w_csr"] = sql["sssp_md5w"]
     sql["ppr_push"] = _ppr_sql()
     sql["hits_norm"] = _hits_sql()
     sql["spmv_keylen"] = (

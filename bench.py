@@ -244,7 +244,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--probe",
-        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks", "bc"],
+        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks", "bc", "traverse", "geo"],
         default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
@@ -273,6 +273,18 @@ def main() -> None:
     ap.add_argument(
         "--batch-pct", type=int, default=10,
         help="princ probe: micro-batch size as a percent of the edge table",
+    )
+    ap.add_argument(
+        "--bc-mode", default="plain", choices=["plain", "chain"],
+        help="bc probe: plain per-level Brandes vs degree-2 chain-contracted Brandes",
+    )
+    ap.add_argument(
+        "--lp-mode", default="sync", choices=["sync", "semi"],
+        help="lp probe: synchronous vs semi-synchronous (alternating half-parity) updates",
+    )
+    ap.add_argument(
+        "--traverse-mode", default="plain", choices=["plain", "chain"],
+        help="traverse/geo probes: plain frontier loops vs chain-contracted path",
     )
     ap.add_argument(
         "--mst-jump", default="auto", choices=["auto", "kernel", "loop"],
@@ -608,7 +620,7 @@ def main() -> None:
         spark.stop()
         return
 
-    if args.probe in ("mst", "color", "lp", "kcore", "bc"):
+    if args.probe in ("mst", "color", "lp", "kcore", "bc", "traverse", "geo"):
         cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from pyspark.sql import functions as F
@@ -686,9 +698,18 @@ def main() -> None:
                     for r in kg.vkeys.filter(F.col("skey").startswith("turn|"))
                     .orderBy("skey").limit(4).collect()
                 ]
-                bcdf = _bc(gs, sources=seeds, runner=runner)
+                if args.bc_mode == "chain":
+                    from essentials_spark.algos import (
+                        betweenness_centrality_contracted as _bcc,
+                    )
+
+                    bcdf = _bcc(gs, sources=seeds, runner=runner)
+                else:
+                    bcdf = _bc(gs, sources=seeds, runner=runner)
                 top = bcdf.agg(F.max("bc")).collect()[0][0]
-                meta_per_pass.append({"n_sources": 4, "max_bc": float(top or 0.0)})
+                meta_per_pass.append(
+                    {"n_sources": 4, "bc_mode": args.bc_mode, "max_bc": float(top or 0.0)}
+                )
             elif args.probe == "color":
                 from essentials_spark.algos import color as _color
 
@@ -709,16 +730,74 @@ def main() -> None:
                     "max_core": int(maxc or 0),
                     "rounds": max((r["iteration"] for r in runner.metrics), default=0),
                 })
+            elif args.probe == "traverse":
+                from essentials_spark.algos import bfs as _bfs
+                from essentials_spark.algos import sssp as _sssp
+                from essentials_spark.graph.derive import Graph as _G
+                from essentials_spark.graph.derive import canonicalize_edges as _canon
+
+                gs = _G(
+                    vertices=g.vertices,
+                    edges=_canon(g.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+                    .withColumn("weight", (1.0 + F.pmod(F.xxhash64("src", "dst"), F.lit(7)).cast("double"))),
+                )
+                src = int(
+                    kg.vkeys.filter(F.col("skey").startswith("turn|"))
+                    .orderBy("skey").limit(1).collect()[0]["vid"]
+                )
+                ctr = None
+                t_ctr = 0.0
+                if args.traverse_mode == "chain":
+                    from essentials_spark.graph.chain_contract import chain_contraction
+
+                    t0 = time.perf_counter()
+                    ctr = chain_contraction(gs.vertices, gs.edges)
+                    ctr.super_edges.count()
+                    t_ctr = time.perf_counter() - t0
+                bdist = _bfs(gs, source=src, contraction=ctr, kernel=args.kernel, runner=runner)
+                ecc = bdist.agg(F.max("dist")).collect()[0][0]
+                sdist = _sssp(gs, source=src, contraction=ctr, kernel=args.kernel,
+                              runner=SuperstepRunner(spark, "bench_traverse_sssp"))
+                smax = sdist.agg(F.max("dist"), F.count("*")).collect()[0]
+                meta_per_pass.append({
+                    "mode": args.traverse_mode, "kernel": args.kernel,
+                    "ctr_build_sec": round(t_ctr, 3), "ecc": int(ecc or 0),
+                    "sssp_max": float(smax[0] or 0.0), "reached": int(smax[1]),
+                    "rounds": max((r["iteration"] for r in runner.metrics), default=0),
+                })
+                if ctr is not None:
+                    ctr.release()
+            elif args.probe == "geo":
+                from essentials_spark.algos import geolocate as _geo
+
+                known = kg.vkeys.filter(F.col("skey").startswith("tool|")).select(
+                    "vid",
+                    (F.ascii(F.substring("skey", 6, 1)) % 90).cast("double").alias("lat"),
+                    (F.ascii(F.substring("skey", 7, 1)) % 180).cast("double").alias("lon"),
+                )
+                out = _geo(
+                    g, known, max_iter=200, runner=runner,
+                    chain_contract=(args.traverse_mode == "chain"),
+                )
+                n_located = out.count()
+                meta_per_pass.append({
+                    "mode": args.traverse_mode, "located": n_located,
+                    "rounds": max((r["iteration"] for r in runner.metrics), default=0),
+                })
             else:  # lp convergence mode
                 from essentials_spark.algos import label_propagation as _lp
 
                 _lp(
-                    g, max_iter=20, runner=runner, persist_result=False,
-                    kernel=args.kernel,
+                    g, max_iter=20 if args.lp_mode == "sync" else 60,
+                    runner=runner, persist_result=False,
+                    kernel=args.kernel, mode=args.lp_mode,
                 ).count()
+                changed_tail = [r.get("changed") for r in runner.metrics if "changed" in r][-3:]
                 meta_per_pass.append({
                     "kernel": args.kernel,
+                    "lp_mode": args.lp_mode,
                     "rounds": max((r["iteration"] for r in runner.metrics), default=0),
+                    "changed_tail": changed_tail,
                     "shapes": [r.get("shape") for r in runner.metrics if "shape" in r],
                     "frontiers": [r.get("frontier_rows") for r in runner.metrics if "frontier_rows" in r],
                 })

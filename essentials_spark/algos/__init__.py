@@ -26,6 +26,9 @@ from essentials_spark.algos.kcore import kcore  # noqa: F401
 from essentials_spark.algos.color import color  # noqa: F401
 from essentials_spark.algos.ppr import ppr  # noqa: F401
 from essentials_spark.algos.spmv import spmv, spgemm  # noqa: F401
-from essentials_spark.algos.bc import betweenness_centrality  # noqa: F401
+from essentials_spark.algos.bc import (  # noqa: F401
+    betweenness_centrality,
+    betweenness_centrality_contracted,
+)
 from essentials_spark.algos.mst import incremental_msf_update, mst  # noqa: F401
 from essentials_spark.algos.geo import geolocate  # noqa: F401

@@ -159,3 +159,271 @@ def betweenness_centrality(
     )
     runner.finalize()
     return out
+
+
+def betweenness_centrality_contracted(
+    graph: Graph,
+    sources: list[int],
+    runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """EXACT Brandes BC through degree-2 chain contraction — the same
+    (vid, bc) output as :func:`betweenness_centrality`, computed in
+    O(contracted diameter) supersteps instead of O(hop diameter).
+
+    Sources are forced terminal (``keep``); everything else follows
+    from two facts about degree-2 chains:
+
+    - **sigma**: any shortest path crosses a chain whole, so the
+      contracted multigraph (one edge per chain, parallel chains kept
+      distinct) has exactly the original path counts between
+      terminals;
+    - **delta**: a chain's interior dependency decomposes into
+      (a) through-flow — the Brandes edge term sigma(A)/sigma(B) *
+      (1 + delta(B)) for a chain whose full traversal lies on a
+      shortest-path DAG edge, shared verbatim by every member; and
+      (b) in-chain targets — where every strict-side target
+      contributes exactly 1 (sigma(v_j) == sigma(entry endpoint)) and
+      the at-most-one tie position contributes the sigma share. Both
+      are CLOSED-FORM in (position, n_left, n_right, tie), no
+      per-position iteration. Terminal deltas gain the same in-chain
+      target mass as injections X(A) = n_left + tie_share before their
+      predecessors consume them.
+
+    Phases (all seed-vectorized): weighted multi-source relax for
+    dist; sigma by in-ready DAG assignment iteration; delta by
+    out-ready reverse iteration with injections; closed-form interior
+    rehydration. Every round touches contracted-scale rows only.
+    Reference anchor: bc.hxx:104-213 (per-depth retention), scaled
+    0.5x as there (bc.hxx:168).
+    """
+    from essentials_spark.graph.chain_contract import chain_contraction
+
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "bc_chain")
+    seeds_df = spark.createDataFrame([(int(s),) for s in sources], "vid long")
+    ctr = chain_contraction(
+        graph.vertices, graph.edges.select("src", "dst"), keep=seeds_df
+    )
+    sedges = prepare_static_edges(
+        ctr.super_edges.select("src", "dst", F.col("hops").cast("double").alias("w"), "chain_id"),
+        runner, keys="src", mode=edges_mode, name_hint="bcc_edges",
+    )
+
+    # ---- phase 1: seeded multi-source weighted relax (dist) ----
+    dist = truncate_plan(
+        seeds_df.select(F.col("vid").alias("seed"), "vid", F.lit(0.0).alias("dist"))
+    ).persist()
+    frontier = dist
+    it = 0
+    while it < max_iter:
+        cand = (
+            sedges.join(frontier.select("seed", F.col("vid").alias("src"), "dist"), "src")
+            .groupBy("seed", F.col("dst").alias("vid"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        merged = truncate_plan(
+            dist.join(cand, ["seed", "vid"], "full").select(
+                "seed", "vid",
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+            )
+        )
+        improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
+        n_imp = improved.count()
+        it += 1
+        runner.log(it, improved=n_imp, phase="dist")
+        prev = dist
+        dist = merged.select("seed", "vid", "dist").persist()
+        prev.unpersist()
+        frontier = improved.select("seed", "vid", "dist")
+        if n_imp == 0:
+            break
+
+    # ---- shortest-path DAG edges per seed (multigraph: one row per
+    # chain direction / passthrough edge) ----
+    dag = truncate_plan(
+        sedges.join(dist.select("seed", F.col("vid").alias("src"), F.col("dist").alias("du")), "src")
+        .join(dist.select("seed", F.col("vid").alias("dst"), F.col("dist").alias("dw")), ["seed", "dst"])
+        .filter(F.col("du") + F.col("w") == F.col("dw"))
+        .select("seed", F.col("src").alias("u"), F.col("dst").alias("wv"))
+    ).persist()
+    in_need = dag.groupBy("seed", F.col("wv").alias("vid")).agg(F.count(F.lit(1)).alias("needed"))
+    out_need = truncate_plan(
+        dag.groupBy("seed", F.col("u").alias("vid")).agg(F.count(F.lit(1)).alias("out_needed"))
+    ).persist()
+
+    # ---- phase 2: sigma by in-ready assignment iteration ----
+    sigma = truncate_plan(
+        seeds_df.select(F.col("vid").alias("seed"), "vid", F.lit(1.0).alias("sigma"))
+    ).persist()
+    it = 0
+    while it < max_iter:
+        got = (
+            dag.join(sigma.select("seed", F.col("vid").alias("u"), "sigma"), ["seed", "u"])
+            .join(sigma.select("seed", F.col("vid").alias("wv")), ["seed", "wv"], "left_anti")
+        )
+        ready = (
+            got.groupBy("seed", "wv").agg(F.count(F.lit(1)).alias("have"), F.sum("sigma").alias("sig"))
+            .join(in_need.select("seed", F.col("vid").alias("wv"), "needed"), ["seed", "wv"])
+            .filter(F.col("have") == F.col("needed"))
+            .select("seed", F.col("wv").alias("vid"), F.col("sig").alias("sigma"))
+        )
+        ready = truncate_plan(ready)
+        n_new = ready.count()
+        it += 1
+        runner.log(it, assigned=n_new, phase="sigma")
+        if n_new == 0:
+            break
+        prev = sigma
+        sigma = truncate_plan(sigma.unionByName(ready)).persist()
+        prev.unpersist()
+
+    # ---- per-chain, per-seed geometry: n_left / n_right / tie ----
+    # chains: (p, q, hops, head_p, head_q); k = hops - 1 interiors
+    ch = ctr.chains.select("p", "q", "hops", "head_p")
+    cs = (
+        ch.crossJoin(seeds_df.select(F.col("vid").alias("seed")).distinct())
+        .join(dist.select("seed", F.col("vid").alias("p"), F.col("dist").alias("dp")), ["seed", "p"], "left")
+        .join(dist.select("seed", F.col("vid").alias("q"), F.col("dist").alias("dq")), ["seed", "q"], "left")
+        .join(sigma.select("seed", F.col("vid").alias("p"), F.col("sigma").alias("sp")), ["seed", "p"], "left")
+        .join(sigma.select("seed", F.col("vid").alias("q"), F.col("sigma").alias("sq")), ["seed", "q"], "left")
+        .filter(F.col("dp").isNotNull() | F.col("dq").isNotNull())
+    )
+    k = (F.col("hops") - 1).cast("double")
+    both = F.col("dp").isNotNull() & F.col("dq").isNotNull()
+    d_diff = F.col("dq") - F.col("dp")  # D = dist(q) - dist(p)
+    n_left = F.when(
+        ~F.col("dq").isNotNull(), k
+    ).when(~F.col("dp").isNotNull(), F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(k, F.floor((d_diff + k) / 2).cast("double")))
+    )
+    n_right = F.when(
+        ~F.col("dp").isNotNull(), k
+    ).when(~F.col("dq").isNotNull(), F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(k, F.floor((-d_diff + k) / 2).cast("double")))
+    )
+    tie = both & (n_left + n_right == k - 1)
+    share_p = F.col("sp") / (F.col("sp") + F.col("sq"))
+    share_q = F.col("sq") / (F.col("sp") + F.col("sq"))
+    cs = truncate_plan(
+        cs.withColumns(
+            {
+                "k": k,
+                "n_left": n_left,
+                "n_right": n_right,
+                "tie": tie,
+                "x_p": F.when(F.col("dp").isNotNull(), n_left + F.when(tie, share_p).otherwise(0.0)),
+                "x_q": F.when(F.col("dq").isNotNull(), n_right + F.when(tie, share_q).otherwise(0.0)),
+            }
+        )
+    ).persist()
+    inject = (
+        cs.filter(F.col("x_p").isNotNull()).select("seed", F.col("p").alias("vid"), F.col("x_p").alias("x"))
+        .unionByName(
+            cs.filter(F.col("x_q").isNotNull()).select("seed", F.col("q").alias("vid"), F.col("x_q").alias("x"))
+        )
+        .groupBy("seed", "vid")
+        .agg(F.sum("x").alias("x"))
+    )
+    inject = truncate_plan(inject).persist()
+
+    # ---- phase 3: delta by out-ready reverse iteration + injections ----
+    reached = dist.select("seed", "vid")
+    xof = F.coalesce(F.col("x"), F.lit(0.0))
+    sinks = (
+        reached.join(out_need, ["seed", "vid"], "left")
+        .filter(F.col("out_needed").isNull())
+        .join(inject, ["seed", "vid"], "left")
+        .select("seed", "vid", xof.alias("delta"))
+    )
+    delta = truncate_plan(sinks).persist()
+    it = 0
+    while it < max_iter:
+        got = (
+            dag.join(delta.select("seed", F.col("vid").alias("wv"), "delta"), ["seed", "wv"])
+            .join(sigma.select("seed", F.col("vid").alias("wv"), F.col("sigma").alias("sw")), ["seed", "wv"])
+            .join(delta.select("seed", F.col("vid").alias("u")), ["seed", "u"], "left_anti")
+        )
+        ready = (
+            got.groupBy("seed", "u")
+            .agg(F.count(F.lit(1)).alias("have"), F.sum((1.0 + F.col("delta")) / F.col("sw")).alias("acc"))
+            .join(out_need.select("seed", F.col("vid").alias("u"), "out_needed"), ["seed", "u"])
+            .filter(F.col("have") == F.col("out_needed"))
+        )
+        ready = (
+            ready.join(sigma.select("seed", F.col("vid").alias("u"), F.col("sigma").alias("su")), ["seed", "u"])
+            .join(inject.select("seed", F.col("vid").alias("u"), "x"), ["seed", "u"], "left")
+            .select("seed", F.col("u").alias("vid"), (F.col("su") * F.col("acc") + xof).alias("delta"))
+        )
+        ready = truncate_plan(ready)
+        n_new = ready.count()
+        it += 1
+        runner.log(it, assigned=n_new, phase="delta")
+        if n_new == 0:
+            break
+        prev = delta
+        delta = truncate_plan(delta.unionByName(ready)).persist()
+        prev.unpersist()
+
+    # ---- phase 4: closed-form interior deltas ----
+    flows = (
+        cs.join(sigma.select("seed", F.col("vid").alias("p"), F.col("sigma").alias("sp2")), ["seed", "p"], "left")
+        .join(sigma.select("seed", F.col("vid").alias("q"), F.col("sigma").alias("sq2")), ["seed", "q"], "left")
+        .join(delta.select("seed", F.col("vid").alias("p"), F.col("delta").alias("del_p")), ["seed", "p"], "left")
+        .join(delta.select("seed", F.col("vid").alias("q"), F.col("delta").alias("del_q")), ["seed", "q"], "left")
+        .withColumns(
+            {
+                "flow_pq": F.when(
+                    F.col("dp").isNotNull() & F.col("dq").isNotNull()
+                    & (F.col("dp") + F.col("hops").cast("double") == F.col("dq")),
+                    (F.col("sp2") / F.col("sq2")) * (1.0 + F.col("del_q")),
+                ).otherwise(0.0),
+                "flow_qp": F.when(
+                    F.col("dp").isNotNull() & F.col("dq").isNotNull()
+                    & (F.col("dq") + F.col("hops").cast("double") == F.col("dp")),
+                    (F.col("sq2") / F.col("sp2")) * (1.0 + F.col("del_p")),
+                ).otherwise(0.0),
+                "share_p2": F.when(
+                    F.col("sp2").isNotNull() & F.col("sq2").isNotNull(),
+                    F.col("sp2") / (F.col("sp2") + F.col("sq2")),
+                ),
+                "share_q2": F.when(
+                    F.col("sp2").isNotNull() & F.col("sq2").isNotNull(),
+                    F.col("sq2") / (F.col("sp2") + F.col("sq2")),
+                ),
+            }
+        )
+        .select("seed", "head_p", "n_left", "n_right", "tie", "k",
+                "flow_pq", "flow_qp", "share_p2", "share_q2")
+    )
+    jpos = F.col("pos_hops").cast("double")
+    jstar = F.col("n_left") + 1.0
+    interior_delta = (
+        ctr.interior.select("vid", F.col("chain_id").alias("head_p"), "pos_hops")
+        .join(flows, "head_p")
+        .select(
+            "seed",
+            "vid",
+            (
+                F.col("flow_pq") + F.col("flow_qp")
+                + F.greatest(F.lit(0.0), F.col("n_left") - jpos)
+                + F.when(F.col("tie") & (jpos < jstar), F.coalesce(F.col("share_p2"), F.lit(0.0))).otherwise(0.0)
+                + F.greatest(F.lit(0.0), jpos + F.col("n_right") - F.col("k") - 1.0)
+                + F.when(F.col("tie") & (jpos > jstar), F.coalesce(F.col("share_q2"), F.lit(0.0))).otherwise(0.0)
+            ).alias("delta"),
+        )
+    )
+
+    all_delta = delta.filter(F.col("vid") != F.col("seed")).select("seed", "vid", "delta").unionByName(
+        interior_delta
+    )
+    out = (
+        all_delta.groupBy("vid")
+        .agg((F.lit(0.5) * F.sum("delta")).alias("bc"))
+        .join(graph.vertices.select("vid"), "vid", "right")
+        .select("vid", F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc"))
+    )
+    runner.finalize()
+    return out

@@ -31,26 +31,56 @@ def _relax_min(
     edges_mode: str = "bucketed",
     max_iter: int = 10_000,
     name_hint: str = "relax",
+    kernel: str = "dataframe",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Label-correcting min-relaxation (Bellman-Ford frontier loop)
     from arbitrary seed distances: edges (src, dst, weight), seeds
     (vid, dist). Returns (vid, dist double) for reached vertices.
     Shared by sssp and by every chain-contracted traversal (where the
-    seed set is the source's chain endpoints)."""
-    edges = prepare_static_edges(
-        edges_df.select("src", "dst", "weight"), runner, keys="src",
-        mode=edges_mode, name_hint=name_hint,
-    )
+    seed set is the source's chain endpoints).
+
+    ``kernel='csr'``: the per-round relax runs as the (min, +)
+    tropical SpMV over packed CSR blocks (csr_blocks.csr_tropical_push
+    — np.minimum.at ≙ the reference's atomic-min relax,
+    sssp.hxx:98-151) instead of the join + groupBy; A/B bit-exact
+    (each message is one double add on both paths)."""
+    spark = edges_df.sparkSession
+    blocks = None
+    if kernel == "csr":
+        from essentials_spark.graph.csr_blocks import build_csr_blocks, csr_tropical_push
+
+        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+        blocks = prepare_static_edges(
+            build_csr_blocks(
+                edges_df.select("src", "dst", F.col("weight").cast("double").alias("coef")),
+                n_buckets,
+            ),
+            runner, keys="bucket", n_buckets=n_buckets, name_hint=f"{name_hint}_blocks",
+        )
+        edges = None
+    else:
+        edges = prepare_static_edges(
+            edges_df.select("src", "dst", "weight"), runner, keys="src",
+            mode=edges_mode, name_hint=name_hint,
+        )
     dist = truncate_plan(seeds.select("vid", F.col("dist").cast("double").alias("dist"))).persist()
     frontier = dist
     iteration = 0
     while iteration < max_iter:
-        cand = (
-            edges.join(frontier.select(F.col("vid").alias("src"), "dist"), "src")
-            .groupBy("dst")
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
-            .withColumnRenamed("dst", "vid")
-        )
+        if blocks is not None:
+            from essentials_spark.graph.csr_blocks import csr_tropical_push
+
+            cand = csr_tropical_push(blocks, frontier, n_buckets).select(
+                F.col("dst").alias("vid"), F.col("nbr_min").alias("cand")
+            )
+        else:
+            cand = (
+                edges.join(frontier.select(F.col("vid").alias("src"), "dist"), "src")
+                .groupBy("dst")
+                .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+                .withColumnRenamed("dst", "vid")
+            )
         merged = dist.join(cand, "vid", "full").select(
             "vid",
             F.least(F.col("dist"), F.col("cand")).alias("dist"),
@@ -77,6 +107,8 @@ def _chain_traversal(
     runner: SuperstepRunner,
     contraction=None,
     edges_mode: str = "bucketed",
+    kernel: str = "dataframe",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Shared chain-contracted BFS/SSSP core (graph/chain_contract.py):
     relax over the contracted super-graph (rounds = CONTRACTED
@@ -114,7 +146,8 @@ def _chain_traversal(
         .groupBy("vid").agg(F.min("dist").alias("dist"))
     )
     term_dist = _relax_min(
-        sedges, seeds, runner, edges_mode=edges_mode, name_hint="chain_relax"
+        sedges, seeds, runner, edges_mode=edges_mode, name_hint="chain_relax",
+        kernel=kernel, n_buckets=n_buckets,
     )
     full = expand_distances(contraction, term_dist, "dist", use_hops=use_hops)
     if s_chain is not None:
@@ -145,6 +178,8 @@ def bfs(
     edges_mode: str = "bucketed",
     chain_contract: bool = False,
     contraction=None,
+    kernel: str = "dataframe",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Hop distances from ``source``; unreachable vertices omitted.
 
@@ -161,9 +196,21 @@ def bfs(
         out = _chain_traversal(
             graph, source, use_hops=True, runner=runner,
             contraction=contraction, edges_mode=edges_mode,
+            kernel=kernel, n_buckets=n_buckets,
         ).select("vid", F.col("dist").cast("int").alias("dist"))
         runner.finalize()
         return out
+    if kernel == "csr":
+        # plain BFS on the tropical CSR kernel: min-relax over unit
+        # weights IS the hop distance
+        seeds = spark.createDataFrame([(int(source), 0.0)], "vid long, dist double")
+        dist = _relax_min(
+            graph.edges.select("src", "dst").withColumn("weight", F.lit(1.0)),
+            seeds, runner, max_iter=max_iter, name_hint="bfs",
+            kernel="csr", n_buckets=n_buckets,
+        )
+        runner.finalize()
+        return dist.select("vid", F.col("dist").cast("int").alias("dist"))
     edges = prepare_static_edges(
         graph.edges.select("src", "dst"), runner, keys="src", mode=edges_mode, name_hint="bfs"
     )
@@ -206,6 +253,8 @@ def sssp(
     edges_mode: str = "bucketed",
     chain_contract: bool = False,
     contraction=None,
+    kernel: str = "dataframe",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Single-source shortest paths (non-negative weights), Bellman-Ford
     frontier relaxation. Returns (vid: long, dist: double); unreachable
@@ -221,13 +270,14 @@ def sssp(
         out = _chain_traversal(
             graph, source, use_hops=False, runner=runner,
             contraction=contraction, edges_mode=edges_mode,
+            kernel=kernel, n_buckets=n_buckets,
         )
         runner.finalize()
         return out
     seeds = spark.createDataFrame([(int(source), 0.0)], "vid long, dist double")
     dist = _relax_min(
         graph.edges, seeds, runner, edges_mode=edges_mode,
-        max_iter=max_iter, name_hint="sssp",
+        max_iter=max_iter, name_hint="sssp", kernel=kernel, n_buckets=n_buckets,
     )
     runner.finalize()
     return dist

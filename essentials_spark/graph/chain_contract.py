@@ -80,9 +80,16 @@ class ChainContraction:
     super_edges: DataFrame
     interior: DataFrame
     terminals: DataFrame
+    # one row per maximal chain: (p, q, hops, w_pq, w_qp, head_p,
+    # head_q) — head_p doubles as the chain_id used by interior rows.
+    # Chain-aware algorithms (BC's per-chain dependency algebra, geo's
+    # delivery DAG) consume this directly.
+    chains: DataFrame | None = None
 
     def release(self) -> None:
-        for df in (self.super_edges, self.interior, self.terminals):
+        for df in (self.super_edges, self.interior, self.terminals, self.chains):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -315,8 +322,9 @@ def chain_contraction(
         )
     )
     super_edges = truncate_plan(passthrough.unionByName(chain_edges)).persist()
-    chains.unpersist()
-    return ChainContraction(super_edges=super_edges, interior=interior, terminals=terminals)
+    return ChainContraction(
+        super_edges=super_edges, interior=interior, terminals=terminals, chains=chains
+    )
 
 
 def expand_distances(

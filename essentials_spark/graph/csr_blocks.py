@@ -494,3 +494,57 @@ def csr_node2vec_pick(
     return blocks.groupby("bucket").cogroup(cd.groupby("bucket")).applyInPandas(
         kernel, schema="wid string, prev long, cur long"
     )
+
+
+def csr_tropical_push(
+    blocks: DataFrame, values: DataFrame, n_buckets: int, value_col: str = "dist"
+) -> DataFrame:
+    """One (min, +) TROPICAL-semiring superstep over CSR blocks:
+    returns (dst, nbr_min) with nbr_min = min over in-edges (src, dst,
+    coef) of value(src) + coef, srcs restricted to ``values`` (a delta
+    frontier works unchanged — absent srcs gather the +inf identity).
+
+    This is :func:`spmv_push` with (min, +) replacing (+, x): one
+    vectorized gather/expand/scatter per bucket (np.minimum.at ≙ the
+    reference's atomic::min relax, sssp.hxx:98-151), one boundary
+    min-combine shuffle. Serves BFS (coef = 1) and weighted SSSP on
+    the same kernel; doubles end-to-end, bit-exact with the dataframe
+    relax (each message is a single add on both paths)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = values.select(
+        F.pmod(F.col("vid"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "vid",
+        F.col(value_col).alias("val"),
+    )
+
+    def kernel(block_pdf: pd.DataFrame, vals_pdf: pd.DataFrame):
+        if len(block_pdf) == 0 or len(vals_pdf) == 0:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "partial": pd.Series(dtype="float64")})
+        row = block_pdf.iloc[0]
+        srcs = np.asarray(row["srcs"], dtype=np.int64)
+        offsets = np.asarray(row["offsets"], dtype=np.int64)
+        dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
+        dst_index = np.asarray(row["dst_index"], dtype=np.int64)
+        coefs = np.asarray(row["coefs"], dtype=np.float64)
+
+        vv = vals_pdf["vid"].to_numpy()
+        xs = vals_pdf["val"].to_numpy(dtype=np.float64)
+        vorder = np.argsort(vv)
+        vv_sorted = vv[vorder]
+        pos = np.clip(np.searchsorted(vv_sorted, srcs), 0, len(vv_sorted) - 1)
+        found = vv_sorted[pos] == srcs
+        val_per_src = np.where(found, xs[vorder][pos], np.inf)
+
+        degrees = np.diff(offsets)
+        per_edge = np.repeat(val_per_src, degrees) + coefs
+        partial = np.full(len(dst_ids), np.inf, dtype=np.float64)
+        np.minimum.at(partial, dst_index, per_edge)
+        keep = np.isfinite(partial)
+        return pd.DataFrame({"dst": dst_ids[keep], "partial": partial[keep]})
+
+    partials = blocks.groupby("bucket").cogroup(vals.groupby("bucket")).applyInPandas(
+        kernel, schema="dst long, partial double"
+    )
+    return partials.groupBy("dst").agg(F.min("partial").alias("nbr_min"))

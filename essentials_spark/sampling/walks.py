@@ -108,6 +108,7 @@ def random_walks(
     runner: SuperstepRunner | None = None,
     edges_mode: str = "bucketed",
     n_buckets: int | None = None,
+    sink_path: str | None = None,
 ) -> DataFrame:
     """Deterministic random walks over a symmetrized edge set.
 
@@ -132,9 +133,28 @@ def random_walks(
     choice hash is still computed JVM-side (md5), the kernel only does
     the O(frontier) gather. Both paths index the same dst-ascending
     neighbor order, so they are A/B-exact.
+
+    ``sink_path``: stream the corpus OUT per step — each step's
+    (wid, vid) rows land in ``sink_path/step=t/`` as soon as the
+    frontier materializes, and the returned DataFrame is the sink
+    read-back. At 10^12-turn scale the union of L step outputs is
+    itself huge; incremental sink writes keep driver-side state at
+    O(1) step handles, make a partially-written corpus readable
+    mid-run, and a resumed run completes only the missing steps
+    (existing step dirs with _SUCCESS are never rewritten).
     """
     spark = edges.sparkSession
     runner = runner or SuperstepRunner(spark, "walks")
+
+    def _sink_step(df: DataFrame, t: int) -> None:
+        import os
+
+        if sink_path is None:
+            return
+        path = f"{sink_path}/step={t}"
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return  # resumed run: already streamed
+        df.select("wid", F.col("cur").alias("vid")).write.mode("overwrite").parquet(path)
 
     # per-step checkpoint-resume (north rule): every materialized
     # frontier is durable when a checkpoint_dir is configured — a
@@ -161,10 +181,13 @@ def random_walks(
             f.select("wid", F.lit(i).alias("step"), F.col("cur").alias("vid"))
             for i, f in enumerate(fronts)
         ]
+        for i, f in enumerate(fronts):
+            _sink_step(f, i)  # no-op for steps already streamed
         front = fronts[-1]
         runner.log(t0, resumed=True)
     else:
         front = _pin(start.select("wid", F.col("vid").alias("cur")), 0)
+        _sink_step(front, 0)
         out = [front.select("wid", F.lit(0).alias("step"), F.col("cur").alias("vid"))]
         t0 = 0
 
@@ -205,10 +228,20 @@ def random_walks(
                 .select("wid", F.col("dst").alias("cur"))
             )
         front = _pin(stepped, t)
+        _sink_step(front, t)
         out.append(front.select("wid", F.lit(t).alias("step"), F.col("cur").alias("vid")))
         if front.isEmpty():
             break
 
+    if sink_path is not None:
+        runner.finalize()
+        # the corpus IS the sink: the result reads stored step
+        # partitions, no L-way union plan over pinned frontiers
+        return (
+            spark.read.option("basePath", sink_path)
+            .parquet(f"{sink_path}/step=*")
+            .select("wid", F.col("step").cast("int").alias("step"), "vid")
+        )
     walks = out[0]
     for df in out[1:]:
         walks = walks.unionByName(df)

@@ -194,3 +194,89 @@ def test_geolocate_chain_contract_interior_anchor(spark):
     anchors = [(2, 10.0, 20.0)]
     plain, chain = _geo_ab(spark, pairs, anchors, n_vertices=7)
     assert chain == plain
+
+
+def test_bfs_sssp_csr_kernel_matches_dataframe(spark):
+    """The (min,+) tropical CSR kernel (csr_blocks.csr_tropical_push)
+    must be A/B bit-exact with the dataframe relax on both the plain
+    and the chain-contracted paths."""
+    weights = [3.0, 1.0, 2.0, 1.0, 1.0, 5.0, 2.0, 2.0, 1.0, 4.0]
+    g = graph_from_edges(spark, PARALLEL, n_vertices=11, weights=weights)
+    for src in (0, 4):
+        b_df = {r["vid"]: r["dist"] for r in bfs(g, source=src).collect()}
+        b_csr = {r["vid"]: r["dist"] for r in bfs(g, source=src, kernel="csr", n_buckets=4).collect()}
+        assert b_csr == b_df, f"bfs src {src}"
+        b_chain_csr = {
+            r["vid"]: r["dist"]
+            for r in bfs(g, source=src, chain_contract=True, kernel="csr", n_buckets=4).collect()
+        }
+        assert b_chain_csr == b_df, f"chain bfs src {src}"
+        s_df = {r["vid"]: r["dist"] for r in sssp(g, source=src).collect()}
+        s_csr = {r["vid"]: r["dist"] for r in sssp(g, source=src, kernel="csr", n_buckets=4).collect()}
+        assert s_csr == s_df, f"sssp src {src}"
+        s_chain_csr = {
+            r["vid"]: r["dist"]
+            for r in sssp(g, source=src, chain_contract=True, kernel="csr", n_buckets=4).collect()
+        }
+        assert s_chain_csr == s_df, f"chain sssp src {src}"
+
+
+def _bc_ab(spark, pairs, sources, n_vertices):
+    from essentials_spark.algos import betweenness_centrality, betweenness_centrality_contracted
+
+    g = graph_from_edges(spark, pairs, n_vertices=n_vertices)
+    plain = {
+        r["vid"]: round(r["bc"], 9) for r in betweenness_centrality(g, sources=sources).collect()
+    }
+    chain = {
+        r["vid"]: round(r["bc"], 9)
+        for r in betweenness_centrality_contracted(g, sources=sources).collect()
+    }
+    return plain, chain
+
+
+def test_bc_contracted_path(spark):
+    # classic path fixture — every vertex a source (matches
+    # test_bc_brandes): contraction is total (all interiors between
+    # the kept sources), pure in-chain target algebra
+    plain, chain = _bc_ab(spark, [(0, 1), (1, 2), (2, 3)], [0, 1, 2, 3], 4)
+    assert chain == plain == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+
+
+def test_bc_contracted_parallel_and_pendant(spark):
+    # parallel equal-length chains split sigma 50/50 through both; the
+    # pendant chain carries pure through-flow; tie positions occur at
+    # the parallel chains' midpoints
+    plain, chain = _bc_ab(spark, PARALLEL, [0, 9, 7], 11)
+    assert chain == plain
+
+
+def test_bc_contracted_loop_chain(spark):
+    # loop chain: no through-flow, X injections from both directions
+    # land on the same terminal, interior tie at the loop midpoint
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (4, 5)]
+    plain, chain = _bc_ab(spark, pairs, [0, 5], 6)
+    assert chain == plain
+
+
+def test_bc_contracted_long_chain_sources(spark):
+    # sources on long chains (kept terminal) splitting them; mixed
+    # chain lengths; an unreachable side (isolated tail)
+    pairs = [(i, i + 1) for i in range(12)] + [(3, 20), (20, 21), (21, 8), (30, 31)]
+    plain, chain = _bc_ab(spark, pairs, [0, 6], 32)
+    assert chain == plain
+
+
+def test_bc_contracted_fuzz_random(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1234)
+    for trial in range(3):
+        n = int(rng.randint(12, 26))
+        m = int(rng.randint(n - 2, 2 * n))
+        pairs = list({(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b})
+        srcs = sorted({int(s) for s in rng.randint(0, n, size=3)})
+        plain, chain = _bc_ab(spark, pairs, srcs, n)
+        assert set(chain) == set(plain), f"trial {trial}"
+        for v in plain:
+            assert abs(chain[v] - plain[v]) < 1e-6, f"trial {trial} vid {v}: {chain[v]} vs {plain[v]} srcs {srcs} pairs {sorted(pairs)}"

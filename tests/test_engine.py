@@ -401,3 +401,49 @@ def test_walk_resume_refuses_cross_graph_prefix(spark, tmp_path):
     c = sorted(map(tuple, random_walks(edges_a, start, length=4, runner=r3).collect()))
     assert c == a
     assert not any(m.get("resumed") for m in r3.metrics)
+
+
+def test_random_walks_sink_streams_per_step_and_resumes(spark, tmp_path):
+    """sink_path streams each step's (wid, vid) partition as soon as it
+    materializes: a killed run leaves a READABLE partial corpus (the
+    step prefix), and the resumed run completes only the missing steps
+    — existing _SUCCESS step dirs are never rewritten."""
+    import glob
+    import os
+    import shutil
+
+    from essentials_spark.sampling import random_walks
+
+    pairs = [(0, 1), (1, 2), (2, 3), (1, 3), (3, 4), (4, 0)]
+    rows = []
+    for u, v in pairs:
+        rows.append((u, v))
+        rows.append((v, u))
+    edges = spark.createDataFrame(rows, "src long, dst long").dropDuplicates(["src", "dst"])
+    start = spark.createDataFrame([(f"s{i}#0", i) for i in range(5)], "wid string, vid long")
+
+    ck = str(tmp_path / "ckws")
+    sink = str(tmp_path / "corpus")
+    r1 = SuperstepRunner(spark, "ws", checkpoint_dir=ck)
+    full = sorted(map(tuple, random_walks(edges, start, length=5, runner=r1, sink_path=sink).collect()))
+    assert {int(d.rsplit("=", 1)[1]) for d in glob.glob(sink + "/step=*")} == set(range(6))
+
+    # kill after step 2: drop newer checkpoints AND newer sink steps
+    for d in sorted(glob.glob(ck + "/ws/iter=*"))[3:]:
+        shutil.rmtree(d)
+    for d in sorted(glob.glob(sink + "/step=*"))[3:]:
+        shutil.rmtree(d)
+    # the partial corpus is readable mid-run and is exactly the prefix
+    partial = sorted(
+        map(tuple, spark.read.option("basePath", sink).parquet(sink + "/step=*")
+            .select("wid", "step", "vid").collect())
+    )
+    assert partial == [t for t in full if t[1] <= 2]
+
+    mtimes = {d: os.path.getmtime(os.path.join(d, "_SUCCESS")) for d in glob.glob(sink + "/step=*")}
+    r2 = SuperstepRunner(spark, "ws", checkpoint_dir=ck)
+    again = sorted(map(tuple, random_walks(edges, start, length=5, runner=r2, sink_path=sink).collect()))
+    assert again == full
+    # surviving step dirs were not rewritten
+    for d, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(d, "_SUCCESS")) == t
