@@ -741,8 +741,11 @@ def main() -> None:
                     edges=_canon(g.edges, symmetrize=True, dedup=True, drop_self_loops=True)
                     .withColumn("weight", (1.0 + F.pmod(F.xxhash64("src", "dst"), F.lit(7)).cast("double"))),
                 )
+                # min-skey turn vertex WITH an edge (single-turn convs
+                # leave isolated turn vertices)
                 src = int(
-                    kg.vkeys.filter(F.col("skey").startswith("turn|"))
+                    kg.vkeys.join(gs.edges.select(F.col("src").alias("vid")).distinct(), "vid")
+                    .filter(F.col("skey").startswith("turn|"))
                     .orderBy("skey").limit(1).collect()[0]["vid"]
                 )
                 ctr = None
