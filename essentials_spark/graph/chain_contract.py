@@ -96,11 +96,83 @@ class ChainContraction:
                 pass
 
 
+def _local_rank_kernel(pdf):
+    """Per-bucket vectorized pointer doubling (NumPy, no per-row
+    Python): compose every half-edge with its pointer target AS LONG AS
+    the target lives in the same bucket. Range-bucketing by vid means
+    consecutive-turn chains co-locate, so most chains fully resolve
+    here in one task; only bucket-boundary crossings (and cycles) are
+    left for the global doubling rounds. Composition is associative,
+    so any prefix of local jumps is exact."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) == 0:
+        return pdf.drop(columns=["bucket"])
+    v = pdf["v"].to_numpy(np.int64)
+    x = pdf["x"].to_numpy(np.int64)
+    end = pdf["end"].to_numpy(np.int64)
+    hops = pdf["hops"].to_numpy(np.int64)
+    w_out = pdf["w_out"].to_numpy(np.float64)
+    w_in = pdf["w_in"].to_numpy(np.float64)
+    final = pdf["final"].to_numpy(bool)
+    nv = pdf["nv"].astype("float64").to_numpy()  # nullable -> NaN
+    nx = pdf["nx"].astype("float64").to_numpy()
+    last = pdf["last"].astype("float64").to_numpy()
+
+    # local dense ids so the (v, x) pair key fits int64 at any scale
+    allv = np.unique(np.concatenate([v, x]))
+    L = len(allv)
+    key = np.searchsorted(allv, v) * L + np.searchsorted(allv, x)
+    order = np.argsort(key)
+    key_sorted = key[order]
+
+    max_rounds = int(np.ceil(np.log2(max(len(pdf), 2)))) + 2
+    for _ in range(max_rounds):
+        live = ~final & ~np.isnan(nv)
+        if not live.any():
+            break
+        nvi = nv[live].astype(np.int64)
+        nxi = nx[live].astype(np.int64)
+        # pointer target present in this bucket?
+        pv = np.searchsorted(allv, nvi)
+        px = np.searchsorted(allv, nxi)
+        in_ids = (pv < L) & (allv[np.clip(pv, 0, L - 1)] == nvi) & (
+            px < L
+        ) & (allv[np.clip(px, 0, L - 1)] == nxi)
+        nkey = pv * L + px
+        pos = np.clip(np.searchsorted(key_sorted, nkey), 0, len(key_sorted) - 1)
+        hit = in_ids & (key_sorted[pos] == nkey)
+        if not hit.any():
+            break
+        rows = np.flatnonzero(live)[hit]
+        tgt = order[pos[hit]]
+        end[rows] = end[tgt]
+        hops[rows] = hops[rows] + hops[tgt]
+        w_out[rows] = w_out[rows] + w_out[tgt]
+        w_in[rows] = w_in[rows] + w_in[tgt]
+        final[rows] = final[tgt]
+        nv[rows] = nv[tgt]
+        nx[rows] = nx[tgt]
+        last[rows] = last[tgt]
+
+    return pd.DataFrame(
+        {
+            "v": v, "x": x, "end": end, "hops": hops,
+            "w_out": w_out, "w_in": w_in, "final": final,
+            "nv": pd.array(nv, dtype="Int64"),
+            "nx": pd.array(nx, dtype="Int64"),
+            "last": pd.array(last, dtype="Int64"),
+        }
+    )
+
+
 def chain_contraction(
     vertices: DataFrame,
     edges: DataFrame,
     keep: DataFrame | None = None,
     max_rounds: int = 64,
+    n_buckets: int | None = None,
 ) -> ChainContraction:
     """Contract maximal degree-2 chains of a SYMMETRIZED, deduplicated,
     self-loop-free edge set (src, dst[, weight]; weight defaults 1.0;
@@ -126,20 +198,24 @@ def chain_contraction(
         interior0 = interior0.join(keep.select("vid"), "vid", "left_anti")
 
     # per-interior neighbor pair, dst-ascending (deg==2 guarantees two
-    # distinct rows after dedup) — ONE aggregation carries both
-    # neighbor ids and both directional edge weights
+    # distinct rows after dedup) — min/max struct aggregates (map-side
+    # partials, no array materialization) carry both neighbor ids and
+    # both directional edge weights
     nb = truncate_plan(
         ew.join(interior0.select(F.col("vid").alias("src")), "src")
         .groupBy("src")
-        .agg(F.sort_array(F.collect_list(F.struct("dst", "weight", "win"))).alias("ns"))
+        .agg(
+            F.min(F.struct("dst", "weight", "win")).alias("lo"),
+            F.max(F.struct("dst", "weight", "win")).alias("hi"),
+        )
         .select(
             F.col("src").alias("vid"),
-            F.col("ns")[0]["dst"].alias("n1"),
-            F.col("ns")[0]["weight"].alias("w1o"),
-            F.col("ns")[0]["win"].alias("w1i"),
-            F.col("ns")[1]["dst"].alias("n2"),
-            F.col("ns")[1]["weight"].alias("w2o"),
-            F.col("ns")[1]["win"].alias("w2i"),
+            F.col("lo")["dst"].alias("n1"),
+            F.col("lo")["weight"].alias("w1o"),
+            F.col("lo")["win"].alias("w1i"),
+            F.col("hi")["dst"].alias("n2"),
+            F.col("hi")["weight"].alias("w2o"),
+            F.col("hi")["win"].alias("w2i"),
         )
     ).persist()
 
@@ -174,9 +250,35 @@ def chain_contraction(
         )
     ).persist()
 
-    # Wyllie pointer doubling: compose each non-final half-edge with
-    # the half-edge it points at; distance covered doubles per round.
+    # Phase A — bucket-local vectorized doubling: RANGE-bucket by vid
+    # (dense vids are skey ranks, so consecutive turns of a
+    # conversation are adjacent ids and whole chains co-locate) and
+    # resolve in-bucket pointer runs inside one NumPy task each. Most
+    # chains finalize here; the global loop below only composes the
+    # bucket-boundary remainder (and detects cycles).
     n_interior = nb.count()
+    spark = edges.sparkSession
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism
+    vmax_row = vertices.agg(F.max("vid")).collect()[0][0]
+    vmax = int(vmax_row) + 1 if vmax_row is not None else 1
+    bucketed = cur.withColumn(
+        "bucket", ((F.col("v") * n_buckets) / F.lit(vmax)).cast("int")
+    )
+    compacted = bucketed.groupBy("bucket").applyInPandas(
+        _local_rank_kernel,
+        schema=(
+            "v long, x long, end long, hops long, w_out double, "
+            "w_in double, final boolean, nv long, nx long, last long"
+        ),
+    )
+    old_cur = cur
+    cur = truncate_plan(compacted).persist()
+    old_cur.unpersist()
+
+    # Phase B — global Wyllie pointer doubling: compose each non-final
+    # half-edge with the half-edge it points at; distance covered
+    # doubles per round.
     for _ in range(max_rounds):
         row = cur.filter(~F.col("final")).agg(
             F.count(F.lit(1)).alias("c"), F.min("hops").alias("minh")
@@ -236,22 +338,21 @@ def chain_contraction(
     base = (
         resolved.groupBy("v")
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct("x", "end", "hops", "w_out", "w_in", "last"))
-            ).alias("ds")
+            F.min(F.struct("x", "end", "hops", "w_out", "w_in", "last")).alias("lo"),
+            F.max(F.struct("x", "end", "hops", "w_out", "w_in", "last")).alias("hi"),
         )
         .select(
             F.col("v").alias("vid"),
-            F.col("ds")[0]["end"].alias("end_a"),
-            F.col("ds")[0]["hops"].alias("da_hops"),
-            F.col("ds")[0]["w_out"].alias("da_w_out"),
-            F.col("ds")[0]["w_in"].alias("da_w_in"),
-            F.col("ds")[0]["last"].alias("last_a"),
-            F.col("ds")[1]["end"].alias("end_b"),
-            F.col("ds")[1]["hops"].alias("db_hops"),
-            F.col("ds")[1]["w_out"].alias("db_w_out"),
-            F.col("ds")[1]["w_in"].alias("db_w_in"),
-            F.col("ds")[1]["last"].alias("last_b"),
+            F.col("lo")["end"].alias("end_a"),
+            F.col("lo")["hops"].alias("da_hops"),
+            F.col("lo")["w_out"].alias("da_w_out"),
+            F.col("lo")["w_in"].alias("da_w_in"),
+            F.col("lo")["last"].alias("last_a"),
+            F.col("hi")["end"].alias("end_b"),
+            F.col("hi")["hops"].alias("db_hops"),
+            F.col("hi")["w_out"].alias("db_w_out"),
+            F.col("hi")["w_in"].alias("db_w_in"),
+            F.col("hi")["last"].alias("last_b"),
         )
     )
     use_a = F.when(
