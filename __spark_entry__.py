@@ -1348,6 +1348,24 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 4-source harmonic centrality through degree-2 chain
+    contraction (algos/traversal.harmonic_centrality_contracted): one
+    seeded relax over the contracted super-graph + closed-form
+    interior rehydration; shares q_harmonic's oracle — rehydrated ==
+    plain is the gated claim."""
+    from essentials_spark.algos import harmonic_centrality_contracted
+    from essentials_spark.graph.derive import Graph
+
+    kg = _keyed_graph(spark, sf_dir)
+    sym = _sym_vid_edges(kg)
+    g = Graph(vertices=kg.graph.vertices, edges=sym.withColumn("weight", F.lit(1.0)))
+    out = harmonic_centrality_contracted(g, n_sample=HARM_SOURCES, edges_mode="shuffle")
+    return out.join(kg.vkeys, "vid").select(
+        "skey", F.round(F.col("harm") * 1e6).cast("long").alias("harm_ppm")
+    )
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA authority/hub scores (algos/salsa.py — degree-normalized
     HITS with L1 per-round normalization), HITS_ROUNDS iterations,
@@ -1434,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops_csr": q_bfs_csr,
         "sssp_md5w_csr": q_sssp_csr,
         "betweenness_3src_chain": q_bc_chain,
+        "harmonic_4src_chain": q_harmonic_chain,
         "ktruss_4": q_ktruss_4,
         # --- group 2: north-rule headline four ---
         "pagerank": q_pagerank,
@@ -2833,6 +2852,8 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
     sql["tool_transitions"] = _tool_transitions_sql()
     _terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     sql["harmonic_4src"] = _harmonic_sql()
+    # chain-contracted path, same unrolled multi-source BFS oracle
+    sql["harmonic_4src_chain"] = sql["harmonic_4src"]
     sql["diameter_2sweep"] = _diameter_sql()
     sql["temporal_reach"] = _temporal_sql()
     sql["bm25"] = f"""

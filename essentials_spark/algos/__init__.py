@@ -19,7 +19,13 @@ from essentials_spark.algos.cc import (  # noqa: F401
 from essentials_spark.algos.ktruss import edge_support, ktruss, truss_decomposition  # noqa: F401
 from essentials_spark.algos.lp import label_propagation  # noqa: F401
 from essentials_spark.algos.tc import incremental_tc_update, triangle_count  # noqa: F401
-from essentials_spark.algos.traversal import bfs, harmonic_centrality, sssp, temporal_reachability  # noqa: F401
+from essentials_spark.algos.traversal import (  # noqa: F401
+    bfs,
+    harmonic_centrality,
+    harmonic_centrality_contracted,
+    sssp,
+    temporal_reachability,
+)
 from essentials_spark.algos.hits import hits  # noqa: F401
 from essentials_spark.algos.salsa import salsa  # noqa: F401
 from essentials_spark.algos.kcore import kcore  # noqa: F401

@@ -413,3 +413,99 @@ def temporal_reachability(
 
     runner.finalize()
     return arr.select("vid", F.col("arrival").alias("arrival_us"))
+
+
+def harmonic_centrality_contracted(
+    graph: Graph,
+    sources: list[int] | None = None,
+    n_sample: int = 8,
+    max_iter: int = 10_000,
+    runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+    contraction=None,
+) -> DataFrame:
+    """harmonic_centrality through degree-2 chain contraction — same
+    (vid, harm) output, O(contracted diameter) supersteps.
+
+    harm(v) = sum over sources s of 1/d(s, v): the per-seed terminal
+    distances come from ONE seeded relax over the contracted
+    super-graph, and interior distances are the closed-form
+    min(dist(end_a) + prefix_a, dist(end_b) + prefix_b) — so the whole
+    multi-source sweep costs contracted-diameter rounds plus one
+    rehydration join. Sources are forced terminal (``keep``)."""
+    from essentials_spark.graph.chain_contract import chain_contraction
+
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "harmonic_chain")
+    if sources is None:
+        sources = [
+            r["vid"]
+            for r in graph.vertices.select("vid").orderBy("vid").limit(n_sample).collect()
+        ]
+    seeds_df = spark.createDataFrame([(int(s),) for s in sources], "vid long")
+    if contraction is None:
+        contraction = chain_contraction(
+            graph.vertices, graph.edges.select("src", "dst"), keep=seeds_df
+        )
+    elif contraction.interior.join(seeds_df, "vid", "left_semi").count():
+        # a prebuilt artifact must have kept every source terminal —
+        # this function has no interior-seed path (unlike bfs/sssp)
+        raise ValueError("harmonic_centrality_contracted: a source is a contracted interior; rebuild the contraction with keep=sources")
+    sedges = prepare_static_edges(
+        contraction.super_edges.select("src", "dst", F.col("hops").cast("double").alias("w")),
+        runner, keys="src", mode=edges_mode, name_hint="harm_chain",
+    )
+
+    # seeded multi-source relax (same loop shape as contracted BC)
+    dist = truncate_plan(
+        seeds_df.select(F.col("vid").alias("seed"), "vid", F.lit(0.0).alias("dist"))
+    ).persist()
+    frontier = dist
+    it = 0
+    while it < max_iter:
+        cand = (
+            sedges.join(frontier.select("seed", F.col("vid").alias("src"), "dist"), "src")
+            .groupBy("seed", F.col("dst").alias("vid"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        merged = truncate_plan(
+            dist.join(cand, ["seed", "vid"], "full").select(
+                "seed", "vid",
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+            )
+        )
+        improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
+        n_imp = improved.count()
+        it += 1
+        runner.log(it, improved=n_imp)
+        prev = dist
+        dist = merged.select("seed", "vid", "dist").persist()
+        prev.unpersist()
+        frontier = improved.select("seed", "vid", "dist")
+        if n_imp == 0:
+            break
+
+    d_a = dist.select("seed", F.col("vid").alias("end_a"), F.col("dist").alias("dist_a"))
+    d_b = dist.select("seed", F.col("vid").alias("end_b"), F.col("dist").alias("dist_b"))
+    interior_dist = (
+        contraction.interior.crossJoin(seeds_df.select(F.col("vid").alias("seed")).distinct())
+        .join(d_a, ["seed", "end_a"], "left")
+        .join(d_b, ["seed", "end_b"], "left")
+        .select(
+            "seed", "vid",
+            F.least(
+                F.col("dist_a") + F.col("da_hops").cast("double"),
+                F.col("dist_b") + F.col("db_hops").cast("double"),
+            ).alias("dist"),
+        )
+        .filter(F.col("dist").isNotNull())
+    )
+    out = (
+        dist.unionByName(interior_dist)
+        .filter(F.col("dist") > 0)
+        .groupBy("vid")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harm"))
+    )
+    runner.finalize()
+    return out

@@ -280,3 +280,42 @@ def test_bc_contracted_fuzz_random(spark):
         assert set(chain) == set(plain), f"trial {trial}"
         for v in plain:
             assert abs(chain[v] - plain[v]) < 1e-6, f"trial {trial} vid {v}: {chain[v]} vs {plain[v]} srcs {srcs} pairs {sorted(pairs)}"
+
+
+def test_harmonic_contracted_matches_plain(spark):
+    from essentials_spark.algos import harmonic_centrality, harmonic_centrality_contracted
+
+    g = graph_from_edges(spark, PARALLEL, n_vertices=11)
+    for srcs in ([0, 9], [1, 5, 10], [4]):
+        plain = {
+            r["vid"]: round(r["harm"], 9)
+            for r in harmonic_centrality(g, sources=srcs).collect()
+        }
+        chain = {
+            r["vid"]: round(r["harm"], 9)
+            for r in harmonic_centrality_contracted(g, sources=srcs).collect()
+        }
+        assert chain == plain, f"sources {srcs}"
+
+
+def test_harmonic_contracted_fuzz(spark):
+    import numpy as np
+
+    from essentials_spark.algos import harmonic_centrality, harmonic_centrality_contracted
+
+    rng = np.random.RandomState(555)
+    for trial in range(2):
+        n = int(rng.randint(14, 30))
+        m = int(rng.randint(n - 2, 2 * n))
+        pairs = list({(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b})
+        g = graph_from_edges(spark, pairs, n_vertices=n)
+        srcs = sorted({int(s) for s in rng.randint(0, n, size=3)})
+        plain = {
+            r["vid"]: round(r["harm"], 9)
+            for r in harmonic_centrality(g, sources=srcs).collect()
+        }
+        chain = {
+            r["vid"]: round(r["harm"], 9)
+            for r in harmonic_centrality_contracted(g, sources=srcs).collect()
+        }
+        assert chain == plain, f"trial {trial} srcs {srcs}"
