@@ -435,6 +435,64 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir)).select("doc_id", "dup_count")
 
 
+# entries registered WITHOUT an oracle_sql twin — genuinely
+# non-SQL-expressible (iterative bin packing); the driver records the
+# weaker rows-only check and pytest pins their invariants instead
+ROWS_ONLY = frozenset({"pack_ffd_stats"})
+
+PACK_BUDGET = 256  # power of 2: floor((cum-tokens)/budget) is FP-exact
+CONTAM_N = 3  # word n-gram width; 3 keeps the synthetic gate populated
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing (text/packing.pack_sequences):
+    per-source running token sums bucketed into PACK_BUDGET-token
+    training sequences. Integer/string outputs — value-exact."""
+    from essentials_spark.text.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET).select(
+        "doc_id", "source", "tokens", "seq_id", "offset_in_seq"
+    )
+
+
+def q_pack_ffd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-respecting FFD packing (text/packing.
+    pack_sequences_ffd, applyInPandas per (source, shard)) rolled up
+    by packing_stats. FFD is iterative — not SQL-replayable — so this
+    entry is rows-only; tests/test_text_pipeline.py pins the
+    invariants (disjoint cover, capacity, determinism)."""
+    from essentials_spark.text.packing import pack_sequences_ffd, packing_stats
+
+    packed = pack_sequences_ffd(_docs(spark, sf_dir), budget=PACK_BUDGET, n_shards=2)
+    return packing_stats(packed, budget=PACK_BUDGET).select(
+        "source", "n_docs", "n_seqs", "total_tokens", "max_seq_tokens", "fill_ppm"
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen (text/contamination.
+    ngram_contamination): docs sharing >= 1 word CONTAM_N-gram with
+    the deterministic benchmark slice (doc_id % 20 == 0). Integer
+    hit counts; the benchmark side broadcasts."""
+    from essentials_spark.text.contamination import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(train, bench, n=CONTAM_N).select("doc_id", "hit_ngrams")
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition profile (text/analysis.repetition_stats):
+    duplicated word-trigram counts + max single-token frequency, all
+    integers, one codegen pass (sort+fold, no explode shuffle)."""
+    from essentials_spark.text.analysis import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=3).select(
+        "doc_id", "total_ngrams", "distinct_ngrams", "dup_ngrams", "top_tok_cnt"
+    )
+
+
 # deterministic per-edge weight both engines can compute:
 # 1 + (ascii of first md5 hex char of "src>dst") % 8
 def _md5_weight(src_col, dst_col):
@@ -1429,6 +1487,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        costly row to lose to a budget cut."""
     return {
         # --- group 1: fewest prior gate rows, cheap first ---
+        # round-5b text-pipeline additions (never gated yet)
+        "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition,
+        "ngram_contamination": q_contamination,
+        "pack_ffd_stats": q_pack_ffd_stats,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
         "tool_transitions": q_tool_transitions,
@@ -2838,6 +2901,61 @@ WITH fp AS (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f FROM documents
 )
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
+"""
+
+    # round-5b text-pipeline family. pack_sequences: identical window
+    # arithmetic; PACK_BUDGET is a power of 2 so the floor-division is
+    # FP-exact on both engines. pack_ffd_stats: FFD is iterative, no
+    # SQL twin — rows-only (invariants pinned in pytest instead).
+    sql["pack_sequences"] = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source, tokens,
+         sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT doc_id, source, tokens,
+       source || ':' || CAST(CAST(floor((cum - tokens) / {PACK_BUDGET}.0) AS BIGINT) AS VARCHAR) AS seq_id,
+       CAST((cum - tokens) - CAST(floor((cum - tokens) / {PACK_BUDGET}.0) AS BIGINT) * {PACK_BUDGET} AS BIGINT) AS offset_in_seq
+FROM w
+"""
+    sql["ngram_contamination"] = f"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(0, greatest(len(t)-{CONTAM_N}, 0)+1),
+      i -> array_to_string(list_slice(t, i+1, i+{CONTAM_N}), ' ')
+    )) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents)
+),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 != 0)
+SELECT doc_id, count(*) AS hit_ngrams FROM tg JOIN bg USING (gram) GROUP BY doc_id
+"""
+    sql["repetition_stats"] = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(arr)-3, 0)+1),
+                        i -> array_to_string(list_slice(arr, i+1, i+3), ' ')) AS grams
+  FROM t
+),
+tokc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(arr) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+top AS (SELECT doc_id, max(c) AS top_tok_cnt FROM tokc GROUP BY doc_id)
+SELECT g.doc_id,
+       CAST(len(g.grams) AS BIGINT) AS total_ngrams,
+       CAST(len(list_distinct(g.grams)) AS BIGINT) AS distinct_ngrams,
+       CAST(len(g.grams) - len(list_distinct(g.grams)) AS BIGINT) AS dup_ngrams,
+       CAST(top.top_tok_cnt AS BIGINT) AS top_tok_cnt
+FROM g JOIN top USING (doc_id)
 """
 
     sql["random_walks"] = _walks_sql()

@@ -86,6 +86,52 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", normalize: bool = T
     return docs.withColumn("fingerprint", F.md5(t))
 
 
+def repetition_stats(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition profile — the boilerplate/spam
+    signal of pretraining quality filters (duplicated-n-gram fraction,
+    public data-curation literature).
+
+    Returns per doc: total word n-grams, distinct word n-grams, their
+    difference (``dup_ngrams``), and the count of the most frequent
+    single token (``top_tok_cnt``). All integers — value-exact vs the
+    SQL oracle; the consumer derives the ratio. One narrow pass, no
+    shuffle, no explode (array expressions inside codegen).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # most-frequent-token count without exploding: sort the token
+    # array, then a single fold tracks the longest equal run —
+    # O(L log L) per doc inside codegen, vs the explode+groupBy
+    # shuffle a naive plan would pay
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("total_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("distinct_ngrams"),
+        (F.size(grams) - F.size(F.array_distinct(grams))).cast("long").alias("dup_ngrams"),
+        top_cnt.cast("long").alias("top_tok_cnt"),
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the min-id document per fingerprint.
 

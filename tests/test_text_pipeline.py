@@ -1,0 +1,125 @@
+"""Round-5b training-pipeline text ops: packing, contamination, repetition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pdocs(spark):
+    rows = [
+        # (doc_id, text, source) — token counts 3, 4, 2, 5, 1
+        (0, "a b c", "s0"),
+        (1, "d e f g", "s0"),
+        (2, "h i", "s0"),
+        (3, "j k l m n", "s0"),
+        (4, "o", "s1"),
+        # oversized doc (9 tokens > budget 8 below)
+        (5, "p q r s t u v w x", "s1"),
+        (6, "y z", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_pack_sequences_window(spark, pdocs):
+    from essentials_spark.text.packing import pack_sequences
+
+    out = {r["doc_id"]: r.asDict() for r in pack_sequences(pdocs, budget=8).collect()}
+    # s0 cumsums: doc0 before=0, doc1 before=3, doc2 before=7, doc3 before=9
+    assert out[0]["seq_id"] == "s0:0" and out[0]["offset_in_seq"] == 0
+    assert out[1]["seq_id"] == "s0:0" and out[1]["offset_in_seq"] == 3
+    assert out[2]["seq_id"] == "s0:0" and out[2]["offset_in_seq"] == 7
+    assert out[3]["seq_id"] == "s0:1" and out[3]["offset_in_seq"] == 1
+    # s1: doc4 before=0; doc5 before=1 -> seq 0; doc6 before=10 -> seq 1
+    assert out[4]["seq_id"] == "s1:0"
+    assert out[5]["seq_id"] == "s1:0" and out[5]["tokens"] == 9
+    assert out[6]["seq_id"] == "s1:1" and out[6]["offset_in_seq"] == 2
+
+
+def test_pack_ffd_invariants(spark, pdocs):
+    from essentials_spark.text.packing import pack_sequences_ffd
+
+    budget = 8
+    out = pack_sequences_ffd(pdocs, budget=budget).collect()
+    # disjoint cover: every doc packed exactly once
+    assert sorted(r["doc_id"] for r in out) == list(range(7))
+    # capacity: no sequence exceeds budget unless it is a single
+    # oversized doc
+    per_seq = {}
+    for r in out:
+        per_seq.setdefault(r["seq_id"], []).append(r["tokens"])
+    for toks in per_seq.values():
+        assert sum(toks) <= budget or (len(toks) == 1 and toks[0] > budget)
+    # FFD on s0 (tokens 5,4,3,2 desc): bins [5+3],[4+2] -> 2 bins
+    s0_bins = {r["seq_id"] for r in out if r["source"] == "s0"}
+    assert len(s0_bins) == 2
+    # determinism
+    out2 = pack_sequences_ffd(pdocs, budget=budget).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
+
+
+def test_pack_ffd_sharding_bounds_group(spark, pdocs):
+    from essentials_spark.text.packing import pack_sequences_ffd
+
+    out = pack_sequences_ffd(pdocs, budget=8, n_shards=4).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(7))
+    # seq ids carry the shard: source:shard:bin
+    assert all(len(r["seq_id"].split(":")) == 3 for r in out)
+
+
+def test_packing_stats(spark, pdocs):
+    from essentials_spark.text.packing import pack_sequences_ffd, packing_stats
+
+    packed = pack_sequences_ffd(pdocs, budget=8)
+    st = {r["source"]: r.asDict() for r in packing_stats(packed, budget=8).collect()}
+    assert st["s0"]["n_docs"] == 4 and st["s0"]["total_tokens"] == 14
+    assert st["s0"]["n_seqs"] == 2 and st["s0"]["max_seq_tokens"] == 8
+    # fill = 14 / 16 -> 875000 ppm
+    assert st["s0"]["fill_ppm"] == 875000
+
+
+def test_ngram_contamination(spark):
+    from essentials_spark.text.contamination import decontaminate, ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "x alpha beta gamma y"),  # shares 'alpha beta gamma'
+            (1, "alpha beta x gamma delta"),  # shares no 3-gram
+            (2, "clean document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["hit_ngrams"] for r in ngram_contamination(train, bench, n=3).collect()}
+    assert hits == {0: 1}
+    survivors = sorted(r["doc_id"] for r in decontaminate(train, bench, n=3).collect())
+    assert survivors == [1, 2]
+
+
+def test_repetition_stats(spark):
+    from essentials_spark.text.analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),  # 3-grams: aba, bab, aba, bab -> 4 total, 2 distinct
+            (1, "u v w x"),  # 2 total, 2 distinct
+            (2, "z"),  # short: 1 gram ('z'), 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs, n=3).collect()}
+    assert out[0]["total_ngrams"] == 4 and out[0]["distinct_ngrams"] == 2
+    assert out[0]["dup_ngrams"] == 2 and out[0]["top_tok_cnt"] == 3
+    assert out[1]["dup_ngrams"] == 0 and out[1]["top_tok_cnt"] == 1
+    assert out[2]["total_ngrams"] == 1 and out[2]["top_tok_cnt"] == 1
+
+
+def test_repetition_stats_plan_is_narrow(spark):
+    """The repetition profile must stay a single narrow projection —
+    no shuffle, no explode-regroup."""
+    from essentials_spark.text.analysis import repetition_stats
+
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    plan = repetition_stats(docs, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
