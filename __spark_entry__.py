@@ -1424,6 +1424,36 @@ def q_harmonic_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 4-source closeness profile (algos/traversal.
+    closeness_centrality): integer sufficient statistics (n_src,
+    sum_dist) per reached vertex — FP-free gate, same seeded-BFS
+    machinery as harmonic_4src."""
+    from essentials_spark.algos import closeness_centrality
+    from essentials_spark.graph.derive import Graph
+
+    kg = _keyed_graph(spark, sf_dir)
+    sym = _sym_vid_edges(kg)
+    g = Graph(vertices=kg.graph.vertices, edges=sym.withColumn("weight", F.lit(1.0)))
+    out = closeness_centrality(g, n_sample=HARM_SOURCES, edges_mode="shuffle")
+    return out.join(kg.vkeys, "vid").select("skey", "n_src", "sum_dist")
+
+
+def q_closeness_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same closeness statistics through degree-2 chain contraction
+    (closeness_centrality_contracted): contracted-diameter relax +
+    closed-form interior rehydration; shares q_closeness's oracle —
+    rehydrated == plain is the gated claim."""
+    from essentials_spark.algos import closeness_centrality_contracted
+    from essentials_spark.graph.derive import Graph
+
+    kg = _keyed_graph(spark, sf_dir)
+    sym = _sym_vid_edges(kg)
+    g = Graph(vertices=kg.graph.vertices, edges=sym.withColumn("weight", F.lit(1.0)))
+    out = closeness_centrality_contracted(g, n_sample=HARM_SOURCES, edges_mode="shuffle")
+    return out.join(kg.vkeys, "vid").select("skey", "n_src", "sum_dist")
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA authority/hub scores (algos/salsa.py — degree-normalized
     HITS with L1 per-round normalization), HITS_ROUNDS iterations,
@@ -1492,6 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition,
         "ngram_contamination": q_contamination,
         "pack_ffd_stats": q_pack_ffd_stats,
+        "closeness_4src": q_closeness,
+        "closeness_4src_chain": q_closeness_chain,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
         "tool_transitions": q_tool_transitions,
@@ -1891,9 +1923,11 @@ def _diameter_sql() -> str:
     )
 
 
-def _harmonic_sql() -> str:
-    """Multi-source BFS unrolled (the _bfs_sql shape with a seed
-    dimension), then harm(v) = sum(1/dist) per vertex."""
+def _seeded_bfs_body() -> str:
+    """Unrolled multi-source BFS CTE chain (the _bfs_sql shape with a
+    seed dimension); final table hh{BFS_ROUNDS} holds (seed, vkey,
+    dist) for reached pairs — shared by the harmonic and closeness
+    oracles."""
     parts = [
         _PRELUDE,
         f"seeds AS (SELECT vkey AS seed FROM verts ORDER BY vkey LIMIT {HARM_SOURCES})",
@@ -1912,11 +1946,26 @@ def _harmonic_sql() -> str:
             f"   WHERE p.dist IS NOT NULL GROUP BY p.seed, e.dst) nm"
             f" ON nm.seed = l.seed AND nm.dst = l.vkey)"
         )
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _harmonic_sql() -> str:
+    """Seeded BFS body, then harm(v) = sum(1/dist) per vertex."""
     return (
-        f"WITH {body}\nSELECT vkey AS skey,"
+        f"WITH {_seeded_bfs_body()}\nSELECT vkey AS skey,"
         f" CAST(round(sum(CAST(1.0 AS DOUBLE) / dist) * 1e6) AS BIGINT) AS harm_ppm"
         f" FROM hh{BFS_ROUNDS} WHERE dist IS NOT NULL AND dist > 0 GROUP BY vkey"
+    )
+
+
+def _closeness_sql() -> str:
+    """Seeded BFS body, aggregated to the integer closeness
+    statistics (self at dist 0 included)."""
+    return (
+        f"WITH {_seeded_bfs_body()}\nSELECT vkey AS skey,"
+        f" CAST(count(*) AS BIGINT) AS n_src,"
+        f" CAST(sum(dist) AS BIGINT) AS sum_dist"
+        f" FROM hh{BFS_ROUNDS} WHERE dist IS NOT NULL GROUP BY vkey"
     )
 
 
@@ -2972,6 +3021,9 @@ FROM g JOIN top USING (doc_id)
     sql["harmonic_4src"] = _harmonic_sql()
     # chain-contracted path, same unrolled multi-source BFS oracle
     sql["harmonic_4src_chain"] = sql["harmonic_4src"]
+    sql["closeness_4src"] = _closeness_sql()
+    # chain-contracted path, same oracle (rehydrated == plain)
+    sql["closeness_4src_chain"] = sql["closeness_4src"]
     sql["diameter_2sweep"] = _diameter_sql()
     sql["temporal_reach"] = _temporal_sql()
     sql["bm25"] = f"""

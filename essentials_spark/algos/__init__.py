@@ -21,6 +21,8 @@ from essentials_spark.algos.lp import label_propagation  # noqa: F401
 from essentials_spark.algos.tc import incremental_tc_update, triangle_count  # noqa: F401
 from essentials_spark.algos.traversal import (  # noqa: F401
     bfs,
+    closeness_centrality,
+    closeness_centrality_contracted,
     harmonic_centrality,
     harmonic_centrality_contracted,
     sssp,

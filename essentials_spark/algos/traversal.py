@@ -283,38 +283,36 @@ def sssp(
     return dist
 
 
-def harmonic_centrality(
+def _default_sources(graph: Graph, n_sample: int) -> list[int]:
+    return [
+        r["vid"]
+        for r in graph.vertices.select("vid").orderBy("vid").limit(n_sample).collect()
+    ]
+
+
+def _seeded_hop_distances(
     graph: Graph,
-    sources: list[int] | None = None,
-    n_sample: int = 8,
-    max_iter: int = 10_000,
-    runner: SuperstepRunner | None = None,
-    edges_mode: str = "bucketed",
+    sources: list[int],
+    runner: SuperstepRunner,
+    edges_mode: str,
+    max_iter: int,
+    name_hint: str = "seeded",
 ) -> DataFrame:
-    """Bounded multi-source harmonic centrality:
-    harm(v) = Σ_s 1/d(s, v) over the source set (d > 0, reachable).
+    """Multi-source BFS with the seed dimension folded into the state
+    (ops/batch.py vectorized batching; reference bc.hxx:253-271): ONE
+    frontier loop serves all sources; per superstep the frontier⋈edges
+    advance + per-seed visited anti-join shuffle only frontier-scale
+    rows against the bucketed static table.
 
-    The standard scale approximation (exact all-pairs is O(n·m)):
-    a deterministic bounded source sample, the same convention as
-    betweenness_centrality's ``n_sample``. The source/batch dimension
-    is folded into the state as a ``seed`` column (ops/batch.py
-    vectorized batching; reference bc.hxx:253-271) so ONE frontier
-    loop serves all sources; per superstep the frontier⋈edges advance
-    + per-seed visited anti-join shuffle only frontier-scale rows
-    against the bucketed static table.
-
-    Returns (vid: long, harm: double), vertices reached by >= 1 source.
+    Returns the persisted (seed, vid, dist int) table of reached
+    pairs (includes dist=0 self rows). Caller aggregates and owns
+    ``runner.finalize()``.
     """
     spark = graph.edges.sparkSession
-    runner = runner or SuperstepRunner(spark, "harmonic")
     edges = prepare_static_edges(
-        graph.edges.select("src", "dst"), runner, keys="src", mode=edges_mode, name_hint="harm"
+        graph.edges.select("src", "dst"), runner, keys="src", mode=edges_mode,
+        name_hint=name_hint,
     )
-    if sources is None:
-        sources = [
-            r["vid"]
-            for r in graph.vertices.select("vid").orderBy("vid").limit(n_sample).collect()
-        ]
     dist = truncate_plan(
         spark.createDataFrame([(int(s), int(s), 0) for s in sources], "seed long, vid long, dist int")
     ).persist()
@@ -338,11 +336,69 @@ def harmonic_centrality(
         dist = truncate_plan(dist.unionByName(new)).persist()
         prev.unpersist()
         frontier = new.select("seed", "vid")
+    return dist
 
+
+def harmonic_centrality(
+    graph: Graph,
+    sources: list[int] | None = None,
+    n_sample: int = 8,
+    max_iter: int = 10_000,
+    runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+) -> DataFrame:
+    """Bounded multi-source harmonic centrality:
+    harm(v) = Σ_s 1/d(s, v) over the source set (d > 0, reachable).
+
+    The standard scale approximation (exact all-pairs is O(n·m)):
+    a deterministic bounded source sample, the same convention as
+    betweenness_centrality's ``n_sample``; the seeded BFS machinery
+    is _seeded_hop_distances.
+
+    Returns (vid: long, harm: double), vertices reached by >= 1 source.
+    """
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "harmonic")
+    if sources is None:
+        sources = _default_sources(graph, n_sample)
+    dist = _seeded_hop_distances(graph, sources, runner, edges_mode, max_iter, name_hint="harm")
     out = (
         dist.filter(F.col("dist") > 0)
         .groupBy("vid")
         .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harm"))
+    )
+    runner.finalize()
+    return out
+
+
+def closeness_centrality(
+    graph: Graph,
+    sources: list[int] | None = None,
+    n_sample: int = 8,
+    max_iter: int = 10_000,
+    runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+) -> DataFrame:
+    """Bounded multi-source closeness profile: for each vertex v,
+    n_src = |{s : d(s,v) finite}| and sum_dist = Σ_s d(s,v) over the
+    reachable source set (self included at d=0). The classic
+    closeness c(v) = (n_src - 1) / sum_dist is a consumer-side
+    division; the operator emits the INTEGER sufficient statistics so
+    the gate is FP-free (unlike harmonic's 1/d sum).
+
+    Same bounded-source convention and seeded-BFS machinery as
+    harmonic_centrality (one frontier loop serves all sources).
+
+    Returns (vid: long, n_src: long, sum_dist: long).
+    """
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "closeness")
+    if sources is None:
+        sources = _default_sources(graph, n_sample)
+    dist = _seeded_hop_distances(graph, sources, runner, edges_mode, max_iter, name_hint="close")
+    out = dist.groupBy("vid").agg(
+        F.count("*").cast("long").alias("n_src"),
+        F.sum("dist").cast("long").alias("sum_dist"),
     )
     runner.finalize()
     return out
@@ -415,33 +471,24 @@ def temporal_reachability(
     return arr.select("vid", F.col("arrival").alias("arrival_us"))
 
 
-def harmonic_centrality_contracted(
+def _seeded_chain_distances(
     graph: Graph,
-    sources: list[int] | None = None,
-    n_sample: int = 8,
-    max_iter: int = 10_000,
-    runner: SuperstepRunner | None = None,
-    edges_mode: str = "bucketed",
-    contraction=None,
+    sources: list[int],
+    runner: SuperstepRunner,
+    edges_mode: str,
+    max_iter: int,
+    contraction,
+    caller: str,
 ) -> DataFrame:
-    """harmonic_centrality through degree-2 chain contraction — same
-    (vid, harm) output, O(contracted diameter) supersteps.
-
-    harm(v) = sum over sources s of 1/d(s, v): the per-seed terminal
-    distances come from ONE seeded relax over the contracted
-    super-graph, and interior distances are the closed-form
-    min(dist(end_a) + prefix_a, dist(end_b) + prefix_b) — so the whole
-    multi-source sweep costs contracted-diameter rounds plus one
-    rehydration join. Sources are forced terminal (``keep``)."""
+    """Per-(seed, vid) hop distances through degree-2 chain
+    contraction: one seeded relax over the contracted super-graph,
+    then closed-form interior rehydration
+    min(dist(end_a) + prefix_a, dist(end_b) + prefix_b). Distances
+    are integer-valued doubles (exact below 2^53). Sources must be
+    terminal (``keep``); returns the union table of reached pairs."""
     from essentials_spark.graph.chain_contract import chain_contraction
 
     spark = graph.edges.sparkSession
-    runner = runner or SuperstepRunner(spark, "harmonic_chain")
-    if sources is None:
-        sources = [
-            r["vid"]
-            for r in graph.vertices.select("vid").orderBy("vid").limit(n_sample).collect()
-        ]
     seeds_df = spark.createDataFrame([(int(s),) for s in sources], "vid long")
     if contraction is None:
         contraction = chain_contraction(
@@ -449,8 +496,8 @@ def harmonic_centrality_contracted(
         )
     elif contraction.interior.join(seeds_df, "vid", "left_semi").count():
         # a prebuilt artifact must have kept every source terminal —
-        # this function has no interior-seed path (unlike bfs/sssp)
-        raise ValueError("harmonic_centrality_contracted: a source is a contracted interior; rebuild the contraction with keep=sources")
+        # this path has no interior-seed handling (unlike bfs/sssp)
+        raise ValueError(f"{caller}: a source is a contracted interior; rebuild the contraction with keep=sources")
     sedges = prepare_static_edges(
         contraction.super_edges.select("src", "dst", F.col("hops").cast("double").alias("w")),
         runner, keys="src", mode=edges_mode, name_hint="harm_chain",
@@ -501,11 +548,62 @@ def harmonic_centrality_contracted(
         )
         .filter(F.col("dist").isNotNull())
     )
+    return dist.unionByName(interior_dist)
+
+
+def harmonic_centrality_contracted(
+    graph: Graph,
+    sources: list[int] | None = None,
+    n_sample: int = 8,
+    max_iter: int = 10_000,
+    runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+    contraction=None,
+) -> DataFrame:
+    """harmonic_centrality through degree-2 chain contraction — same
+    (vid, harm) output, O(contracted diameter) supersteps
+    (_seeded_chain_distances machinery; sources forced terminal)."""
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "harmonic_chain")
+    if sources is None:
+        sources = _default_sources(graph, n_sample)
+    dist = _seeded_chain_distances(
+        graph, sources, runner, edges_mode, max_iter, contraction,
+        caller="harmonic_centrality_contracted",
+    )
     out = (
-        dist.unionByName(interior_dist)
-        .filter(F.col("dist") > 0)
+        dist.filter(F.col("dist") > 0)
         .groupBy("vid")
         .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harm"))
+    )
+    runner.finalize()
+    return out
+
+
+def closeness_centrality_contracted(
+    graph: Graph,
+    sources: list[int] | None = None,
+    n_sample: int = 8,
+    max_iter: int = 10_000,
+    runner: SuperstepRunner | None = None,
+    edges_mode: str = "bucketed",
+    contraction=None,
+) -> DataFrame:
+    """closeness_centrality through degree-2 chain contraction — same
+    (vid, n_src, sum_dist) integer output. Distances through the
+    contracted relax are integer-valued doubles (hops), so their sum
+    is exact and the final cast to long is lossless."""
+    spark = graph.edges.sparkSession
+    runner = runner or SuperstepRunner(spark, "closeness_chain")
+    if sources is None:
+        sources = _default_sources(graph, n_sample)
+    dist = _seeded_chain_distances(
+        graph, sources, runner, edges_mode, max_iter, contraction,
+        caller="closeness_centrality_contracted",
+    )
+    out = dist.groupBy("vid").agg(
+        F.count("*").cast("long").alias("n_src"),
+        F.sum("dist").cast("long").alias("sum_dist"),
     )
     runner.finalize()
     return out

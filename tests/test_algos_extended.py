@@ -670,3 +670,18 @@ def test_temporal_reachability_semantics(spark):
     )
     got = {r.vid: r.arrival_us for r in temporal_reachability(edges, 0, 0).collect()}
     assert got == {0: 0, 1: 10, 3: 20, 4: 30}
+
+
+def test_closeness_centrality_hand_computed(spark):
+    """Path 0-1-2-3 + isolated 4, sources {0, 1}: integer statistics
+    (n_src reached incl. self at d=0, sum of hop distances)."""
+    from essentials_spark.algos import closeness_centrality
+
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (2, 3)], n_vertices=5)
+    got = {r.vid: (r.n_src, r.sum_dist) for r in closeness_centrality(g, sources=[0, 1]).collect()}
+    assert got == {
+        0: (2, 1),  # d(0,0)=0, d(1,0)=1
+        1: (2, 1),
+        2: (2, 3),  # 2 + 1
+        3: (2, 5),  # 3 + 2
+    }

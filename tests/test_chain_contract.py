@@ -319,3 +319,19 @@ def test_harmonic_contracted_fuzz(spark):
             for r in harmonic_centrality_contracted(g, sources=srcs).collect()
         }
         assert chain == plain, f"trial {trial} srcs {srcs}"
+
+
+def test_closeness_contracted_matches_plain(spark):
+    from essentials_spark.algos import closeness_centrality, closeness_centrality_contracted
+
+    g = graph_from_edges(spark, PARALLEL, n_vertices=11)
+    for srcs in ([0, 9], [1, 5, 10]):
+        plain = {
+            (r["vid"], r["n_src"], r["sum_dist"])
+            for r in closeness_centrality(g, sources=srcs).collect()
+        }
+        chain = {
+            (r["vid"], r["n_src"], r["sum_dist"])
+            for r in closeness_centrality_contracted(g, sources=srcs).collect()
+        }
+        assert chain == plain, f"sources {srcs}"
