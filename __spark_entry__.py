@@ -1424,6 +1424,31 @@ def q_harmonic_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EIG_ROUNDS = 10  # fixed power iterations; oracle unrolls the same count
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (algos/eigen.py): EIG_ROUNDS power
+    iterations with L1 normalization over the symmetrized graph;
+    tol=0.0 pins the iterate count to the unrolled oracle.
+
+    ppm determinism margin (the PR_CONV_TOL-style analysis): at
+    sf0.01 the minimum distance of any score*1e6 to a rounding
+    boundary is 6.3e-6 (measured) == 6.3e-12 in score units, ~100x
+    the sum-order FP noise of the n-term aggregates — round() is
+    deterministic on both engines."""
+    from essentials_spark.algos import eigenvector_centrality
+    from essentials_spark.graph.derive import Graph
+
+    kg = _keyed_graph(spark, sf_dir)
+    sym = _sym_vid_edges(kg)
+    g = Graph(vertices=kg.graph.vertices, edges=sym.withColumn("weight", F.lit(1.0)))
+    out = eigenvector_centrality(g, max_iter=EIG_ROUNDS, tol=0.0, edges_mode="shuffle")
+    return out.join(kg.vkeys, "vid").select(
+        "skey", F.round(F.col("score") * 1e6).cast("long").alias("score_ppm")
+    )
+
+
 def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded 4-source closeness profile (algos/traversal.
     closeness_centrality): integer sufficient statistics (n_src,
@@ -1524,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_ffd_stats": q_pack_ffd_stats,
         "closeness_4src": q_closeness,
         "closeness_4src_chain": q_closeness_chain,
+        "eigenvector_centrality": q_eigenvector,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
         "tool_transitions": q_tool_transitions,
@@ -1966,6 +1992,34 @@ def _closeness_sql() -> str:
         f" CAST(count(*) AS BIGINT) AS n_src,"
         f" CAST(sum(dist) AS BIGINT) AS sum_dist"
         f" FROM hh{BFS_ROUNDS} WHERE dist IS NOT NULL GROUP BY vkey"
+    )
+
+
+def _eigen_sql() -> str:
+    """Unrolled power-iteration twin of q_eigenvector: per round
+    raw(v) = sum of score over in-neighbors on the symmetrized table,
+    then L1 normalization — expression-for-expression the Spark
+    operator's arithmetic."""
+    parts = [
+        _PRELUDE,
+        "es0 AS (SELECT vkey, 1.0 AS score FROM verts)",
+    ]
+    for i in range(EIG_ROUNDS):
+        parts.append(
+            f"er{i} AS (SELECT v.vkey, coalesce(x.raw, 0.0) AS raw FROM es{i} v LEFT JOIN ("
+            f"  SELECT e.dst, sum(s.score) AS raw FROM sym e"
+            f"  JOIN es{i} s ON s.vkey = e.src GROUP BY e.dst) x ON x.dst = v.vkey)"
+        )
+        parts.append(f"en{i} AS (SELECT sum(raw) AS l1 FROM er{i})")
+        parts.append(
+            f"es{i + 1} AS (SELECT v.vkey,"
+            f" CASE WHEN n.l1 > 0 THEN v.raw / n.l1 ELSE 0.0 END AS score"
+            f" FROM er{i} v CROSS JOIN en{i} n)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT vkey AS skey,"
+        f" CAST(round(score * 1e6) AS BIGINT) AS score_ppm FROM es{EIG_ROUNDS}"
     )
 
 
@@ -3024,6 +3078,7 @@ FROM g JOIN top USING (doc_id)
     sql["closeness_4src"] = _closeness_sql()
     # chain-contracted path, same oracle (rehydrated == plain)
     sql["closeness_4src_chain"] = sql["closeness_4src"]
+    sql["eigenvector_centrality"] = _eigen_sql()
     sql["diameter_2sweep"] = _diameter_sql()
     sql["temporal_reach"] = _temporal_sql()
     sql["bm25"] = f"""

@@ -685,3 +685,41 @@ def test_closeness_centrality_hand_computed(spark):
         2: (2, 3),  # 2 + 1
         3: (2, 5),  # 3 + 2
     }
+
+
+def test_eigenvector_centrality_vs_numpy(spark):
+    """Power iteration matches the same iterate computed densely in
+    NumPy (identical recurrence, not just the limit)."""
+    import numpy as np
+
+    from essentials_spark.algos import eigenvector_centrality
+
+    rng = np.random.RandomState(99)
+    n = 30
+    pairs = list({(int(a), int(b)) for a, b in rng.randint(0, n, size=(60, 2)) if a != b})
+    g = graph_from_edges(spark, pairs, n_vertices=n)
+    got = {r["vid"]: r["score"] for r in eigenvector_centrality(g, max_iter=8).collect()}
+
+    A = np.zeros((n, n))
+    for u, v in pairs:
+        A[u, v] = 1.0
+        A[v, u] = 1.0
+    x = np.ones(n)
+    for _ in range(8):
+        x = A @ x
+        s = x.sum()
+        x = x / s if s > 0 else x * 0.0
+    for v in range(n):
+        assert abs(got[v] - x[v]) < 1e-9, (v, got[v], x[v])
+
+
+def test_eigenvector_centrality_tol_early_exit(spark):
+    """tol > 0 stops at the fixpoint: a triangle (non-bipartite —
+    power iteration oscillates on bipartite graphs like stars) hits
+    the uniform stationary vector after one round."""
+    from essentials_spark.algos import eigenvector_centrality
+
+    g = graph_from_edges(spark, [(0, 1), (1, 2), (0, 2)])
+    got = {r["vid"]: r["score"] for r in eigenvector_centrality(g, max_iter=50, tol=1e-12).collect()}
+    for v in range(3):
+        assert abs(got[v] - 1 / 3) < 1e-12
