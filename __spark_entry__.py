@@ -1425,6 +1425,27 @@ def q_harmonic_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EIG_ROUNDS = 10  # fixed power iterations; oracle unrolls the same count
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means cluster assignment over the embeddings table
+    (ann/kmeans.py): deterministic seeding (k smallest vec_ids),
+    KMEANS_ITERS updates with centroids rounded to the 1e-6 grid, ties
+    to the smaller cid. The oracle unrolls the identical trajectory.
+
+    FP determinism margins at sf0.01 (measured, the PR_CONV_TOL-style
+    analysis): min best-vs-2nd-best assignment gap 6.1e-6 d2-units
+    (~10^7 x sum-order noise of the 64-term distance folds); min
+    distance of any centroid mean*1e6 to a rounding boundary 1.3e-4
+    (~10^5 x the mean-aggregate noise) — both engines replay the
+    identical trajectory.
+    """
+    from essentials_spark.ann.kmeans import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, k=KMEANS_K, iters=KMEANS_ITERS).select("vec_id", "cluster")
 
 
 def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_4src": q_closeness,
         "closeness_4src_chain": q_closeness_chain,
         "eigenvector_centrality": q_eigenvector,
+        "kmeans_embeddings": q_kmeans,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
         "tool_transitions": q_tool_transitions,
@@ -1992,6 +2014,47 @@ def _closeness_sql() -> str:
         f" CAST(count(*) AS BIGINT) AS n_src,"
         f" CAST(sum(dist) AS BIGINT) AS sum_dist"
         f" FROM hh{BFS_ROUNDS} WHERE dist IS NOT NULL GROUP BY vkey"
+    )
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd trajectory twin of q_kmeans. Positional unnest
+    zipping computes the squared-L2 distances; assignment is
+    row_number over (d2, cid) — the Spark (d2, cid) struct-min
+    comparator; means are rounded to the 1e-6 grid each update, and
+    empty clusters carry the previous centroid."""
+    parts = [
+        f"kc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        f" list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
+        f" FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})",
+    ]
+
+    def dist_assign(i: int, src: str) -> list[str]:
+        return [
+            f"kd{i} AS (SELECT vec_id, cid, sum((ev - cv) * (ev - cv)) AS d2 FROM ("
+            f"  SELECT e.vec_id, c.cid, CAST(unnest(e.embedding) AS DOUBLE) AS ev,"
+            f"         unnest(c.c) AS cv"
+            f"  FROM embeddings e CROSS JOIN {src} c) GROUP BY vec_id, cid)",
+            f"ka{i} AS (SELECT vec_id, cid FROM ("
+            f"  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn"
+            f"  FROM kd{i}) WHERE rn = 1)",
+        ]
+
+    for i in range(KMEANS_ITERS):
+        parts += dist_assign(i, f"kc{i}")
+        parts += [
+            f"km{i} AS (SELECT cid, pos, round(avg(val), 6) AS mv FROM ("
+            f"  SELECT a.cid, generate_subscripts(e.embedding, 1) AS pos,"
+            f"         CAST(unnest(e.embedding) AS DOUBLE) AS val"
+            f"  FROM ka{i} a JOIN embeddings e USING (vec_id)) GROUP BY cid, pos)",
+            f"kc{i + 1} AS (SELECT p.cid, coalesce(n.c, p.c) AS c FROM kc{i} p LEFT JOIN ("
+            f"  SELECT cid, list(mv ORDER BY pos) AS c FROM km{i} GROUP BY cid) n USING (cid))",
+        ]
+    parts += dist_assign(KMEANS_ITERS, f"kc{KMEANS_ITERS}")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT vec_id, CAST(cid AS INTEGER) AS cluster"
+        f" FROM ka{KMEANS_ITERS}"
     )
 
 
@@ -3079,6 +3142,7 @@ FROM g JOIN top USING (doc_id)
     # chain-contracted path, same oracle (rehydrated == plain)
     sql["closeness_4src_chain"] = sql["closeness_4src"]
     sql["eigenvector_centrality"] = _eigen_sql()
+    sql["kmeans_embeddings"] = _kmeans_sql()
     sql["diameter_2sweep"] = _diameter_sql()
     sql["temporal_reach"] = _temporal_sql()
     sql["bm25"] = f"""

@@ -621,3 +621,44 @@ def test_bm25_hand_computed(spark):
     assert set(got) == set(exp)
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-12
+
+
+def test_kmeans_separated_clusters(spark):
+    """Three well-separated blobs: k-means with k=3 recovers them
+    exactly regardless of seeding, and kmeans_cost's WCSS is tiny
+    within blobs."""
+    import numpy as np
+
+    from essentials_spark.ann.kmeans import kmeans, kmeans_cost
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[10.0, 0.0], [0.0, 10.0], [-10.0, -10.0]])
+    rows = []
+    for i in range(60):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.1, 2)
+        rows.append((i, [float(v[0]), float(v[1])]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans(emb, k=3, iters=4)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    # same blob -> same cluster, different blobs -> different clusters
+    for i in range(60):
+        assert got[i] == got[i % 3], (i, got[i], got[i % 3])
+    assert len({got[0], got[1], got[2]}) == 3
+    cost = kmeans_cost(emb, out).collect()
+    assert len(cost) == 3
+    for r in cost:
+        assert r["n"] == 20 and r["wcss"] < 2.0
+
+
+def test_kmeans_deterministic(spark):
+    import numpy as np
+
+    from essentials_spark.ann.kmeans import kmeans
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, kmeans(emb, k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans(emb, k=4, iters=2).collect()))
+    assert a == b
