@@ -1326,6 +1326,62 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the CONVERSATION partition over the
+    symmetrized transcript graph (algos/graphstats.py): community of a
+    turn vertex = its conversation, tool vertices are singletons.
+    Integer-exact algebra — q_num = Σ_c (A_c·2m − D_c²) is a BIGINT
+    sum, order-independent; only q_ppm's one division is FP (identical
+    IEEE sequence in the oracle)."""
+    from essentials_spark.algos.graphstats import modularity
+
+    kg, sg = _sym_graph(spark, sf_dir)
+    labels = kg.vkeys.select(
+        "vid",
+        F.when(
+            F.col("skey").startswith("turn|"), F.substring_index("skey", ":", 1)
+        )
+        .otherwise(F.col("skey"))
+        .alias("label"),
+    )
+    return modularity(sg.edges, labels)
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson degree-degree correlation) of the
+    symmetrized transcript graph — the six Pearson sums are exact
+    BIGINTs, r is one final double expression (graphstats.py)."""
+    from essentials_spark.algos.graphstats import degree_assortativity
+
+    _kg, sg = _sym_graph(spark, sf_dir)
+    return degree_assortativity(sg.edges)
+
+
+# stratified-sampling gate rates (ppm): boost en, trim de, floor rest
+SAMPLE_RATES_PPM = {"en": 600_000, "de": 250_000}
+SAMPLE_DEFAULT_PPM = 100_000
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (ops/sample.py): keep a
+    document iff md5_int60('lang|doc_id') % 1e6 falls under its
+    language's ppm rate. No RNG, no per-partition state — the same
+    rows are selected at any parallelism, and the oracle replays the
+    selection bit-for-bit via the portable md5-int60 convention."""
+    from essentials_spark.ops.sample import sample_bucket, stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = stratified_sample(
+        docs,
+        SAMPLE_DEFAULT_PPM,
+        key_col="doc_id",
+        group_col="lang",
+        group_rates_ppm=SAMPLE_RATES_PPM,
+    )
+    key = F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string"))
+    return kept.select("doc_id", "lang", sample_bucket(key).alias("bucket"))
+
+
 HARM_SOURCES = 4  # bounded multi-source harmonic sample
 
 
@@ -1564,6 +1620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- group 1: fewest prior gate rows, cheap first ---
         # round-5b text-pipeline additions (never gated yet)
+        "stratified_sample": q_stratified_sample,
+        "modularity_conv": q_modularity,
+        "degree_assortativity": q_assortativity,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition,
         "ngram_contamination": q_contamination,
@@ -3177,6 +3236,52 @@ SELECT doc_id, CAST(round(sum(part) * 1e6) AS BIGINT) AS bm25_ppm FROM part GROU
         " CAST(CASE WHEN wg.w > 0 THEN round(ct.corner_total / wg.w * 1e6)"
         " ELSE 0 END AS BIGINT) AS transitivity_ppm"
         " FROM ct CROSS JOIN wg"
+    )
+    from essentials_spark.functions.portable_hash import sql_md5_int60 as _h60
+
+    _rate_case = "CASE lang " + " ".join(
+        f"WHEN '{g}' THEN {r}" for g, r in sorted(SAMPLE_RATES_PPM.items())
+    ) + f" ELSE {SAMPLE_DEFAULT_PPM} END"
+    _skey60 = _h60("lang || '|' || CAST(doc_id AS VARCHAR)")
+    sql["stratified_sample"] = (
+        f"SELECT doc_id, lang, ({_skey60} % 1000000) AS bucket FROM documents"
+        f" WHERE ({_skey60} % 1000000) < {_rate_case}"
+    )
+    sql["modularity_conv"] = (
+        f"WITH {_PRELUDE},"
+        " lab AS (SELECT vkey, CASE WHEN vkey LIKE 'turn|%'"
+        "   THEN split_part(vkey, ':', 1) ELSE vkey END AS lb FROM verts),"
+        " tm AS (SELECT count(*) AS two_m FROM sym),"
+        " tagged AS (SELECT ls.lb AS ls, ld.lb AS ld FROM sym e"
+        "   JOIN lab ls ON ls.vkey = e.src JOIN lab ld ON ld.vkey = e.dst),"
+        " per_c AS (SELECT ls,"
+        "   CAST(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT) AS a_c,"
+        "   CAST(count(*) AS BIGINT) AS d_c FROM tagged GROUP BY ls)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_communities,"
+        " CAST(tm.two_m AS BIGINT) AS two_m,"
+        " CAST(sum(a_c * tm.two_m - d_c * d_c) AS BIGINT) AS q_num,"
+        " CAST(round(CAST(sum(a_c * tm.two_m - d_c * d_c) AS DOUBLE)"
+        "   / (CAST(tm.two_m AS DOUBLE) * CAST(tm.two_m AS DOUBLE)) * 1e6)"
+        "   AS BIGINT) AS q_ppm"
+        " FROM per_c CROSS JOIN tm GROUP BY tm.two_m"
+    )
+    sql["degree_assortativity"] = (
+        f"WITH {_PRELUDE},"
+        " deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src),"
+        " pr AS (SELECT dx.d AS dx, dy.d AS dy FROM sym e"
+        "   JOIN deg dx ON dx.src = e.src JOIN deg dy ON dy.src = e.dst),"
+        " s AS (SELECT CAST(count(*) AS BIGINT) AS m,"
+        "   CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,"
+        "   CAST(sum(dx * dy) AS BIGINT) AS sxy,"
+        "   CAST(sum(dx * dx) AS BIGINT) AS sxx,"
+        "   CAST(sum(dy * dy) AS BIGINT) AS syy FROM pr)"
+        " SELECT m AS m_rows, CAST(CASE WHEN"
+        "   sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "      * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0"
+        " THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        "   / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "        * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6)"
+        " ELSE 0 END AS BIGINT) AS r_e6 FROM s"
     )
     sql["salsa"] = _salsa_sql()
     sql["conv_stats"] = (

@@ -1,0 +1,86 @@
+"""graphstats (modularity, assortativity) + deterministic stratified sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from essentials_spark.algos.graphstats import degree_assortativity, modularity
+from essentials_spark.ops.sample import PPM, stratified_sample
+
+
+def _sym(spark, pairs):
+    rows = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_modularity_two_cliques_bridge(spark):
+    # two triangles joined by one bridge edge; communities = the triangles.
+    # 2m = 14; A_0 = A_1 = 6; D_0 = D_1 = 7 → q_num = 2·(6·14 − 49) = 70
+    # Q = 70/196 = 0.357142… → q_ppm = 357143
+    e = _sym(spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)])
+    labels = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "vid long, label long"
+    )
+    row = modularity(e, labels).collect()[0]
+    assert (row.n_communities, row.two_m, row.q_num, row.q_ppm) == (2, 14, 70, 357143)
+
+
+def test_modularity_single_community_zero(spark):
+    # everything in one community: A = 2m, D = 2m → q_num = (2m)² − (2m)² = 0
+    e = _sym(spark, [(0, 1), (1, 2)])
+    labels = spark.createDataFrame([(i, 0) for i in range(3)], "vid long, label long")
+    row = modularity(e, labels).collect()[0]
+    assert (row.q_num, row.q_ppm) == (0, 0)
+
+
+def test_assortativity_star_is_negative(spark):
+    # star K_{1,3}: every directed row pairs degree 3 with degree 1 → r = −1
+    e = _sym(spark, [(0, 1), (0, 2), (0, 3)])
+    row = degree_assortativity(e).collect()[0]
+    assert row.m_rows == 6
+    assert row.r_e6 == -1_000_000
+
+
+def test_assortativity_regular_graph_zero_denominator(spark):
+    # 4-cycle: all degrees 2, zero variance → guarded r = 0
+    e = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    row = degree_assortativity(e).collect()[0]
+    assert (row.m_rows, row.r_e6) == (8, 0)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3000)], "doc_id long, lang string"
+    ).cache()
+
+
+def test_stratified_rate_and_determinism(spark, docs):
+    kept = stratified_sample(docs, 200_000, key_col="doc_id")
+    n1, n2 = kept.count(), kept.count()
+    assert n1 == n2  # content-hash selection: no RNG, rerun-stable
+    assert 0.15 * 3000 < n1 < 0.25 * 3000  # ~20% ±noise
+
+    # repartitioning must not change the selected set
+    ids_a = {r.doc_id for r in kept.collect()}
+    ids_b = {
+        r.doc_id
+        for r in stratified_sample(docs.repartition(7), 200_000, key_col="doc_id").collect()
+    }
+    assert ids_a == ids_b
+
+
+def test_stratified_monotone_and_grouped(spark, docs):
+    # raising a stratum's rate only ADDS rows (reservoir property),
+    # and never perturbs the other stratum's selection
+    low = stratified_sample(docs, 100_000, group_col="lang", key_col="doc_id",
+                            group_rates_ppm={"en": 100_000})
+    high = stratified_sample(docs, 100_000, group_col="lang", key_col="doc_id",
+                             group_rates_ppm={"en": 500_000})
+    low_ids = {(r.lang, r.doc_id) for r in low.collect()}
+    high_ids = {(r.lang, r.doc_id) for r in high.collect()}
+    assert low_ids <= high_ids
+    assert {i for g, i in low_ids if g == "de"} == {i for g, i in high_ids if g == "de"}
+
+
+def test_stratified_full_rate_keeps_all(spark, docs):
+    assert stratified_sample(docs, PPM, key_col="doc_id").count() == 3000
