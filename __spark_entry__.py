@@ -1347,6 +1347,30 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(sg.edges, labels)
 
 
+LOUVAIN_ROUNDS = 4
+
+
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain phase-1 community moves (algos/louvain.py), SEMI-
+    synchronous half-schedule (same md5-parity convention as
+    label_propagation_semi — sync moves 2-cycle on the chain-dominated
+    transcript graph exactly like sync LP). Every move maximizes the
+    INTEGER modularity-gain score 2m·e_ic − k_i·(D_c − k_i·[own]),
+    ties to the smallest label, so the oracle replays the full
+    4-round schedule bit-for-bit in key space (vids are rank-of-skey:
+    min-vid == min-skey)."""
+    from essentials_spark.algos.louvain import louvain
+
+    kg, sg = _sym_graph(spark, sf_dir)
+    par = kg.vkeys.select(
+        "vid",
+        (F.ascii(F.substring(F.md5(F.col("skey")), 1, 1)) % 2).cast("int").alias("par"),
+    )
+    labels = louvain(sg, rounds=LOUVAIN_ROUNDS, mode="semi", semi_parity=par)
+    lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("community"))
+    return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "community")
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Pearson degree-degree correlation) of the
     symmetrized transcript graph — the six Pearson sums are exact
@@ -1622,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5b text-pipeline additions (never gated yet)
         "stratified_sample": q_stratified_sample,
         "modularity_conv": q_modularity,
+        "louvain_semi": q_louvain,
         "degree_assortativity": q_assortativity,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition,
@@ -1836,6 +1861,52 @@ def _lp_sql(semi: bool = False) -> str:
         )
     body = ",\n".join(parts)
     return f"WITH {body}\nSELECT vkey AS skey, lab AS lp_label FROM m{LP_ROUNDS}"
+
+
+def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled semi-synchronous Louvain phase-1 — the exact twin of
+    louvain(mode='semi', semi_parity=md5-parity): per round, integer
+    scores 2m·e_ic − k·(D_c − k·[own]), argmax with min-label ties
+    (max(score) then min(lab) — ≡ Spark's min(struct(-score, lab))),
+    adoption restricted to the round's md5-parity half."""
+    parts = [
+        _PRELUDE,
+        "deg AS (SELECT v.vkey, CAST(coalesce(d.k, 0) AS BIGINT) AS k FROM verts v"
+        " LEFT JOIN (SELECT src AS vkey, count(*) AS k FROM sym GROUP BY src) d USING (vkey))",
+        "tm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM sym)",
+        "v0 AS (SELECT vkey, vkey AS lab FROM verts)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"cd{i} AS (SELECT vkey, lc, CAST(sum(c) AS BIGINT) AS e_ic FROM ("
+            f"   SELECT e.src AS vkey, l.lab AS lc, 1 AS c FROM sym e JOIN v{i} l ON l.vkey = e.dst"
+            f"   UNION ALL SELECT vkey, lab AS lc, 0 AS c FROM v{i}"
+            f" ) GROUP BY vkey, lc)"
+        )
+        parts.append(
+            f"dm{i} AS (SELECT lab, CAST(sum(k) AS BIGINT) AS d_c"
+            f" FROM v{i} JOIN deg USING (vkey) GROUP BY lab)"
+        )
+        parts.append(
+            f"sc{i} AS (SELECT c.vkey, c.lc, tm.two_m * c.e_ic"
+            f" - d.k * (coalesce(m.d_c, 0)"
+            f"   - CASE WHEN c.lc = l.lab THEN d.k ELSE 0 END) AS score"
+            f" FROM cd{i} c JOIN v{i} l USING (vkey) JOIN deg d USING (vkey)"
+            f" LEFT JOIN dm{i} m ON m.lab = c.lc CROSS JOIN tm)"
+        )
+        parts.append(
+            f"pk{i} AS (SELECT s.vkey, min(s.lc) AS lab FROM sc{i} s"
+            f" JOIN (SELECT vkey, max(score) AS ms FROM sc{i} GROUP BY vkey) x"
+            f" ON x.vkey = s.vkey AND s.score = x.ms GROUP BY s.vkey)"
+        )
+        parts.append(
+            f"v{i + 1} AS (SELECT l.vkey,"
+            f" CASE WHEN (ascii(substr(md5(l.vkey), 1, 1)) % 2) = {i % 2}"
+            f" THEN coalesce(p.lab, l.lab) ELSE l.lab END AS lab"
+            f" FROM v{i} l LEFT JOIN pk{i} p ON p.vkey = l.vkey)"
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT vkey AS skey, lab AS community FROM v{rounds}"
 
 
 _SRC_TURN = "(SELECT min(vkey) FROM verts WHERE vkey LIKE 'turn|%')"
@@ -3247,6 +3318,7 @@ SELECT doc_id, CAST(round(sum(part) * 1e6) AS BIGINT) AS bm25_ppm FROM part GROU
         f"SELECT doc_id, lang, ({_skey60} % 1000000) AS bucket FROM documents"
         f" WHERE ({_skey60} % 1000000) < {_rate_case}"
     )
+    sql["louvain_semi"] = _louvain_sql()
     sql["modularity_conv"] = (
         f"WITH {_PRELUDE},"
         " lab AS (SELECT vkey, CASE WHEN vkey LIKE 'turn|%'"

@@ -18,6 +18,7 @@ from essentials_spark.algos.cc import (  # noqa: F401
 )
 from essentials_spark.algos.ktruss import edge_support, ktruss, truss_decomposition  # noqa: F401
 from essentials_spark.algos.lp import label_propagation  # noqa: F401
+from essentials_spark.algos.louvain import louvain  # noqa: F401
 from essentials_spark.algos.tc import incremental_tc_update, triangle_count  # noqa: F401
 from essentials_spark.algos.traversal import (  # noqa: F401
     bfs,

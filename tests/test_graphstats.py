@@ -84,3 +84,56 @@ def test_stratified_monotone_and_grouped(spark, docs):
 
 def test_stratified_full_rate_keeps_all(spark, docs):
     assert stratified_sample(docs, PPM, key_col="doc_id").count() == 3000
+
+
+# ---------------------------------------------------------------------------
+# Louvain phase-1 move rounds (algos/louvain.py)
+# ---------------------------------------------------------------------------
+
+
+def _graph(spark, pairs, n):
+    from essentials_spark.graph.derive import Graph
+
+    verts = spark.createDataFrame([(i,) for i in range(n)], "vid long")
+    return Graph(vertices=verts, edges=_sym(spark, pairs))
+
+
+TRI_BRIDGE = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+
+
+def test_louvain_sync_round1_hand_computed(spark):
+    # two triangles + bridge, 2m = 14, degrees (2,2,3,3,2,2).
+    # v0: ->c1 score 14-2*2=10, ->c2 14-2*3=8, stay 0  -> 1
+    # v2: ->c0 8, ->c1 8 (tie, min label), ->c3 5      -> 0
+    # v4: ->c3 8, ->c5 10                              -> 5
+    from essentials_spark.algos.louvain import louvain
+
+    g = _graph(spark, TRI_BRIDGE, 6)
+    got = {r.vid: r.label for r in louvain(g, rounds=1).collect()}
+    assert got == {0: 1, 1: 0, 2: 0, 3: 4, 4: 5, 5: 4}
+
+
+def test_louvain_semi_converges_to_triangles(spark):
+    # semi half-schedule (par = vid % 2): after 4 rounds the two
+    # triangles are the communities and round 4 is a fixpoint
+    from essentials_spark.algos.louvain import louvain
+
+    g = _graph(spark, TRI_BRIDGE, 6)
+    got4 = {r.vid: r.label for r in louvain(g, rounds=4, mode="semi").collect()}
+    assert got4 == {0: 1, 1: 1, 2: 1, 3: 5, 4: 5, 5: 5}
+    got6 = {r.vid: r.label for r in louvain(g, rounds=6, mode="semi").collect()}
+    assert got6 == got4  # fixpoint
+
+
+def test_louvain_sync_two_cycles_on_pendant_edge(spark):
+    # single edge: sync swaps labels forever (the LP pathology);
+    # semi merges both endpoints into one community and stays there
+    from essentials_spark.algos.louvain import louvain
+
+    g = _graph(spark, [(0, 1)], 2)
+    sync2 = {r.vid: r.label for r in louvain(g, rounds=2).collect()}
+    assert sync2 == {0: 0, 1: 1}  # swapped twice = back to start
+    semi2 = {r.vid: r.label for r in louvain(g, rounds=2, mode="semi").collect()}
+    assert semi2 == {0: 1, 1: 1}
+    semi3 = {r.vid: r.label for r in louvain(g, rounds=3, mode="semi").collect()}
+    assert semi3 == semi2
