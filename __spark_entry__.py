@@ -1371,6 +1371,34 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "community")
 
 
+def q_louvain2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-level Louvain (algos/louvain.louvain_multilevel):
+    phase-1 moves, phase-2 coarsening into a WEIGHTED super-graph
+    (self-loops carry internal mass; Σw and 2m conserved exactly —
+    every level's scores stay integers with the same 2m), the same
+    semi-sync move rounds on the super-graph, composed back down.
+    Coarse parity = md5 of the community's key, so the whole two-level
+    schedule replays bit-for-bit in key space."""
+    from essentials_spark.algos.louvain import louvain_multilevel
+
+    kg, sg = _sym_graph(spark, sf_dir)
+    md5_par = (F.ascii(F.substring(F.md5(F.col("skey")), 1, 1)) % 2).cast("int").alias("par")
+    par0 = kg.vkeys.select("vid", md5_par)
+
+    def coarse_par(verts: DataFrame) -> DataFrame:
+        return verts.join(kg.vkeys, "vid").select("vid", md5_par)
+
+    labels = louvain_multilevel(
+        sg,
+        level_rounds=(LOUVAIN_ROUNDS, LOUVAIN_ROUNDS),
+        mode="semi",
+        semi_parity=par0,
+        coarse_parity=coarse_par,
+    )
+    lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("community"))
+    return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "community")
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Pearson degree-degree correlation) of the
     symmetrized transcript graph — the six Pearson sums are exact
@@ -1647,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "modularity_conv": q_modularity,
         "louvain_semi": q_louvain,
+        "louvain_2level": q_louvain2,
         "degree_assortativity": q_assortativity,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition,
@@ -1863,12 +1892,39 @@ def _lp_sql(semi: bool = False) -> str:
     return f"WITH {body}\nSELECT vkey AS skey, lab AS lp_label FROM m{LP_ROUNDS}"
 
 
-def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
-    """Unrolled semi-synchronous Louvain phase-1 — the exact twin of
-    louvain(mode='semi', semi_parity=md5-parity): per round, integer
-    scores 2m·e_ic − k·(D_c − k·[own]), argmax with min-label ties
-    (max(score) then min(lab) — ≡ Spark's min(struct(-score, lab))),
-    adoption restricted to the round's md5-parity half."""
+def _louvain_round_ctes(i: int, pfx: str, edges: str, deg: str, weighted: bool) -> list[str]:
+    """CTEs for one semi-sync Louvain move round over labels
+    ``{pfx}{i}`` -> ``{pfx}{i+1}``. ``weighted``: edge table carries a
+    w column (the coarsened multigraph); level 0 rows weigh 1. Argmax
+    with min-label ties = max(score) then min(lab), ≡ Spark's
+    min(struct(-score, lab)); adoption restricted to the round's
+    md5-parity half. Self-loop rows are excluded from e_ic (they move
+    with the vertex) but kept in k/D_c — standard Blondel k_{i,in}."""
+    w = "e.w" if weighted else "1"
+    return [
+        f"{pfx}cd{i} AS (SELECT vkey, lc, CAST(sum(c) AS BIGINT) AS e_ic FROM ("
+        f"   SELECT e.src AS vkey, l.lab AS lc, {w} AS c FROM {edges} e"
+        f"   JOIN {pfx}{i} l ON l.vkey = e.dst WHERE e.src <> e.dst"
+        f"   UNION ALL SELECT vkey, lab AS lc, 0 AS c FROM {pfx}{i}"
+        f" ) GROUP BY vkey, lc)",
+        f"{pfx}dm{i} AS (SELECT lab, CAST(sum(k) AS BIGINT) AS d_c"
+        f" FROM {pfx}{i} JOIN {deg} USING (vkey) GROUP BY lab)",
+        f"{pfx}sc{i} AS (SELECT c.vkey, c.lc, tm.two_m * c.e_ic"
+        f" - d.k * (coalesce(m.d_c, 0)"
+        f"   - CASE WHEN c.lc = l.lab THEN d.k ELSE 0 END) AS score"
+        f" FROM {pfx}cd{i} c JOIN {pfx}{i} l USING (vkey) JOIN {deg} d USING (vkey)"
+        f" LEFT JOIN {pfx}dm{i} m ON m.lab = c.lc CROSS JOIN tm)",
+        f"{pfx}pk{i} AS (SELECT s.vkey, min(s.lc) AS lab FROM {pfx}sc{i} s"
+        f" JOIN (SELECT vkey, max(score) AS ms FROM {pfx}sc{i} GROUP BY vkey) x"
+        f" ON x.vkey = s.vkey AND s.score = x.ms GROUP BY s.vkey)",
+        f"{pfx}{i + 1} AS (SELECT l.vkey,"
+        f" CASE WHEN (ascii(substr(md5(l.vkey), 1, 1)) % 2) = {i % 2}"
+        f" THEN coalesce(p.lab, l.lab) ELSE l.lab END AS lab"
+        f" FROM {pfx}{i} l LEFT JOIN {pfx}pk{i} p ON p.vkey = l.vkey)",
+    ]
+
+
+def _louvain_level1_parts(rounds: int) -> list[str]:
     parts = [
         _PRELUDE,
         "deg AS (SELECT v.vkey, CAST(coalesce(d.k, 0) AS BIGINT) AS k FROM verts v"
@@ -1877,36 +1933,41 @@ def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
         "v0 AS (SELECT vkey, vkey AS lab FROM verts)",
     ]
     for i in range(rounds):
-        parts.append(
-            f"cd{i} AS (SELECT vkey, lc, CAST(sum(c) AS BIGINT) AS e_ic FROM ("
-            f"   SELECT e.src AS vkey, l.lab AS lc, 1 AS c FROM sym e JOIN v{i} l ON l.vkey = e.dst"
-            f"   UNION ALL SELECT vkey, lab AS lc, 0 AS c FROM v{i}"
-            f" ) GROUP BY vkey, lc)"
-        )
-        parts.append(
-            f"dm{i} AS (SELECT lab, CAST(sum(k) AS BIGINT) AS d_c"
-            f" FROM v{i} JOIN deg USING (vkey) GROUP BY lab)"
-        )
-        parts.append(
-            f"sc{i} AS (SELECT c.vkey, c.lc, tm.two_m * c.e_ic"
-            f" - d.k * (coalesce(m.d_c, 0)"
-            f"   - CASE WHEN c.lc = l.lab THEN d.k ELSE 0 END) AS score"
-            f" FROM cd{i} c JOIN v{i} l USING (vkey) JOIN deg d USING (vkey)"
-            f" LEFT JOIN dm{i} m ON m.lab = c.lc CROSS JOIN tm)"
-        )
-        parts.append(
-            f"pk{i} AS (SELECT s.vkey, min(s.lc) AS lab FROM sc{i} s"
-            f" JOIN (SELECT vkey, max(score) AS ms FROM sc{i} GROUP BY vkey) x"
-            f" ON x.vkey = s.vkey AND s.score = x.ms GROUP BY s.vkey)"
-        )
-        parts.append(
-            f"v{i + 1} AS (SELECT l.vkey,"
-            f" CASE WHEN (ascii(substr(md5(l.vkey), 1, 1)) % 2) = {i % 2}"
-            f" THEN coalesce(p.lab, l.lab) ELSE l.lab END AS lab"
-            f" FROM v{i} l LEFT JOIN pk{i} p ON p.vkey = l.vkey)"
-        )
-    body = ",\n".join(parts)
+        parts += _louvain_round_ctes(i, "v", "sym", "deg", weighted=False)
+    return parts
+
+
+def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled semi-synchronous Louvain phase-1 — the exact twin of
+    louvain(mode='semi', semi_parity=md5-parity): per round, integer
+    scores 2m·e_ic − k·(D_c − k·[own])."""
+    body = ",\n".join(_louvain_level1_parts(rounds))
     return f"WITH {body}\nSELECT vkey AS skey, lab AS community FROM v{rounds}"
+
+
+def _louvain2_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Two-level Louvain: phase-1 rounds, coarsen communities into a
+    weighted super-graph (self-loop rows carry the internal directed
+    weight; Σw and weighted degrees are conserved, so tm is SHARED
+    across levels), the same move rounds on the super-graph (parity =
+    md5 of the community key), compose back to vertices."""
+    parts = _louvain_level1_parts(rounds)
+    parts += [
+        f"ce AS (SELECT ls.lab AS src, ld.lab AS dst, CAST(count(*) AS BIGINT) AS w"
+        f" FROM sym e JOIN v{rounds} ls ON ls.vkey = e.src"
+        f" JOIN v{rounds} ld ON ld.vkey = e.dst GROUP BY ls.lab, ld.lab)",
+        f"cverts AS (SELECT DISTINCT lab AS vkey FROM v{rounds})",
+        "cdeg AS (SELECT v.vkey, CAST(coalesce(d.k, 0) AS BIGINT) AS k FROM cverts v"
+        " LEFT JOIN (SELECT src AS vkey, sum(w) AS k FROM ce GROUP BY src) d USING (vkey))",
+        "u0 AS (SELECT vkey, vkey AS lab FROM cverts)",
+    ]
+    for i in range(rounds):
+        parts += _louvain_round_ctes(i, "u", "ce", "cdeg", weighted=True)
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT a.vkey AS skey, c.lab AS community"
+        f" FROM v{rounds} a JOIN u{rounds} c ON c.vkey = a.lab"
+    )
 
 
 _SRC_TURN = "(SELECT min(vkey) FROM verts WHERE vkey LIKE 'turn|%')"
@@ -3319,6 +3380,7 @@ SELECT doc_id, CAST(round(sum(part) * 1e6) AS BIGINT) AS bm25_ppm FROM part GROU
         f" WHERE ({_skey60} % 1000000) < {_rate_case}"
     )
     sql["louvain_semi"] = _louvain_sql()
+    sql["louvain_2level"] = _louvain2_sql()
     sql["modularity_conv"] = (
         f"WITH {_PRELUDE},"
         " lab AS (SELECT vkey, CASE WHEN vkey LIKE 'turn|%'"

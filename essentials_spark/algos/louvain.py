@@ -43,8 +43,21 @@ from pyspark.sql import functions as F
 from essentials_spark.graph.derive import Graph
 
 
+def _weighted(edges: DataFrame) -> DataFrame:
+    """(src, dst, w): weight column defaulted to 1 (the sym row count
+    IS the weight of the level-0 multigraph; coarsened levels carry
+    integer edge multiplicities, so every level stays exact algebra)."""
+    if "w" in edges.columns:
+        return edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    return edges.select("src", "dst", F.lit(1).cast("long").alias("w"))
+
+
 def _degrees(g: Graph) -> DataFrame:
-    deg = g.edges.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("k"))
+    # weighted degree k_i = Σ w over src-side rows; a self-loop row
+    # (c, c, w) contributes w — the coarsened (c, c) multiplicity is
+    # the count of DIRECTED internal rows, exactly the degree mass the
+    # community's members contributed internally at the finer level.
+    deg = _weighted(g.edges).groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("k"))
     return (
         g.vertices.select("vid")
         .join(deg, "vid", "left")
@@ -71,11 +84,15 @@ def louvain_move_round(
         .groupBy("label")
         .agg(F.sum("k").alias("d_c"))
     )
+    # self-loops are excluded from e_ic: i's internal weight moves with
+    # i (it is not a link "into" any candidate community) — standard
+    # Blondel k_{i,in}; it still counts in k_i and D_c above.
     nbr = (
-        g.edges.select("src", "dst")
+        _weighted(g.edges)
+        .filter(F.col("src") != F.col("dst"))
         .join(labels.select(F.col("vid").alias("dst"), F.col("label").alias("lc")), "dst")
         .groupBy(F.col("src").alias("vid"), "lc")
-        .agg(F.count("*").cast("long").alias("e_ic"))
+        .agg(F.sum("w").cast("long").alias("e_ic"))
     )
     own = labels.select("vid", F.col("label").alias("lc"), F.lit(0).cast("long").alias("e_ic"))
     cand = (
@@ -138,7 +155,7 @@ def louvain(
     if mode not in ("sync", "semi"):
         raise ValueError(f"unknown louvain mode {mode!r}")
     degrees = truncate_plan(_degrees(g))
-    two_m = g.edges.count()
+    two_m = int(_weighted(g.edges).agg(F.sum("w")).collect()[0][0] or 0)
     labels = g.vertices.select("vid", F.col("vid").alias("label"))
     par = None
     if mode == "semi":
@@ -150,3 +167,96 @@ def louvain(
         movers = par.filter(F.col("par") == r % 2).select("vid") if par is not None else None
         labels = truncate_plan(louvain_move_round(g, labels, degrees, two_m, movers=movers))
     return labels
+
+
+def coarsen(g: Graph, labels: DataFrame) -> Graph:
+    """Louvain phase-2: collapse each community into a super-vertex.
+
+    Super-edges carry the SUM of the member edges' weights; the (c, c)
+    self-loop row accumulates the community's internal directed weight
+    (so weighted degrees and 2m are conserved exactly level-to-level —
+    the invariant that keeps every level's move scores integers with
+    the same 2m). One groupBy shuffle at the finer level's edge scale;
+    the output is community-scale."""
+    ls = labels.select(F.col("vid").alias("src"), F.col("label").alias("ls"))
+    ld = labels.select(F.col("vid").alias("dst"), F.col("label").alias("ld"))
+    edges = (
+        _weighted(g.edges)
+        .join(ls, "src")
+        .join(ld, "dst")
+        .groupBy(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    verts = labels.select(F.col("label").alias("vid")).distinct()
+    return Graph(vertices=verts, edges=edges)
+
+
+def louvain_multilevel(
+    g: Graph,
+    level_rounds: tuple[int, ...] = (4, 4),
+    mode: str = "semi",
+    semi_parity: DataFrame | None = None,
+    coarse_parity: "callable | None" = None,
+    guard: bool = False,
+) -> DataFrame:
+    """Full multi-level Louvain: phase-1 move rounds, coarsen, repeat
+    on the super-graph, then compose the mappings back down to the
+    original vertices. Returns (vid, label) where label is a level-0
+    vid (the representative community id stays in the original id
+    space — labels at coarser levels ARE finer-level community ids).
+
+    ``coarse_parity``: optional fn(level_verts: DataFrame) -> (vid,
+    par) giving the semi-schedule parity at coarser levels (the gate
+    derives it from the community key's md5, keeping the whole
+    schedule replayable in key space); default vid % 2.
+
+    ``guard=True``: keep each coarser level's composition only if it
+    strictly RAISES the integer modularity numerator q_num — arbitrary
+    parity can let coarse labels chase each other (A→B while B→C in
+    the same half-round), which fragments communities; the guard makes
+    multi-level never worse than phase-1. Two 1-row aggregates per
+    level; the comparison is exact integer algebra (replayable)."""
+    from essentials_spark.engine.superstep import truncate_plan
+
+    def _q_num(labels: DataFrame) -> int:
+        from essentials_spark.algos.graphstats import modularity
+
+        return int(modularity(g.edges.select("src", "dst"), labels).collect()[0].q_num)
+
+    assign = None  # (vid, label) composed down to level 0
+    best_q = None
+    cur = g
+    for li, rounds in enumerate(level_rounds):
+        par = None
+        if mode == "semi":
+            if li == 0:
+                par = semi_parity
+            elif coarse_parity is not None:
+                par = coarse_parity(cur.vertices)
+        labels = louvain(cur, rounds=rounds, mode=mode, semi_parity=par)
+        if assign is None:
+            composed = labels
+        else:
+            composed = truncate_plan(
+                assign.select("vid", F.col("label").alias("mid"))
+                .join(labels.select(F.col("vid").alias("mid"), "label"), "mid")
+                .select("vid", "label")
+            )
+        if guard and assign is not None:
+            if best_q is None:
+                best_q = _q_num(assign)
+            q = _q_num(composed)
+            if q > best_q:
+                assign, best_q = composed, q
+            # rejected level: keep the finer assignment AND stop —
+            # coarsening a rejected partition only compounds the drift
+            else:
+                break
+        else:
+            assign = composed
+        if li < len(level_rounds) - 1:
+            cur = coarsen(cur, labels)
+            cur = Graph(
+                vertices=truncate_plan(cur.vertices), edges=truncate_plan(cur.edges)
+            )
+    return assign
