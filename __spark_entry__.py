@@ -1413,6 +1413,30 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_RATES_PPM = {"en": 600_000, "de": 250_000}
 SAMPLE_DEFAULT_PPM = 100_000
 
+# mixture-sampling gate: 15k-token budget split en/de/zh — de's target
+# (4.5k) exceeds its corpus mass (~3.5k at sf0.01), exercising the
+# clamp path; es/fr have zero share, exercising the drop path
+MIX_BUDGET_TOKENS = 15_000
+MIX_TARGETS_PPM = {"en": 500_000, "de": 300_000, "zh": 200_000}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted data-mixture sampling (ops/sample.mixture_sample): one
+    group-scale aggregate derives per-language keep rates from a token
+    budget and target shares via pure integer floor arithmetic
+    (rate = min(1e6, budget·share÷1e6·1e6÷tokens)); selection reuses
+    the portable md5-int60 bucket. The oracle replays rates AND
+    selection bit-for-bit."""
+    from essentials_spark.ops.sample import mixture_sample
+    from essentials_spark.text.analysis import token_stats
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", "lang").join(
+        token_stats(docs).select("doc_id", "n_tokens"), "doc_id"
+    )
+    kept = mixture_sample(d, MIX_BUDGET_TOKENS, MIX_TARGETS_PPM)
+    return kept.select("doc_id", "lang", "n_tokens", "rate_ppm", "bucket")
+
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling (ops/sample.py): keep a
@@ -1673,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- group 1: fewest prior gate rows, cheap first ---
         # round-5b text-pipeline additions (never gated yet)
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
         "modularity_conv": q_modularity,
         "louvain_semi": q_louvain,
         "louvain_2level": q_louvain2,
@@ -3381,6 +3406,22 @@ SELECT doc_id, CAST(round(sum(part) * 1e6) AS BIGINT) AS bm25_ppm FROM part GROU
     )
     sql["louvain_semi"] = _louvain_sql()
     sql["louvain_2level"] = _louvain2_sql()
+    _mix_share = "CASE lang " + " ".join(
+        f"WHEN '{g}' THEN {s}" for g, s in sorted(MIX_TARGETS_PPM.items())
+    ) + " ELSE 0 END"
+    _mix_key60 = _h60("lang || '|' || CAST(doc_id AS VARCHAR)")
+    sql["mixture_sample"] = (
+        "WITH tok AS (SELECT doc_id, lang,"
+        "   CAST(length(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens FROM documents),"
+        " tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS gtok FROM tok GROUP BY lang),"
+        f" rt AS (SELECT lang, least(CAST(1000000 AS BIGINT),"
+        f"   CAST({MIX_BUDGET_TOKENS} AS BIGINT) * ({_mix_share}) // 1000000"
+        f"   * 1000000 // gtok) AS rate_ppm FROM tot)"
+        f" SELECT t.doc_id, t.lang, t.n_tokens, r.rate_ppm,"
+        f" ({_mix_key60} % 1000000) AS bucket"
+        f" FROM tok t JOIN rt r USING (lang)"
+        f" WHERE ({_mix_key60} % 1000000) < r.rate_ppm"
+    )
     sql["modularity_conv"] = (
         f"WITH {_PRELUDE},"
         " lab AS (SELECT vkey, CASE WHEN vkey LIKE 'turn|%'"

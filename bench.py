@@ -244,7 +244,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--probe",
-        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks", "bc", "traverse", "geo"],
+        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks", "bc", "traverse", "geo", "louvain"],
         default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
@@ -620,7 +620,7 @@ def main() -> None:
         spark.stop()
         return
 
-    if args.probe in ("mst", "color", "lp", "kcore", "bc", "traverse", "geo"):
+    if args.probe in ("mst", "color", "lp", "kcore", "bc", "traverse", "geo", "louvain"):
         cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from pyspark.sql import functions as F
@@ -786,6 +786,39 @@ def main() -> None:
                 meta_per_pass.append({
                     "mode": args.traverse_mode, "located": n_located,
                     "rounds": max((r["iteration"] for r in runner.metrics), default=0),
+                })
+            elif args.probe == "louvain":
+                from essentials_spark.algos.graphstats import modularity as _mod
+                from essentials_spark.algos.louvain import louvain_multilevel as _lml
+                from essentials_spark.graph.derive import Graph as _G
+                from essentials_spark.graph.derive import canonicalize_edges as _canon
+
+                gs = _G(
+                    vertices=g.vertices,
+                    edges=_canon(g.edges, symmetrize=True, dedup=True, drop_self_loops=True),
+                )
+                t0 = time.perf_counter()
+                l1 = _lml(gs, level_rounds=(4,), mode="semi")
+                n1 = l1.select("label").distinct().count()
+                t1 = time.perf_counter() - t0
+                q1 = _mod(gs.edges, l1).collect()[0].q_ppm
+                t0 = time.perf_counter()
+                l2 = _lml(gs, level_rounds=(4, 4), mode="semi", guard=True)
+                n2 = l2.select("label").distinct().count()
+                t2 = time.perf_counter() - t0
+                q2 = _mod(gs.edges, l2).collect()[0].q_ppm
+                # color-scheduled moves (no label chasing): 2 sweeps
+                # per level ~= 2*n_colors move rounds
+                t0 = time.perf_counter()
+                lc = _lml(gs, level_rounds=(2, 2), mode="color", guard=True)
+                nc = lc.select("label").distinct().count()
+                tc_ = time.perf_counter() - t0
+                qc = _mod(gs.edges, lc).collect()[0].q_ppm
+                meta_per_pass.append({
+                    "phase1_sec": round(t1, 3), "two_level_sec": round(t2, 3),
+                    "color_sec": round(tc_, 3),
+                    "n_comm_1l": n1, "n_comm_2l": n2, "n_comm_color": nc,
+                    "q_ppm_1l": int(q1), "q_ppm_2l": int(q2), "q_ppm_color": int(qc),
                 })
             else:  # lp convergence mode
                 from essentials_spark.algos import label_propagation as _lp

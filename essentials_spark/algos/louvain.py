@@ -75,26 +75,33 @@ def louvain_move_round(
     """One synchronous move round; returns the new (vid, label).
 
     ``movers``: optional (vid) restriction — only these vertices may
-    change community this round (the semi-sync half-schedule); all
-    others keep their label. Scores still read the FULL label state
-    (D_c, e_ic are global), only the adoption is restricted.
+    change community this round (the semi/color schedules); all others
+    keep their label. Scores still read the FULL label state (D_c is
+    global), but candidate enumeration and scoring run ONLY over the
+    movers (a left-semi prefilter on the edge scan) — a color-class
+    round costs |class|-scale, not n-scale, so a full sweep over all
+    color classes totals ~one synchronous round's work.
     """
     dmass = (
         labels.join(degrees, "vid")
         .groupBy("label")
         .agg(F.sum("k").alias("d_c"))
     )
+    edges = _weighted(g.edges).filter(F.col("src") != F.col("dst"))
+    mv_labels = labels
+    if movers is not None:
+        edges = edges.join(movers.select(F.col("vid").alias("src")), "src", "left_semi")
+        mv_labels = labels.join(movers, "vid", "left_semi")
     # self-loops are excluded from e_ic: i's internal weight moves with
     # i (it is not a link "into" any candidate community) — standard
     # Blondel k_{i,in}; it still counts in k_i and D_c above.
     nbr = (
-        _weighted(g.edges)
-        .filter(F.col("src") != F.col("dst"))
+        edges
         .join(labels.select(F.col("vid").alias("dst"), F.col("label").alias("lc")), "dst")
         .groupBy(F.col("src").alias("vid"), "lc")
         .agg(F.sum("w").cast("long").alias("e_ic"))
     )
-    own = labels.select("vid", F.col("label").alias("lc"), F.lit(0).cast("long").alias("e_ic"))
+    own = mv_labels.select("vid", F.col("label").alias("lc"), F.lit(0).cast("long").alias("e_ic"))
     cand = (
         nbr.unionByName(own)
         .groupBy("vid", "lc")
@@ -149,22 +156,49 @@ def louvain(
 
     ``mode='semi'``: round r moves only vertices whose parity
     (``semi_parity``: (vid, par in {0,1}); default vid % 2) equals
-    r % 2 — the LP half-schedule, breaking sync 2-cycles."""
+    r % 2 — the LP half-schedule, breaking sync 2-cycles.
+
+    ``mode='color'``: round r moves only the vertices of color class
+    r % n_colors of a proper graph coloring (algos/color.py, seeded,
+    deterministic) — the coloring-scheduled Louvain of Halappanavar et
+    al.: no two ADJACENT vertices move in the same round, so a mover's
+    target can never simultaneously abandon it while they share an
+    edge. This eliminates the label chasing that random/md5 parity
+    only halves (two same-parity neighbors may still swap A->B while
+    B->C in one round), at the cost of ~n_colors rounds per full
+    sweep. ``rounds`` counts SWEEPS here (each sweep = n_colors move
+    rounds), so quality is comparable across modes."""
     from essentials_spark.engine.superstep import truncate_plan
 
-    if mode not in ("sync", "semi"):
+    if mode not in ("sync", "semi", "color"):
         raise ValueError(f"unknown louvain mode {mode!r}")
     degrees = truncate_plan(_degrees(g))
     two_m = int(_weighted(g.edges).agg(F.sum("w")).collect()[0][0] or 0)
     labels = g.vertices.select("vid", F.col("vid").alias("label"))
     par = None
+    schedule: list[tuple[int, int]]  # (round, class) pairs
     if mode == "semi":
         par = semi_parity or g.vertices.select(
             "vid", F.pmod(F.col("vid"), F.lit(2)).cast("int").alias("par")
         )
         par = truncate_plan(par.select("vid", F.col("par").cast("int").alias("par")))
-    for r in range(rounds):
-        movers = par.filter(F.col("par") == r % 2).select("vid") if par is not None else None
+        schedule = [(r, r % 2) for r in range(rounds)]
+    elif mode == "color":
+        from essentials_spark.algos.color import color as _color
+
+        # self-loops don't constrain the coloring; drop them. color()
+        # expects the (src, dst, weight) edge schema.
+        ce = g.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", F.lit(1.0).alias("weight")
+        )
+        cg = Graph(vertices=g.vertices.select("vid"), edges=ce)
+        par = truncate_plan(_color(cg).select("vid", F.col("color").cast("int").alias("par")))
+        n_colors = int(par.agg(F.max("par")).collect()[0][0] or 0) + 1
+        schedule = [(r, r % n_colors) for r in range(rounds * n_colors)]
+    else:
+        schedule = [(r, -1) for r in range(rounds)]
+    for _r, cls in schedule:
+        movers = par.filter(F.col("par") == cls).select("vid") if par is not None else None
         labels = truncate_plan(louvain_move_round(g, labels, degrees, two_m, movers=movers))
     return labels
 

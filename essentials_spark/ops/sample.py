@@ -59,3 +59,56 @@ def stratified_sample(
             expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
         rate = expr.otherwise(F.lit(rate_ppm))
     return df.filter(sample_bucket(key) < rate)
+
+
+def mixture_sample(
+    df: DataFrame,
+    token_budget: int,
+    targets_ppm: dict[str, int],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Budgeted mixture sampling — the "data mixture" step of a
+    pretraining pipeline: pick per-group keep RATES so the expected
+    sampled token mass approaches ``token_budget`` tokens split per
+    ``targets_ppm`` (group -> ppm share of the budget; groups absent
+    from the map get share 0 and are dropped).
+
+        target_g  = token_budget * share_g // 1e6          (tokens)
+        rate_g    = min(1e6, target_g * 1e6 // tokens_g)    (ppm)
+
+    All integer floor arithmetic — the oracle replays the rates
+    exactly; selection reuses the md5-int60 bucket, so the same
+    monotonicity/reproducibility contract as stratified_sample holds
+    (raising the budget only ADDS rows). Rates above 1e6 clamp: a
+    group with fewer tokens than its target keeps everything (no
+    upsampling — duplication is a separate, explicit op).
+
+    Scale shape: one group-scale aggregate + a broadcast join of the
+    O(groups) rate table + a narrow filter. No driver-side data.
+    Output adds rate_ppm and bucket columns (both integer-gateable).
+    """
+    share = None
+    for g, s in sorted(targets_ppm.items()):
+        cond = F.col(group_col) == g
+        share = F.when(cond, F.lit(s)) if share is None else share.when(cond, F.lit(s))
+    share = share.otherwise(F.lit(0)) if share is not None else F.lit(0)
+
+    totals = df.groupBy(group_col).agg(F.sum(F.col(token_col)).cast("long").alias("_gtok"))
+    rates = (
+        totals.withColumn("_share", share.cast("long"))
+        .select(
+            group_col,
+            F.least(
+                F.lit(PPM).cast("long"),
+                F.expr(f"CAST({int(token_budget)} AS BIGINT) * _share DIV {PPM} * {PPM} DIV _gtok"),
+            ).alias("rate_ppm"),
+        )
+    )
+    key = F.concat(F.col(group_col), F.lit("|"), F.col(key_col).cast("string"))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("bucket", sample_bucket(key))
+        .filter(F.col("bucket") < F.col("rate_ppm"))
+    )

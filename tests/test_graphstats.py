@@ -193,3 +193,79 @@ def test_louvain_multilevel_merges_ring_of_triangles(spark):
     guarded = louvain_multilevel(g, level_rounds=(4, 4), mode="semi", guard=True)
     qg = modularity(g.edges, guarded).collect()[0].q_ppm
     assert qg >= q1
+
+
+def test_louvain_color_schedule_merges_without_tuned_parity(spark):
+    # color-scheduled moves (proper coloring -> adjacent vertices never
+    # move together -> no label chasing) must find the coarse merge on
+    # the ring of triangles WITHOUT a hand-tuned parity, where the
+    # default md5/vid parity fragments (see guard test above)
+    from essentials_spark.algos.graphstats import modularity
+    from essentials_spark.algos.louvain import louvain_multilevel
+
+    ncl = 20
+    pairs = []
+    for i in range(ncl):
+        b = 3 * i
+        pairs += [(b, b + 1), (b + 1, b + 2), (b, b + 2)]
+        pairs.append((b + 2, (b + 3) % (3 * ncl)))
+    g = _graph(spark, pairs, 3 * ncl)
+
+    one = louvain_multilevel(g, level_rounds=(2,), mode="color")
+    two = louvain_multilevel(g, level_rounds=(2, 2), mode="color")
+    q1 = modularity(g.edges, one).collect()[0].q_ppm
+    q2 = modularity(g.edges, two).collect()[0].q_ppm
+    n1 = one.select("label").distinct().count()
+    n2 = two.select("label").distinct().count()
+    assert n1 == ncl and n2 < n1
+    assert q2 > q1
+
+
+# ---------------------------------------------------------------------------
+# Budgeted mixture sampling (ops/sample.mixture_sample)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tok_docs(spark):
+    # 3 groups: a = 10 docs x 100 tokens, b = 10 x 50, c = 5 x 20
+    rows = (
+        [(i, "a", 100) for i in range(10)]
+        + [(i + 10, "b", 50) for i in range(10)]
+        + [(i + 20, "c", 20) for i in range(5)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long").cache()
+
+
+def test_mixture_rates_and_zero_share(spark, tok_docs):
+    from essentials_spark.ops.sample import mixture_sample
+
+    # budget 600, shares a=50% b=50%: t_a=300 -> 300e6//1000 = 300000;
+    # t_b=300 -> 300e6//500 = 600000; c has no share -> dropped
+    kept = mixture_sample(tok_docs, 600, {"a": 500_000, "b": 500_000})
+    rates = {r.lang: r.rate_ppm for r in kept.select("lang", "rate_ppm").distinct().collect()}
+    assert rates.get("a", None) in (None, 300_000)  # group may sample to zero rows
+    assert set(rates) <= {"a", "b"}
+    got = kept.groupBy("lang").count().collect()
+    assert all(r.lang != "c" for r in got)
+    # every kept bucket respects its rate
+    assert kept.filter(F.col("bucket") >= F.col("rate_ppm")).count() == 0
+
+
+def test_mixture_clamp_keeps_whole_group(spark, tok_docs):
+    from essentials_spark.ops.sample import mixture_sample
+
+    # budget 4000, c share 50% -> target 2000 tokens >> c's 100 -> clamp
+    kept = mixture_sample(tok_docs, 4000, {"c": 500_000, "a": 500_000})
+    assert kept.filter("lang = 'c'").count() == 5  # rate clamped to 1e6
+    rates = {r.lang: r.rate_ppm for r in kept.select("lang", "rate_ppm").distinct().collect()}
+    assert rates["c"] == 1_000_000
+
+
+def test_mixture_budget_monotone(spark, tok_docs):
+    from essentials_spark.ops.sample import mixture_sample
+
+    t = {"a": 400_000, "b": 400_000, "c": 200_000}
+    lo = {(r.lang, r.doc_id) for r in mixture_sample(tok_docs, 500, t).collect()}
+    hi = {(r.lang, r.doc_id) for r in mixture_sample(tok_docs, 2000, t).collect()}
+    assert lo <= hi  # raising the budget only ADDS rows
