@@ -1580,6 +1580,23 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=KMEANS_K, iters=KMEANS_ITERS).select("vec_id", "cluster")
 
 
+PQ_M, PQ_K, PQ_ITERS, PQ_DIM = 4, 8, 2, 64  # 64-dim testdata embeddings
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes over the embeddings table
+    (ann/kmeans.pq_codes): PQ_M independent Lloyd codebooks over
+    contiguous subspace slices, every trajectory deterministic (same
+    seeding/grid/tie rules as kmeans_embeddings), codes emitted as
+    integer columns. The oracle unrolls all PQ_M trajectories."""
+    from essentials_spark.ann.kmeans import pq_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_codes(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS).select(
+        "vec_id", *[f"code{j}" for j in range(PQ_M)]
+    )
+
+
 def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (algos/eigen.py): EIG_ROUNDS power
     iterations with L1 normalization over the symmetrized graph;
@@ -1710,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_4src_chain": q_closeness_chain,
         "eigenvector_centrality": q_eigenvector,
         "kmeans_embeddings": q_kmeans,
+        "pq_codes": q_pq_codes,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
         "tool_transitions": q_tool_transitions,
@@ -2233,45 +2251,73 @@ def _closeness_sql() -> str:
     )
 
 
-def _kmeans_sql() -> str:
-    """Unrolled Lloyd trajectory twin of q_kmeans. Positional unnest
-    zipping computes the squared-L2 distances; assignment is
-    row_number over (d2, cid) — the Spark (d2, cid) struct-min
-    comparator; means are rounded to the 1e-6 grid each update, and
-    empty clusters carry the previous centroid."""
+def _kmeans_ctes(
+    k: int, iters: int, vec_expr: str = "embedding", pfx: str = "k"
+) -> tuple[list[str], str]:
+    """Unrolled Lloyd trajectory CTEs over ``vec_expr`` (a list-typed
+    SQL expression on embeddings — the whole column, or a slice for
+    PQ subspaces). Positional unnest zipping computes the squared-L2
+    distances; assignment is row_number over (d2, cid) — the Spark
+    (d2, cid) struct-min comparator; means are rounded to the 1e-6
+    grid each update, and empty clusters carry the previous centroid.
+    Returns (parts, final_assignment_cte_name)."""
     parts = [
-        f"kc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
-        f" list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
-        f" FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})",
+        f"{pfx}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        f" list_transform({vec_expr}, x -> CAST(x AS DOUBLE)) AS c"
+        f" FROM embeddings ORDER BY vec_id LIMIT {k})",
     ]
 
     def dist_assign(i: int, src: str) -> list[str]:
         return [
-            f"kd{i} AS (SELECT vec_id, cid, sum((ev - cv) * (ev - cv)) AS d2 FROM ("
-            f"  SELECT e.vec_id, c.cid, CAST(unnest(e.embedding) AS DOUBLE) AS ev,"
+            f"{pfx}d{i} AS (SELECT vec_id, cid, sum((ev - cv) * (ev - cv)) AS d2 FROM ("
+            f"  SELECT e.vec_id, c.cid, CAST(unnest(e.{vec_expr}) AS DOUBLE) AS ev,"
             f"         unnest(c.c) AS cv"
             f"  FROM embeddings e CROSS JOIN {src} c) GROUP BY vec_id, cid)",
-            f"ka{i} AS (SELECT vec_id, cid FROM ("
+            f"{pfx}a{i} AS (SELECT vec_id, cid FROM ("
             f"  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn"
-            f"  FROM kd{i}) WHERE rn = 1)",
+            f"  FROM {pfx}d{i}) WHERE rn = 1)",
         ]
 
-    for i in range(KMEANS_ITERS):
-        parts += dist_assign(i, f"kc{i}")
+    for i in range(iters):
+        parts += dist_assign(i, f"{pfx}c{i}")
         parts += [
-            f"km{i} AS (SELECT cid, pos, round(avg(val), 6) AS mv FROM ("
-            f"  SELECT a.cid, generate_subscripts(e.embedding, 1) AS pos,"
-            f"         CAST(unnest(e.embedding) AS DOUBLE) AS val"
-            f"  FROM ka{i} a JOIN embeddings e USING (vec_id)) GROUP BY cid, pos)",
-            f"kc{i + 1} AS (SELECT p.cid, coalesce(n.c, p.c) AS c FROM kc{i} p LEFT JOIN ("
-            f"  SELECT cid, list(mv ORDER BY pos) AS c FROM km{i} GROUP BY cid) n USING (cid))",
+            f"{pfx}m{i} AS (SELECT cid, pos, round(avg(val), 6) AS mv FROM ("
+            f"  SELECT a.cid, generate_subscripts(e.{vec_expr}, 1) AS pos,"
+            f"         CAST(unnest(e.{vec_expr}) AS DOUBLE) AS val"
+            f"  FROM {pfx}a{i} a JOIN embeddings e USING (vec_id)) GROUP BY cid, pos)",
+            f"{pfx}c{i + 1} AS (SELECT p.cid, coalesce(n.c, p.c) AS c FROM {pfx}c{i} p LEFT JOIN ("
+            f"  SELECT cid, list(mv ORDER BY pos) AS c FROM {pfx}m{i} GROUP BY cid) n USING (cid))",
         ]
-    parts += dist_assign(KMEANS_ITERS, f"kc{KMEANS_ITERS}")
+    parts += dist_assign(iters, f"{pfx}c{iters}")
+    return parts, f"{pfx}a{iters}"
+
+
+def _kmeans_sql() -> str:
+    parts, final = _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
     body = ",\n".join(parts)
     return (
         f"WITH {body}\nSELECT vec_id, CAST(cid AS INTEGER) AS cluster"
-        f" FROM ka{KMEANS_ITERS}"
+        f" FROM {final}"
     )
+
+
+def _pq_sql() -> str:
+    """Product-quantization twin of q_pq_codes: one independent Lloyd
+    trajectory per contiguous subspace slice (DuckDB list slicing is
+    1-based inclusive, = Spark's F.slice(pos, len)), codes joined on
+    vec_id."""
+    parts: list[str] = []
+    finals: list[str] = []
+    sub = PQ_DIM // PQ_M
+    for j in range(PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        p, f = _kmeans_ctes(PQ_K, PQ_ITERS, f"embedding[{lo}:{hi}]", pfx=f"p{j}")
+        parts += p
+        finals.append(f)
+    body = ",\n".join(parts)
+    sel = ", ".join(f"CAST({f}.cid AS INTEGER) AS code{j}" for j, f in enumerate(finals))
+    joins = finals[0] + "".join(f" JOIN {f} USING (vec_id)" for f in finals[1:])
+    return f"WITH {body}\nSELECT vec_id, {sel} FROM {joins}"
 
 
 def _eigen_sql() -> str:
@@ -3359,6 +3405,7 @@ FROM g JOIN top USING (doc_id)
     sql["closeness_4src_chain"] = sql["closeness_4src"]
     sql["eigenvector_centrality"] = _eigen_sql()
     sql["kmeans_embeddings"] = _kmeans_sql()
+    sql["pq_codes"] = _pq_sql()
     sql["diameter_2sweep"] = _diameter_sql()
     sql["temporal_reach"] = _temporal_sql()
     sql["bm25"] = f"""

@@ -120,3 +120,42 @@ def kmeans_cost(
         .groupBy("cluster")
         .agg(F.count("*").alias("n"), F.sum("d2").alias("wcss"))
     )
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each d-dim vector into ``m``
+    contiguous sub-vectors, train an independent k-means codebook per
+    subspace (the same deterministic Lloyd trajectory as kmeans()),
+    and emit the per-subspace cluster ids as integer codes
+    (id_col, code0..code{m-1}).
+
+    The compressed-ANN path at 10^11-vector scale: codes are m bytes
+    per vector instead of 4d, and asymmetric-distance search scans
+    codes against a k×m lookup table. Codebook training cost is
+    m × iters narrow aggregates; assignment is pure codegen (the
+    inlined-centroid argmin kmeans() uses) — no shuffle touches the
+    full vectors beyond the training means.
+
+    Deterministic end-to-end (seeds = k smallest ids, 1e-6 centroid
+    grid, min-cid ties), so the DuckDB oracle replays every codebook
+    and every code bit-for-bit. d must be divisible by m.
+    """
+    dim = emb.select(F.size(vec_col)).first()[0]
+    if dim % m:
+        raise ValueError(f"pq_codes: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out = emb.select(id_col)
+    for j in range(m):
+        subv = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+        )
+        codes = kmeans(subv, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        out = out.join(codes.withColumnRenamed("cluster", f"code{j}"), id_col)
+    return out

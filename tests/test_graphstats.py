@@ -269,3 +269,21 @@ def test_mixture_budget_monotone(spark, tok_docs):
     lo = {(r.lang, r.doc_id) for r in mixture_sample(tok_docs, 500, t).collect()}
     hi = {(r.lang, r.doc_id) for r in mixture_sample(tok_docs, 2000, t).collect()}
     assert lo <= hi  # raising the budget only ADDS rows
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    import pytest as _pytest
+
+    from essentials_spark.ann.kmeans import pq_codes
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) for j in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = pq_codes(emb, m=2, k=4, iters=2)
+    got = codes.collect()
+    assert len(got) == 40 and set(codes.columns) == {"vec_id", "code0", "code1"}
+    assert all(0 <= r.code0 < 4 and 0 <= r.code1 < 4 for r in got)
+    # rerun-stable (deterministic seeds, grid-rounded trajectories)
+    again = {(r.vec_id, r.code0, r.code1) for r in pq_codes(emb, m=2, k=4, iters=2).collect()}
+    assert {(r.vec_id, r.code0, r.code1) for r in got} == again
+    with _pytest.raises(ValueError):
+        pq_codes(emb, m=3)  # 8 % 3 != 0
