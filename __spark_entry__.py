@@ -1597,6 +1597,24 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_TOPK, PQ_NQ = 5, 5
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (ann/kmeans.pq_adc_topk): exact
+    queries vs coded corpus, distance = Σ_j LUT_j[query][code_j]. All
+    post-training arithmetic is INTEGER µ-units (centroids live on the
+    1e-6 grid; queries are quantized half-away-from-zero, the DuckDB
+    round), so every distance is an exact BIGINT — no FP margin
+    argument. The oracle replays codebooks, codes, LUTs, and ranks."""
+    from essentials_spark.ann.kmeans import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_adc_topk(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, topk=PQ_TOPK, n_queries=PQ_NQ
+    )
+
+
 def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (algos/eigen.py): EIG_ROUNDS power
     iterations with L1 normalization over the symmetrized graph;
@@ -1728,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_centrality": q_eigenvector,
         "kmeans_embeddings": q_kmeans,
         "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
         "tool_transitions": q_tool_transitions,
@@ -2318,6 +2337,47 @@ def _pq_sql() -> str:
     sel = ", ".join(f"CAST({f}.cid AS INTEGER) AS code{j}" for j, f in enumerate(finals))
     joins = finals[0] + "".join(f" JOIN {f} USING (vec_id)" for f in finals[1:])
     return f"WITH {body}\nSELECT vec_id, {sel} FROM {joins}"
+
+
+def _pq_adc_sql() -> str:
+    """ADC twin of q_pq_adc: per subspace, the replayed codebook +
+    assignments, a µ-unit integer LUT per (query, cid), and the summed
+    BIGINT distances ranked by (d2_u, neighbor_id)."""
+    parts: list[str] = []
+    finals: list[str] = []
+    sub = PQ_DIM // PQ_M
+    for j in range(PQ_M):
+        p, f = _kmeans_ctes(PQ_K, PQ_ITERS, f"embedding[{j * sub + 1}:{(j + 1) * sub}]", pfx=f"p{j}")
+        parts += p
+        finals.append(f)
+        parts.append(
+            f"qlut{j} AS (SELECT qid, cid, CAST(sum((qu - cu) * (qu - cu)) AS BIGINT) AS pd FROM ("
+            f"  SELECT q.vec_id AS qid, c.cid,"
+            f"    CAST(round(CAST(unnest(q.embedding[{j * sub + 1}:{(j + 1) * sub}]) AS DOUBLE)"
+            f"      * 1000000) AS BIGINT) AS qu,"
+            f"    CAST(round(unnest(c.c) * 1000000) AS BIGINT) AS cu"
+            f"  FROM embeddings q CROSS JOIN p{j}c{PQ_ITERS} c"
+            f"  WHERE q.vec_id < {PQ_NQ}) GROUP BY qid, cid)"
+        )
+    a_joins = f"{finals[0]} a0" + "".join(
+        f" JOIN {f} a{j} USING (vec_id)" for j, f in enumerate(finals) if j
+    )
+    l_joins = " JOIN qlut0 l0 ON l0.cid = a0.cid" + "".join(
+        f" JOIN qlut{j} l{j} ON l{j}.cid = a{j}.cid AND l{j}.qid = l0.qid"
+        for j in range(1, PQ_M)
+    )
+    d2 = " + ".join(f"l{j}.pd" for j in range(PQ_M))
+    parts.append(
+        f"adc AS (SELECT l0.qid AS query_id, a0.vec_id AS neighbor_id,"
+        f" {d2} AS d2_u FROM {a_joins}{l_joins})"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT query_id, neighbor_id, d2_u, CAST(rn AS BIGINT) AS rank FROM ("
+        f"  SELECT query_id, neighbor_id, d2_u,"
+        f"  row_number() OVER (PARTITION BY query_id ORDER BY d2_u, neighbor_id) AS rn"
+        f"  FROM adc) WHERE rn <= {PQ_TOPK}"
+    )
 
 
 def _eigen_sql() -> str:
@@ -3406,6 +3466,7 @@ FROM g JOIN top USING (doc_id)
     sql["eigenvector_centrality"] = _eigen_sql()
     sql["kmeans_embeddings"] = _kmeans_sql()
     sql["pq_codes"] = _pq_sql()
+    sql["pq_adc_topk"] = _pq_adc_sql()
     sql["diameter_2sweep"] = _diameter_sql()
     sql["temporal_reach"] = _temporal_sql()
     sql["bm25"] = f"""

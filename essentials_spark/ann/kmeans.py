@@ -54,17 +54,18 @@ def _assign_expr(v, centroids: list[list[float]]):
     return F.array_min(scored)["cid"]
 
 
-def kmeans(
+def kmeans_train(
     emb: DataFrame,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
-) -> DataFrame:
-    """Returns (id_col, cluster int) under the centroids after
-    ``iters`` Lloyd updates from the deterministic seed (vectors of
-    the k smallest ids, in id order => cid 0..k-1)."""
+) -> list[list[float]]:
+    """The Lloyd training loop alone: returns the k×d centroid list
+    after ``iters`` updates from the deterministic seed (vectors of
+    the k smallest ids, in id order => cid 0..k-1). Centroids live on
+    the 1e-6 grid — the driver-side state is O(k·d), never data."""
     dim_row = emb.select(F.size(vec_col)).first()
     if dim_row is None:
         raise ValueError("kmeans: empty input")
@@ -84,13 +85,37 @@ def kmeans(
         )
         for r in means:  # empty clusters keep their old centroid
             centroids[r["cluster"]] = [float(r[f"m{i}"]) for i in range(dim)]
-
-    out = rows.select(
-        F.col("_id").alias(id_col),
-        _assign_expr(F.col("v"), centroids).cast("int").alias("cluster"),
-    )
     rows.unpersist()
-    return out
+    return centroids
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cluster int) under fixed centroids — pure codegen."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(
+        F.col(id_col),
+        _assign_expr(v, centroids).cast("int").alias("cluster"),
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Returns (id_col, cluster int) under the centroids after
+    ``iters`` Lloyd updates from the deterministic seed (vectors of
+    the k smallest ids, in id order => cid 0..k-1)."""
+    centroids = kmeans_train(emb, k, iters, id_col, vec_col, round_decimals)
+    return kmeans_assign(emb, centroids, id_col, vec_col)
 
 
 def kmeans_cost(
@@ -159,3 +184,124 @@ def pq_codes(
         codes = kmeans(subv, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
         out = out.join(codes.withColumnRenamed("cluster", f"code{j}"), id_col)
     return out
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """One deterministic Lloyd codebook per contiguous subspace;
+    returns m × k × (d/m) centroid lists (driver-side, O(m·k·d))."""
+    dim = emb.select(F.size(vec_col)).first()[0]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        subv = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+        )
+        books.append(kmeans_train(subv, k=k, iters=iters, id_col=id_col, vec_col=vec_col))
+    return books
+
+
+def _round_half_away(v: float, scale: int = 1_000_000) -> int:
+    """round(v*scale) with DuckDB semantics (half away from zero) —
+    Python's round() is banker's and would diverge on exact .5."""
+    import math
+
+    x = v * scale
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: queries (the vectors
+    with id < n_queries) stay exact; corpus vectors are represented by
+    their m subspace codes; distance(q, x) = Σ_j LUT_j[q][code_j(x)],
+    the squared L2 between q's j-th slice and x's j-th centroid.
+
+    EVERYTHING after codebook training is integer algebra in µ-units:
+    centroids live on the 1e-6 grid and queries are quantized to it
+    (half-away-from-zero, the DuckDB round), so the LUT entries and
+    the summed distances are exact BIGINTs — the oracle replays every
+    distance bit-for-bit, no FP margin argument needed. The µ-unit
+    quantization perturbs true distances by O(1e-6·scale) — far below
+    PQ's own quantization error, and identical in both engines.
+
+    Scale shape: one pass assigning codes (inlined-centroid codegen),
+    a broadcast of n_queries × m × k LUT ints folded into ONE column
+    expression per query, and a top-k window over n_queries
+    partitions. The corpus is scanned once; no shuffle touches
+    vectors. Returns (query_id, neighbor_id, d2_u, rank)."""
+    dim = emb.select(F.size(vec_col)).first()[0]
+    sub = dim // m
+    books = pq_train(emb, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+
+    # per-subspace codes, joined into one row per vector
+    codes = emb.select(F.col(id_col), F.col(vec_col))
+    for j in range(m):
+        cj = kmeans_assign(
+            emb.select(F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)),
+            books[j],
+            id_col=id_col,
+            vec_col=vec_col,
+        ).withColumnRenamed("cluster", f"_c{j}")
+        codes = codes.join(cj, id_col)
+
+    # µ-unit LUTs per query (driver-side: n_queries × m × k ints)
+    qrows = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .orderBy("_qid")
+        .collect()
+    )
+    cent_u = [
+        [[_round_half_away(x) for x in c] for c in books[j]] for j in range(m)
+    ]
+    per_query = []
+    for r in qrows:
+        q_u = [_round_half_away(float(x)) for x in r["_qv"]]
+        d2 = None
+        for j in range(m):
+            lut = [
+                sum(
+                    (q_u[j * sub + t] - cent_u[j][c][t]) ** 2
+                    for t in range(sub)
+                )
+                for c in range(k)
+            ]
+            term = F.element_at(
+                F.array(*[F.lit(x).cast("long") for x in lut]), F.col(f"_c{j}") + 1
+            )
+            d2 = term if d2 is None else d2 + term
+        per_query.append(
+            codes.select(
+                F.lit(int(r["_qid"])).cast("long").alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                d2.cast("long").alias("d2_u"),
+            )
+        )
+    scored = per_query[0]
+    for df in per_query[1:]:
+        scored = scored.unionByName(df)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("d2_u", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "d2_u", F.col("rank").cast("long").alias("rank"))
+    )

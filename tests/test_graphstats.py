@@ -287,3 +287,44 @@ def test_pq_codes_shape_and_determinism(spark):
     assert {(r.vec_id, r.code0, r.code1) for r in got} == again
     with _pytest.raises(ValueError):
         pq_codes(emb, m=3)  # 8 % 3 != 0
+
+
+def test_pq_adc_distances_match_reconstruction(spark):
+    # ADC d2_u must equal the exact integer distance between the
+    # µ-quantized query slices and the coded vector's centroid slices
+    from essentials_spark.ann.kmeans import (
+        _round_half_away,
+        kmeans_assign,
+        pq_adc_topk,
+        pq_train,
+    )
+
+    rows = [(i, [float((i * 5 + j * 7) % 11) / 3.0 for j in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m, k, iters, sub = 2, 4, 2, 4
+    out = pq_adc_topk(emb, m=m, k=k, iters=iters, topk=30, n_queries=2).collect()
+
+    books = pq_train(emb, m=m, k=k, iters=iters)
+    codes = {}
+    for j in range(m):
+        subv = emb.selectExpr("vec_id", f"slice(embedding, {j * sub + 1}, {sub}) AS embedding")
+        for r in kmeans_assign(subv, books[j]).collect():
+            codes.setdefault(r.vec_id, {})[j] = r.cluster
+    vecs = {i: v for i, v in rows}
+    for r in out:
+        q = vecs[r.query_id]
+        want = 0
+        for j in range(m):
+            c = books[j][codes[r.neighbor_id][j]]
+            want += sum(
+                (_round_half_away(q[j * sub + t]) - _round_half_away(c[t])) ** 2
+                for t in range(sub)
+            )
+        assert r.d2_u == want, (r.query_id, r.neighbor_id)
+    # ranks are dense 1..30 per query, ordered by (d2_u, neighbor_id)
+    for qid in (0, 1):
+        rs = sorted((r for r in out if r.query_id == qid), key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, 31))
+        assert all(
+            (a.d2_u, a.neighbor_id) < (b.d2_u, b.neighbor_id) for a, b in zip(rs, rs[1:])
+        )
