@@ -1018,6 +1018,30 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution by QUALITY (dedup/minhash.
+    dedup_keep_best): the minhash_dedup clusters re-resolved to keep
+    the highest-quality member per cluster (ties to the smallest id)
+    instead of the min-id default — the keep-the-best-copy policy a
+    curation pipeline wants. Scores are quality·1e6 BIGINTs, so the
+    argmax is exact; the oracle replays the full minhash pipeline plus
+    the quality expression plus the argmax."""
+    from essentials_spark.dedup.minhash import dedup_keep_best, minhash_dedup
+    from essentials_spark.text.analysis import quality_score
+
+    docs = _docs(spark, sf_dir)
+    clusters = minhash_dedup(docs, shingle_k=3, min_sim=0.5, portable=True).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+    scores = quality_score(docs).select(
+        "doc_id", F.round(F.col("quality") * 1e6).cast("long").alias("q_ppm")
+    )
+    out = dedup_keep_best(
+        clusters, scores, id_col="doc_id", cluster_col="cluster", score_col="q_ppm"
+    )
+    return out.select("doc_id", "cluster", "keep")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from essentials_spark.dedup.simhash import simhash
 
@@ -1747,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc,
+        "dedup_keep_best": q_dedup_keep_best,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
         "tool_transitions": q_tool_transitions,
@@ -2753,6 +2778,35 @@ SELECT id, label AS cluster, (id = label) AS keep FROM l{cc_rounds}
 """
 
 
+def _keep_best_sql(cc_rounds: int = 12) -> str:
+    """Twin of q_dedup_keep_best: minhash clusters (the l{cc_rounds}
+    chain) + the doc_quality expression as a q_ppm BIGINT + argmax per
+    cluster with min-id ties (row_number ORDER BY q_ppm DESC, id)."""
+    return f"""
+WITH {_minhash_ctes(cc_rounds=cc_rounds)},
+kbq AS (
+  SELECT doc_id, CAST(round(round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+      least(1.0, n_tokens / 100.0) * 0.4
+      + (1.0 - least(1.0, n_punct / CAST(greatest(n_tokens, 1) AS DOUBLE))) * 0.2
+      + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.4 END, 6) * 1e6) AS BIGINT) AS q_ppm
+  FROM (
+    SELECT doc_id,
+      length(string_split(trim(text), ' ')) AS n_tokens,
+      length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+      length(list_distinct(string_split(trim(text), ' '))) AS n_distinct
+    FROM documents)
+),
+kbw AS (
+  SELECT cluster, id AS winner FROM (
+    SELECT l.label AS cluster, l.id,
+      row_number() OVER (PARTITION BY l.label ORDER BY q.q_ppm DESC, l.id ASC) AS rn
+    FROM l{cc_rounds} l JOIN kbq q ON q.doc_id = l.id) WHERE rn = 1
+)
+SELECT l.id AS doc_id, l.label AS cluster, (l.id = w.winner) AS keep
+FROM l{cc_rounds} l JOIN kbw w ON w.cluster = l.label
+"""
+
+
 def _simhash_sql(nbits: int = 32) -> str:
     """DuckDB twin of q_simhash (portable 32-bit signature)."""
     bit_terms = " + ".join(
@@ -3467,6 +3521,7 @@ FROM g JOIN top USING (doc_id)
     sql["kmeans_embeddings"] = _kmeans_sql()
     sql["pq_codes"] = _pq_sql()
     sql["pq_adc_topk"] = _pq_adc_sql()
+    sql["dedup_keep_best"] = _keep_best_sql()
     sql["diameter_2sweep"] = _diameter_sql()
     sql["temporal_reach"] = _temporal_sql()
     sql["bm25"] = f"""

@@ -230,3 +230,38 @@ def minhash_dedup(
         F.col("label").alias("cluster"),
         (F.col("vid") == F.col("label")).alias("keep"),
     )
+
+
+def dedup_keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """Cluster resolution for near-dup dedup: instead of keeping the
+    MIN-id representative (minhash_dedup's default), keep the member
+    with the highest score (ties to the smallest id) — the "keep the
+    best copy" policy pretraining pipelines actually want (highest
+    quality / longest / freshest, any integer score).
+
+    (clusters: (id_col, cluster_col)) ⋈ (scores: (id_col, score_col))
+    → (id_col, cluster_col, keep: bool). One cluster-scale groupBy +
+    one hash join back; both shuffles key on the cluster id, so the
+    exchange is reused. Integer scores keep the argmax exact across
+    engines (pass quality·1e6, a length, a timestamp — never raw FP).
+    """
+    j = clusters.join(scores.select(id_col, score_col), id_col)
+    win = j.groupBy(cluster_col).agg(
+        F.min(
+            F.struct((-F.col(score_col)).alias("s"), F.col(id_col).alias("i"))
+        )["i"].alias("_winner")
+    )
+    return (
+        j.join(win, cluster_col)
+        .select(
+            id_col,
+            cluster_col,
+            (F.col(id_col) == F.col("_winner")).alias("keep"),
+        )
+    )

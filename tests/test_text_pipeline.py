@@ -123,3 +123,19 @@ def test_repetition_stats_plan_is_narrow(spark):
     docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
     plan = repetition_stats(docs, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dedup_keep_best_argmax_and_ties(spark):
+    from essentials_spark.dedup.minhash import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50), (6, 50)],
+        "id long, cluster long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1), (5, 7), (6, 7)], "id long, score long"
+    )
+    out = {r.id: r.keep for r in dedup_keep_best(clusters, scores).collect()}
+    # cluster 10: max score 9 tie between 2 and 3 -> min id 2
+    # cluster 40: singleton keeps; cluster 50: tie 5/6 -> 5
+    assert out == {1: False, 2: True, 3: False, 4: True, 5: True, 6: False}
