@@ -1395,6 +1395,32 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "community")
 
 
+LOUVAIN_MIS_ROUNDS = 6
+
+
+def q_louvain_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIS-scheduled Louvain phase-1 (algos/louvain.py mode='mis'):
+    each round moves the hash-local-minima independent set of a fresh
+    per-round md5 hash — color-schedule chase-freedom (movers are
+    pairwise non-adjacent) at ~n/3 movers per round with no coloring
+    precompute. Hash = md5-int60(vkey || ':' || round), ties on the
+    key (order-isomorphic to vids), so the whole schedule replays
+    bit-for-bit."""
+    from essentials_spark.algos.louvain import louvain
+    from essentials_spark.functions.portable_hash import md5_int60
+
+    kg, sg = _sym_graph(spark, sf_dir)
+
+    def mis_hash(verts: DataFrame, r: int) -> DataFrame:
+        return verts.join(kg.vkeys, "vid").select(
+            "vid", md5_int60(F.concat(F.col("skey"), F.lit(f":{r}"))).alias("h")
+        )
+
+    labels = louvain(sg, rounds=LOUVAIN_MIS_ROUNDS, mode="mis", mis_hash=mis_hash)
+    lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("community"))
+    return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "community")
+
+
 def q_louvain2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full two-level Louvain (algos/louvain.louvain_multilevel):
     phase-1 moves, phase-2 coarsening into a WEIGHTED super-graph
@@ -1760,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_conv": q_modularity,
         "louvain_semi": q_louvain,
         "louvain_2level": q_louvain2,
+        "louvain_mis": q_louvain_mis,
         "degree_assortativity": q_assortativity,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition,
@@ -1979,15 +2006,28 @@ def _lp_sql(semi: bool = False) -> str:
     return f"WITH {body}\nSELECT vkey AS skey, lab AS lp_label FROM m{LP_ROUNDS}"
 
 
-def _louvain_round_ctes(i: int, pfx: str, edges: str, deg: str, weighted: bool) -> list[str]:
+def _louvain_round_ctes(
+    i: int, pfx: str, edges: str, deg: str, weighted: bool, movers: str | None = None
+) -> list[str]:
     """CTEs for one semi-sync Louvain move round over labels
     ``{pfx}{i}`` -> ``{pfx}{i+1}``. ``weighted``: edge table carries a
     w column (the coarsened multigraph); level 0 rows weigh 1. Argmax
     with min-label ties = max(score) then min(lab), ≡ Spark's
     min(struct(-score, lab)); adoption restricted to the round's
-    md5-parity half. Self-loop rows are excluded from e_ic (they move
-    with the vertex) but kept in k/D_c — standard Blondel k_{i,in}."""
+    md5-parity half — or, when ``movers`` names a (vkey) CTE, to its
+    membership (the MIS schedule). Self-loop rows are excluded from
+    e_ic (they move with the vertex) but kept in k/D_c — standard
+    Blondel k_{i,in}."""
     w = "e.w" if weighted else "1"
+    if movers is None:
+        adopt = (
+            f"CASE WHEN (ascii(substr(md5(l.vkey), 1, 1)) % 2) = {i % 2}"
+            f" THEN coalesce(p.lab, l.lab) ELSE l.lab END"
+        )
+        mv_join = ""
+    else:
+        adopt = "CASE WHEN mv.vkey IS NOT NULL THEN coalesce(p.lab, l.lab) ELSE l.lab END"
+        mv_join = f" LEFT JOIN {movers} mv ON mv.vkey = l.vkey"
     return [
         f"{pfx}cd{i} AS (SELECT vkey, lc, CAST(sum(c) AS BIGINT) AS e_ic FROM ("
         f"   SELECT e.src AS vkey, l.lab AS lc, {w} AS c FROM {edges} e"
@@ -2004,10 +2044,8 @@ def _louvain_round_ctes(i: int, pfx: str, edges: str, deg: str, weighted: bool) 
         f"{pfx}pk{i} AS (SELECT s.vkey, min(s.lc) AS lab FROM {pfx}sc{i} s"
         f" JOIN (SELECT vkey, max(score) AS ms FROM {pfx}sc{i} GROUP BY vkey) x"
         f" ON x.vkey = s.vkey AND s.score = x.ms GROUP BY s.vkey)",
-        f"{pfx}{i + 1} AS (SELECT l.vkey,"
-        f" CASE WHEN (ascii(substr(md5(l.vkey), 1, 1)) % 2) = {i % 2}"
-        f" THEN coalesce(p.lab, l.lab) ELSE l.lab END AS lab"
-        f" FROM {pfx}{i} l LEFT JOIN {pfx}pk{i} p ON p.vkey = l.vkey)",
+        f"{pfx}{i + 1} AS (SELECT l.vkey, {adopt} AS lab"
+        f" FROM {pfx}{i} l LEFT JOIN {pfx}pk{i} p ON p.vkey = l.vkey{mv_join})",
     ]
 
 
@@ -2029,6 +2067,36 @@ def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
     louvain(mode='semi', semi_parity=md5-parity): per round, integer
     scores 2m·e_ic − k·(D_c − k·[own])."""
     body = ",\n".join(_louvain_level1_parts(rounds))
+    return f"WITH {body}\nSELECT vkey AS skey, lab AS community FROM v{rounds}"
+
+
+def _louvain_mis_sql(rounds: int) -> str:
+    """Twin of q_louvain_mis: per round, a fresh md5-int60 hash of
+    (vkey || ':' || round), the hash-local-minima independent set
+    (strictly smaller (h, vkey) than EVERY neighbor — vkey ties are
+    order-isomorphic to the Spark vid ties), and the move round with
+    adoption restricted to that set."""
+    from essentials_spark.functions.portable_hash import sql_md5_int60
+
+    parts = [
+        _PRELUDE,
+        "deg AS (SELECT v.vkey, CAST(coalesce(d.k, 0) AS BIGINT) AS k FROM verts v"
+        " LEFT JOIN (SELECT src AS vkey, count(*) AS k FROM sym GROUP BY src) d USING (vkey))",
+        "tm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM sym)",
+        "v0 AS (SELECT vkey, vkey AS lab FROM verts)",
+    ]
+    for i in range(rounds):
+        h = sql_md5_int60(f"vkey || ':{i}'")
+        parts.append(f"mh{i} AS (SELECT vkey, {h} AS h FROM verts)")
+        parts.append(
+            f"mm{i} AS (SELECT v.vkey FROM verts v LEFT JOIN ("
+            f"  SELECT DISTINCT e.src AS vkey FROM sym e"
+            f"  JOIN mh{i} a ON a.vkey = e.src JOIN mh{i} b ON b.vkey = e.dst"
+            f"  WHERE b.h < a.h OR (b.h = a.h AND e.dst < e.src)"
+            f") l ON l.vkey = v.vkey WHERE l.vkey IS NULL)"
+        )
+        parts += _louvain_round_ctes(i, "v", "sym", "deg", weighted=False, movers=f"mm{i}")
+    body = ",\n".join(parts)
     return f"WITH {body}\nSELECT vkey AS skey, lab AS community FROM v{rounds}"
 
 
@@ -3569,6 +3637,7 @@ SELECT doc_id, CAST(round(sum(part) * 1e6) AS BIGINT) AS bm25_ppm FROM part GROU
     )
     sql["louvain_semi"] = _louvain_sql()
     sql["louvain_2level"] = _louvain2_sql()
+    sql["louvain_mis"] = _louvain_mis_sql(LOUVAIN_MIS_ROUNDS)
     _mix_share = "CASE lang " + " ".join(
         f"WHEN '{g}' THEN {s}" for g, s in sorted(MIX_TARGETS_PPM.items())
     ) + " ELSE 0 END"

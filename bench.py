@@ -266,9 +266,10 @@ def main() -> None:
         "vertex x 10 steps (--kernel csr for the packed gather kernel)",
     )
     ap.add_argument(
-        "--method", default="hindex", choices=["hindex", "local", "peel", "node2vec"],
+        "--method", default="hindex", choices=["hindex", "local", "peel", "node2vec", "color"],
         help="kcore probe: fixpoint variant (local = bucketed local-fixpoint "
-        "kernels); walks probe: 'node2vec' switches to second-order biased walks",
+        "kernels); walks probe: 'node2vec' switches to second-order biased walks; "
+        "louvain probe: 'color' adds the coloring-scheduled run (expensive)",
     )
     ap.add_argument(
         "--batch-pct", type=int, default=10,
@@ -807,19 +808,30 @@ def main() -> None:
                 n2 = l2.select("label").distinct().count()
                 t2 = time.perf_counter() - t0
                 q2 = _mod(gs.edges, l2).collect()[0].q_ppm
-                # color-scheduled moves (no label chasing): 2 sweeps
-                # per level ~= 2*n_colors move rounds
+                # MIS-scheduled moves: color-schedule chase-freedom at
+                # ~n/3 movers/round; 6 rounds ~= 2 sweeps per level
                 t0 = time.perf_counter()
-                lc = _lml(gs, level_rounds=(2, 2), mode="color", guard=True)
-                nc = lc.select("label").distinct().count()
-                tc_ = time.perf_counter() - t0
-                qc = _mod(gs.edges, lc).collect()[0].q_ppm
-                meta_per_pass.append({
+                lm = _lml(gs, level_rounds=(6, 6), mode="mis", guard=True)
+                nm = lm.select("label").distinct().count()
+                tm_ = time.perf_counter() - t0
+                qm = _mod(gs.edges, lm).collect()[0].q_ppm
+                meta = {
                     "phase1_sec": round(t1, 3), "two_level_sec": round(t2, 3),
-                    "color_sec": round(tc_, 3),
-                    "n_comm_1l": n1, "n_comm_2l": n2, "n_comm_color": nc,
-                    "q_ppm_1l": int(q1), "q_ppm_2l": int(q2), "q_ppm_color": int(qc),
-                })
+                    "mis_sec": round(tm_, 3),
+                    "n_comm_1l": n1, "n_comm_2l": n2, "n_comm_mis": nm,
+                    "q_ppm_1l": int(q1), "q_ppm_2l": int(q2), "q_ppm_mis": int(qm),
+                }
+                if args.method == "color":
+                    # color-scheduled moves: same chase-freedom, but a
+                    # sweep costs n_colors sequential sub-rounds (29
+                    # measured on the 200k graph) — the expensive path
+                    t0 = time.perf_counter()
+                    lc = _lml(gs, level_rounds=(2, 2), mode="color", guard=True)
+                    nc = lc.select("label").distinct().count()
+                    meta["color_sec"] = round(time.perf_counter() - t0, 3)
+                    meta["n_comm_color"] = nc
+                    meta["q_ppm_color"] = int(_mod(gs.edges, lc).collect()[0].q_ppm)
+                meta_per_pass.append(meta)
             else:  # lp convergence mode
                 from essentials_spark.algos import label_propagation as _lp
 

@@ -144,11 +144,35 @@ def louvain_move_round(
     )
 
 
+def _mis_movers(edges: DataFrame, hvals: DataFrame) -> DataFrame:
+    """Hash-local-minima independent set: v moves iff (h(v), v) <
+    (h(u), u) for EVERY neighbor u — one edge-scale anti-join, no ties
+    (vid breaks them). Luby-style: expected Σ 1/(deg(v)+1) movers per
+    round (≈ n/3 on the transcript graph), every mover's neighborhood
+    frozen — the same chase-freedom a proper coloring gives, without
+    the coloring precompute or its n_colors sequential sub-rounds
+    (measured 29 colors on the 200k-conversation graph)."""
+    hs = hvals.select(F.col("vid").alias("src"), F.col("h").alias("hs"))
+    hd = hvals.select(F.col("vid").alias("dst"), F.col("h").alias("hd"))
+    losers = (
+        edges.join(hs, "src")
+        .join(hd, "dst")
+        .filter(
+            (F.col("hd") < F.col("hs"))
+            | ((F.col("hd") == F.col("hs")) & (F.col("dst") < F.col("src")))
+        )
+        .select(F.col("src").alias("vid"))
+        .distinct()
+    )
+    return hvals.select("vid").join(losers, "vid", "left_anti")
+
+
 def louvain(
     g: Graph,
     rounds: int = 2,
     mode: str = "sync",
     semi_parity: DataFrame | None = None,
+    mis_hash: "callable | None" = None,
 ) -> DataFrame:
     """`rounds` Louvain phase-1 move rounds from singleton
     communities; returns (vid, label). Deterministic — fixed round
@@ -167,10 +191,20 @@ def louvain(
     only halves (two same-parity neighbors may still swap A->B while
     B->C in one round), at the cost of ~n_colors rounds per full
     sweep. ``rounds`` counts SWEEPS here (each sweep = n_colors move
-    rounds), so quality is comparable across modes."""
+    rounds), so quality is comparable across modes.
+
+    ``mode='mis'``: round r moves the hash-local-minima independent
+    set of a fresh per-round hash (``mis_hash``: fn(vertices, r) ->
+    (vid, h); default xxhash64(vid, r)) — the same per-round
+    chase-freedom as 'color' (movers are pairwise non-adjacent) but
+    ~n/3 movers per round instead of n/n_colors, no coloring
+    precompute, and each round costs one extra edge-scale anti-join.
+    ``rounds`` counts MOVE ROUNDS here (3 rounds ≈ one full sweep in
+    expectation). The schedule is deterministic and, with an
+    md5-of-key hash, ANSI-SQL-replayable (the gated entry's choice)."""
     from essentials_spark.engine.superstep import truncate_plan
 
-    if mode not in ("sync", "semi", "color"):
+    if mode not in ("sync", "semi", "color", "mis"):
         raise ValueError(f"unknown louvain mode {mode!r}")
     degrees = truncate_plan(_degrees(g))
     two_m = int(_weighted(g.edges).agg(F.sum("w")).collect()[0][0] or 0)
@@ -195,10 +229,26 @@ def louvain(
         par = truncate_plan(_color(cg).select("vid", F.col("color").cast("int").alias("par")))
         n_colors = int(par.agg(F.max("par")).collect()[0][0] or 0) + 1
         schedule = [(r, r % n_colors) for r in range(rounds * n_colors)]
-    else:
+    else:  # sync and mis: one entry per move round
         schedule = [(r, -1) for r in range(rounds)]
-    for _r, cls in schedule:
-        movers = par.filter(F.col("par") == cls).select("vid") if par is not None else None
+    mis_edges = None
+    if mode == "mis":
+        mis_edges = truncate_plan(
+            g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+        )
+    for r, cls in schedule:
+        if mode == "mis":
+            if mis_hash is not None:
+                hvals = mis_hash(g.vertices.select("vid"), r)
+            else:
+                hvals = g.vertices.select(
+                    "vid", F.xxhash64(F.col("vid"), F.lit(r)).alias("h")
+                )
+            movers = _mis_movers(mis_edges, hvals)
+        else:
+            movers = (
+                par.filter(F.col("par") == cls).select("vid") if par is not None else None
+            )
         labels = truncate_plan(louvain_move_round(g, labels, degrees, two_m, movers=movers))
     return labels
 
@@ -232,6 +282,7 @@ def louvain_multilevel(
     semi_parity: DataFrame | None = None,
     coarse_parity: "callable | None" = None,
     guard: bool = False,
+    mis_hash: "callable | None" = None,
 ) -> DataFrame:
     """Full multi-level Louvain: phase-1 move rounds, coarsen, repeat
     on the super-graph, then compose the mappings back down to the
@@ -267,7 +318,9 @@ def louvain_multilevel(
                 par = semi_parity
             elif coarse_parity is not None:
                 par = coarse_parity(cur.vertices)
-        labels = louvain(cur, rounds=rounds, mode=mode, semi_parity=par)
+        # mis_hash keys on vid, and coarser vids are level-0 vids, so
+        # one hash closure covers every level (unlike semi's parity)
+        labels = louvain(cur, rounds=rounds, mode=mode, semi_parity=par, mis_hash=mis_hash)
         if assign is None:
             composed = labels
         else:

@@ -328,3 +328,40 @@ def test_pq_adc_distances_match_reconstruction(spark):
         assert all(
             (a.d2_u, a.neighbor_id) < (b.d2_u, b.neighbor_id) for a, b in zip(rs, rs[1:])
         )
+
+
+def test_louvain_mis_schedule_merges_and_is_independent(spark):
+    # per-round hash-local-minima movers are pairwise non-adjacent, so
+    # MIS mode has color mode's chase-freedom: the ring of triangles
+    # must coarsen with HIGHER modularity at 2 levels, no tuned parity
+    from essentials_spark.algos.graphstats import modularity
+    from essentials_spark.algos.louvain import _mis_movers, louvain_multilevel
+
+    ncl = 20
+    pairs = []
+    for i in range(ncl):
+        b = 3 * i
+        pairs += [(b, b + 1), (b + 1, b + 2), (b, b + 2)]
+        pairs.append((b + 2, (b + 3) % (3 * ncl)))
+    g = _graph(spark, pairs, 3 * ncl)
+
+    # movers of any round form an independent set
+    hv = g.vertices.select("vid", F.xxhash64("vid", F.lit(0)).alias("h"))
+    mv = _mis_movers(g.edges, hv)
+    both = g.edges.join(mv.withColumnRenamed("vid", "src"), "src").join(
+        mv.withColumnRenamed("vid", "dst"), "dst"
+    )
+    assert both.count() == 0
+
+    # measured deterministic outcomes (xxhash64 schedule): 10 rounds
+    # land near the triangle partition (21 communities, one early
+    # cross-triangle merge), and the coarse level merges to 9 with a
+    # large modularity gain — 0.676 -> 0.7725 (ideal pairing = 0.775)
+    one = louvain_multilevel(g, level_rounds=(10,), mode="mis")
+    two = louvain_multilevel(g, level_rounds=(10, 10), mode="mis")
+    q1 = modularity(g.edges, one).collect()[0].q_ppm
+    q2 = modularity(g.edges, two).collect()[0].q_ppm
+    n1 = one.select("label").distinct().count()
+    n2 = two.select("label").distinct().count()
+    assert (n1, q1) == (21, 676172)
+    assert (n2, q2) == (9, 772500)
