@@ -1018,6 +1018,39 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKETCH_M, CM_DEPTH, CM_WIDTH = 4096, 4, 1024
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct estimate (ops/sketch.linear_count) of
+    events.user_id: md5-int60 buckets make the sketch a pure function
+    of the input SET — same estimate at any parallelism, replayed
+    exactly by the oracle (-m·ln(V/m) over identical integers; the
+    one ln/round pair is the only FP step)."""
+    from essentials_spark.ops.sketch import linear_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return linear_count(ev, "user_id", m=SKETCH_M)
+
+
+def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (ops/sketch.count_min_table/_query)
+    over the corpus token stream: the depth×width matrix is ONE
+    groupBy (constant-size output, a mergeable monoid — streaming/
+    incremental safe), point queries broadcast it. md5-salted rows
+    make every cell, and thus every estimate, oracle-exact; the
+    conservative-overestimate property (est >= true count) is what
+    heavy-hitter screens rely on."""
+    from essentials_spark.ops.sketch import count_min_query, count_min_table
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    table = count_min_table(toks, "token", depth=CM_DEPTH, width=CM_WIDTH)
+    out = count_min_query(table, toks, "token", depth=CM_DEPTH, width=CM_WIDTH)
+    return out.select("token", "est")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution by QUALITY (dedup/minhash.
     dedup_keep_best): the minhash_dedup clusters re-resolved to keep
@@ -1799,6 +1832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc,
         "dedup_keep_best": q_dedup_keep_best,
+        "sketch_distinct": q_sketch_distinct,
+        "sketch_freq": q_sketch_freq,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
         "tool_transitions": q_tool_transitions,
@@ -3247,6 +3282,8 @@ def _tool_transitions_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from essentials_spark.functions.portable_hash import sql_md5_int60 as _h60
+
     sql: dict[str, str] = {}
 
     sql["transcripts_from_events"] = (
@@ -3590,6 +3627,31 @@ FROM g JOIN top USING (doc_id)
     sql["pq_codes"] = _pq_sql()
     sql["pq_adc_topk"] = _pq_adc_sql()
     sql["dedup_keep_best"] = _keep_best_sql()
+    sql["sketch_distinct"] = (
+        f"WITH lb AS (SELECT DISTINCT ({_h60('CAST(user_id AS VARCHAR)')}"
+        f" % {SKETCH_M}) AS b FROM events),"
+        f" lo AS (SELECT CAST(count(*) AS BIGINT) AS occupied FROM lb)"
+        f" SELECT CAST({SKETCH_M} AS BIGINT) AS n_buckets, occupied,"
+        f" CAST(CASE WHEN occupied >= {SKETCH_M} THEN -1 WHEN occupied = 0 THEN 0"
+        f" ELSE round(-{SKETCH_M}.0 * ln(({SKETCH_M} - occupied) / {SKETCH_M}.0))"
+        f" END AS BIGINT) AS estimate FROM lo"
+    )
+    _cm_rows = " UNION ALL ".join(
+        f"SELECT {d} AS d, ({_h60(repr(str(d) + '|') + ' || k')} % {CM_WIDTH}) AS b FROM cmtok"
+        for d in range(CM_DEPTH)
+    )
+    _cm_probe = " UNION ALL ".join(
+        f"SELECT k, {d} AS d, ({_h60(repr(str(d) + '|') + ' || k')} % {CM_WIDTH}) AS b FROM cmq"
+        for d in range(CM_DEPTH)
+    )
+    sql["sketch_freq"] = (
+        "WITH cmtok AS (SELECT unnest(string_split(trim(text), ' ')) AS k FROM documents),"
+        f" cm AS (SELECT d, b, CAST(count(*) AS BIGINT) AS c FROM ({_cm_rows}) GROUP BY d, b),"
+        " cmq AS (SELECT DISTINCT k FROM cmtok),"
+        f" pr AS ({_cm_probe})"
+        " SELECT pr.k AS token, CAST(min(coalesce(cm.c, 0)) AS BIGINT) AS est"
+        " FROM pr LEFT JOIN cm USING (d, b) GROUP BY pr.k"
+    )
     sql["diameter_2sweep"] = _diameter_sql()
     sql["temporal_reach"] = _temporal_sql()
     sql["bm25"] = f"""
@@ -3625,7 +3687,6 @@ SELECT doc_id, CAST(round(sum(part) * 1e6) AS BIGINT) AS bm25_ppm FROM part GROU
         " ELSE 0 END AS BIGINT) AS transitivity_ppm"
         " FROM ct CROSS JOIN wg"
     )
-    from essentials_spark.functions.portable_hash import sql_md5_int60 as _h60
 
     _rate_case = "CASE lang " + " ".join(
         f"WHEN '{g}' THEN {r}" for g, r in sorted(SAMPLE_RATES_PPM.items())

@@ -662,3 +662,74 @@ def test_kmeans_deterministic(spark):
     a = sorted(map(tuple, kmeans(emb, k=4, iters=2).collect()))
     b = sorted(map(tuple, kmeans(emb, k=4, iters=2).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches (ops/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_linear_count_accuracy_and_determinism(spark):
+    from essentials_spark.ops.sketch import linear_count
+
+    df = spark.range(3000).select(F.col("id").alias("k"))
+    r1 = linear_count(df, "k", m=4096).collect()[0]
+    assert abs(r1.estimate - 3000) / 3000 < 0.05  # ~2% expected error at t≈0.73
+    # pure function of the input SET: layout-independent
+    r2 = linear_count(df.repartition(13), "k", m=4096).collect()[0]
+    assert (r1.occupied, r1.estimate) == (r2.occupied, r2.estimate)
+    # duplicates don't change the estimate (cardinality, not count)
+    r3 = linear_count(df.union(df), "k", m=4096).collect()[0]
+    assert r3.estimate == r1.estimate
+
+
+def test_linear_count_edges(spark):
+    from essentials_spark.ops.sketch import linear_count
+
+    empty = spark.createDataFrame([], "k long")
+    assert linear_count(empty, "k", m=64).collect()[0].estimate == 0
+    # saturation: more distincts than buckets -> every bucket occupied
+    big = spark.range(5000).select(F.col("id").alias("k"))
+    assert linear_count(big, "k", m=16).collect()[0].estimate == -1
+
+
+def test_count_min_overestimates_never_under(spark):
+    from essentials_spark.ops.sketch import count_min_query, count_min_table
+
+    rows = [(f"w{i % 50}",) for i in range(2000)] + [("rare",)]
+    df = spark.createDataFrame(rows, "token string")
+    true = {r.token: r.c for r in df.groupBy("token").agg(F.count("*").alias("c")).collect()}
+    table = count_min_table(df, "token", depth=4, width=64)
+    est = {
+        r.token: r.est
+        for r in count_min_query(table, df, "token", depth=4, width=64).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)  # conservative property
+    # wide table, few keys: no collisions -> exact
+    wide = count_min_table(df, "token", depth=4, width=4096)
+    est_w = {
+        r.token: r.est
+        for r in count_min_query(wide, df, "token", depth=4, width=4096).collect()
+    }
+    assert est_w == true
+
+
+def test_count_min_is_a_monoid(spark):
+    # cell-wise ADDITION of two batch tables == table of the union —
+    # the property that makes the sketch incremental/streaming-safe
+    from essentials_spark.ops.sketch import count_min_table
+
+    a = spark.createDataFrame([(f"x{i % 7}",) for i in range(100)], "token string")
+    b = spark.createDataFrame([(f"x{i % 11}",) for i in range(80)], "token string")
+    merged = (
+        count_min_table(a, "token", depth=2, width=32)
+        .unionByName(count_min_table(b, "token", depth=2, width=32))
+        .groupBy("d", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = count_min_table(a.union(b), "token", depth=2, width=32)
+    diff = merged.join(whole, ["d", "b"], "full").filter(
+        F.coalesce(merged["c"], F.lit(0)) != F.coalesce(whole["c"], F.lit(0))
+    )
+    assert diff.count() == 0
