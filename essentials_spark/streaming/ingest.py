@@ -266,3 +266,47 @@ class GraphMaintenance:
             .start()
         )
         q.awaitTermination()
+
+
+class SketchMaintenance:
+    """foreachBatch fold of a count-min frequency sketch over a token
+    stream — the monoid merge (ops/sketch.count_min_table tables ADD
+    cell-wise) makes the fold idempotent-safe under micro-batching:
+    state size is bounded at depth×width rows no matter how many
+    tokens stream through, and the folded table equals the batch
+    table over the union of all micro-batches (pytest-pinned).
+
+    At 10^12 turns this is the ONLY frequency-tracking shape that
+    works: exact per-token counts are vocabulary-scale state, the
+    sketch is constant-scale and broadcastable to point queries."""
+
+    def __init__(self, spark: SparkSession, key: str = "token", depth: int = 4, width: int = 1024):
+        from essentials_spark.ops.sketch import count_min_table
+
+        self.spark = spark
+        self.key, self.depth, self.width = key, depth, width
+        self._cmt = count_min_table
+        self.table: DataFrame | None = None
+
+    def fold(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        part = self._cmt(batch, self.key, depth=self.depth, width=self.width)
+        if self.table is None:
+            merged = part
+        else:
+            merged = (
+                self.table.unionByName(part)
+                .groupBy("d", "b")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        # constant-size state: materialize eagerly so lineage never
+        # chains across micro-batches (the GraphMaintenance idiom)
+        from essentials_spark.engine.superstep import truncate_plan
+
+        self.table = truncate_plan(merged)
+
+    def query(self, keys: DataFrame) -> DataFrame:
+        from essentials_spark.ops.sketch import count_min_query
+
+        if self.table is None:
+            raise ValueError("SketchMaintenance: no batches folded yet")
+        return count_min_query(self.table, keys, self.key, depth=self.depth, width=self.width)

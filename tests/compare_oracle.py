@@ -51,14 +51,18 @@ def compare(spark, sf_dir: str, only: list[str] | None = None) -> dict:
 
     results = {}
     oracles = entrymod.oracle_sql()
+    import time
+
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         sdf = fn(spark, sf_dir)
         srows = [r.asDict() for r in sdf.collect()]
         scols = list(sdf.columns)
+        spark_sec = round(time.perf_counter() - t0, 2)
         if name not in oracles:
-            results[name] = {"status": "rows_only", "rows": len(srows)}
+            results[name] = {"status": "rows_only", "rows": len(srows), "sec": spark_sec}
             continue
         cur = con.execute(oracles[name])
         dcols = [d[0] for d in cur.description]
@@ -71,6 +75,7 @@ def compare(spark, sf_dir: str, only: list[str] | None = None) -> dict:
             "rows": (len(srows), len(drows)),
             "cols": (scols, dcols) if not ok_cols else scols,
             "values_match": ok_vals,
+            "sec": spark_sec,  # Spark-side wall (the driver-budget cost)
         }
     return results
 
@@ -83,8 +88,10 @@ if __name__ == "__main__":
     spark = get_spark(master="local[4]", app_name="oracle-compare", shuffle_partitions=8)
     res = compare(spark, sf_dir, only)
     bad = 0
+    total = 0.0
     for name, r in res.items():
-        print(f"{name:28s} {r['status']:10s} rows={r['rows']}")
+        total += r.get("sec", 0.0)
+        print(f"{name:28s} {r['status']:10s} rows={r['rows']} sec={r.get('sec')} cum={round(total, 1)}")
         if r["status"] == "MISMATCH":
             bad += 1
             print("   detail:", r)

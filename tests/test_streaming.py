@@ -182,3 +182,30 @@ def test_graph_maintenance_stream_matches_batch(spark, tmp_path):
     assert {(r["vid"], r["label"]) for r in gm.labels.collect()} == labels0
     assert {r["vid"]: r["tc"] for r in gm.tc_per_vertex.filter("tc > 0").collect()} == tc0
     assert gm.msf_total == pytest.approx(msf0)
+
+
+def test_sketch_maintenance_fold_equals_batch(spark, tmp_path):
+    # count-min folded over streamed micro-batches == the batch table
+    # over the union (the monoid property, through a real
+    # foreachBatch-shaped fold), and point estimates never undercount
+    from pyspark.sql import functions as F
+
+    from essentials_spark.ops.sketch import count_min_query, count_min_table
+    from essentials_spark.streaming.ingest import SketchMaintenance
+
+    t = synth_transcripts(spark, n_convs=30, seed=3)
+    toks = t.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+    sm = SketchMaintenance(spark, depth=3, width=256)
+    # three arbitrary micro-batches split by token hash
+    for p in range(3):
+        sm.fold(toks.filter(F.pmod(F.xxhash64("token"), F.lit(3)) == p), batch_id=p)
+    whole = count_min_table(toks, "token", depth=3, width=256)
+    diff = (
+        sm.table.join(whole, ["d", "b"], "full")
+        .filter(F.coalesce(sm.table["c"], F.lit(0)) != F.coalesce(whole["c"], F.lit(0)))
+        .count()
+    )
+    assert diff == 0
+    est = {r.token: r.est for r in sm.query(toks).collect()}
+    true = {r.token: r.c for r in toks.groupBy("token").agg(F.count("*").alias("c")).collect()}
+    assert all(est[k] >= v for k, v in true.items())
