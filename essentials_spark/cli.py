@@ -24,7 +24,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="essentials_spark")
     ap.add_argument("algo", choices=[
         "pagerank", "cc", "lp", "tc", "bfs", "sssp", "hits", "salsa",
-        "walks", "node2vec", "temporal", "all",
+        "walks", "node2vec", "temporal", "louvain", "all",
     ])
     ap.add_argument("--input", help="transcripts table: parquet path or iceberg table name")
     ap.add_argument("--synthetic", type=int, default=None, help="generate N synthetic conversations instead")
@@ -137,6 +137,17 @@ def main(argv: list[str] | None = None) -> int:
             .select("src", "dst", F.col("ets_us").alias("ets"))
         )
         out = temporal_reachability(tev, args.source, 0, runner=runner)
+    elif args.algo == "louvain":
+        from essentials_spark.algos.louvain import louvain_multilevel
+        from essentials_spark.graph.derive import Graph, canonicalize_edges
+
+        sym = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+        # MIS schedule + guard: the measured quality/cost winner
+        # (BENCH 3t); 6 rounds/level ~= 2 chase-free sweeps
+        out = louvain_multilevel(
+            Graph(vertices=kg.graph.vertices, edges=sym),
+            level_rounds=(6, 6), mode="mis", guard=True,
+        )
     elif args.algo == "salsa":
         from essentials_spark.algos import salsa as _salsa
 
