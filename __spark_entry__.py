@@ -1051,6 +1051,22 @@ def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("token", "est")
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quality deciles via counting sort (ops/quantiles.
+    bounded_quantiles): quality·1e6 is a bounded integer, so the
+    order statistic is one distinct-value-scale aggregate + an
+    ordered cumulative window over ≤1e6 rows — never a total sort.
+    percentile_disc semantics, pure integer arithmetic; the oracle
+    replays rank thresholds and values exactly."""
+    from essentials_spark.ops.quantiles import bounded_quantiles
+    from essentials_spark.text.analysis import quality_score
+
+    q = quality_score(_docs(spark, sf_dir)).select(
+        F.round(F.col("quality") * 1e6).cast("long").alias("q_ppm")
+    )
+    return bounded_quantiles(q, "q_ppm")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution by QUALITY (dedup/minhash.
     dedup_keep_best): the minhash_dedup clusters re-resolved to keep
@@ -1832,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc,
         "dedup_keep_best": q_dedup_keep_best,
+        "quality_deciles": q_quality_deciles,
         "sketch_distinct": q_sketch_distinct,
         "sketch_freq": q_sketch_freq,
         "exact_dedup": q_exact_dedup,
@@ -3627,6 +3644,24 @@ FROM g JOIN top USING (doc_id)
     sql["pq_codes"] = _pq_sql()
     sql["pq_adc_topk"] = _pq_adc_sql()
     sql["dedup_keep_best"] = _keep_best_sql()
+    sql["quality_deciles"] = (
+        "WITH qdv AS (SELECT CAST(round(round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE"
+        "    least(1.0, n_tokens / 100.0) * 0.4"
+        "    + (1.0 - least(1.0, n_punct / CAST(greatest(n_tokens, 1) AS DOUBLE))) * 0.2"
+        "    + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.4 END, 6) * 1e6) AS BIGINT) AS v"
+        "  FROM (SELECT length(string_split(trim(text), ' ')) AS n_tokens,"
+        "    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,"
+        "    length(list_distinct(string_split(trim(text), ' '))) AS n_distinct"
+        "    FROM documents)),"
+        " qdc AS (SELECT v, sum(count(*)) OVER (ORDER BY v) AS cum FROM qdv GROUP BY v),"
+        " qdn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qdv),"
+        " qdq AS (SELECT unnest([100000, 200000, 300000, 400000, 500000, 600000,"
+        "   700000, 800000, 900000]) AS pct_ppm),"
+        " qdt AS (SELECT pct_ppm, (pct_ppm * n + 999999) // 1000000 AS thr"
+        "   FROM qdq CROSS JOIN qdn)"
+        " SELECT CAST(t.pct_ppm AS BIGINT) AS pct_ppm, CAST(min(c.v) AS BIGINT) AS value"
+        " FROM qdt t JOIN qdc c ON c.cum >= t.thr GROUP BY t.pct_ppm"
+    )
     sql["sketch_distinct"] = (
         f"WITH lb AS (SELECT DISTINCT ({_h60('CAST(user_id AS VARCHAR)')}"
         f" % {SKETCH_M}) AS b FROM events),"

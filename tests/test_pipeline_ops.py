@@ -733,3 +733,20 @@ def test_count_min_is_a_monoid(spark):
         F.coalesce(merged["c"], F.lit(0)) != F.coalesce(whole["c"], F.lit(0))
     )
     assert diff.count() == 0
+
+
+def test_bounded_quantiles_exact(spark):
+    from essentials_spark.ops.quantiles import bounded_quantiles
+
+    # values 1..100 once each: decile d = smallest v with cum >= 10d
+    df = spark.range(1, 101).select(F.col("id").alias("v"))
+    got = {r.pct_ppm: r.value for r in bounded_quantiles(df, "v").collect()}
+    assert got == {d * 100_000: d * 10 for d in range(1, 10)}
+    # skewed multiplicities: 90x value 7, 10x value 99
+    sk = spark.createDataFrame([(7,)] * 90 + [(99,)] * 10, "v long")
+    g2 = {r.pct_ppm: r.value for r in bounded_quantiles(sk, "v").collect()}
+    assert g2[900_000] == 7 and g2 == {d * 100_000: (7 if d <= 9 else 99) for d in range(1, 10)}
+    # p100 = max; NULLs excluded from n
+    withnull = spark.createDataFrame([(1,), (None,), (5,)], "v long")
+    top = bounded_quantiles(withnull, "v", quantiles_ppm=(1_000_000,)).collect()
+    assert (top[0].pct_ppm, top[0].value) == (1_000_000, 5)
