@@ -1051,6 +1051,23 @@ def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("token", "est")
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (io/transcripts.sessionize) of
+    the raw event stream: a session breaks where a user's inter-event
+    gap exceeds 30 minutes. Integer epoch-µs gaps, id tie-breaks —
+    replayed exactly; one window pass partitioned by user (per-user
+    state, nothing global)."""
+    from essentials_spark.io.transcripts import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=SESSION_GAP_MIN).select(
+        "event_id", "user_id", "session_idx"
+    )
+
+
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quality deciles via counting sort (ops/quantiles.
     bounded_quantiles): quality·1e6 is a bounded integer, so the
@@ -1849,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc,
         "dedup_keep_best": q_dedup_keep_best,
         "quality_deciles": q_quality_deciles,
+        "sessionize": q_sessionize,
         "sketch_distinct": q_sketch_distinct,
         "sketch_freq": q_sketch_freq,
         "exact_dedup": q_exact_dedup,
@@ -3644,6 +3662,21 @@ FROM g JOIN top USING (doc_id)
     sql["pq_codes"] = _pq_sql()
     sql["pq_adc_topk"] = _pq_adc_sql()
     sql["dedup_keep_best"] = _keep_best_sql()
+    gap_us = SESSION_GAP_MIN * 60_000_000
+    # no named WINDOW clause: _materialize_ctes rewrites `x AS (` and
+    # would mangle it
+    _sw = "(PARTITION BY user_id ORDER BY us, event_id)"
+    sql["sessionize"] = (
+        "WITH se AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),"
+        " sb AS (SELECT event_id, user_id, us,"
+        f"   CASE WHEN lag(us) OVER {_sw} IS NULL THEN 0"
+        f"       WHEN us - lag(us) OVER {_sw} > {gap_us} THEN 1 ELSE 0 END AS brk"
+        "   FROM se)"
+        " SELECT event_id, user_id,"
+        " CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id"
+        "   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx"
+        " FROM sb"
+    )
     sql["quality_deciles"] = (
         "WITH qdv AS (SELECT CAST(round(round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE"
         "    least(1.0, n_tokens / 100.0) * 0.4"

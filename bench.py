@@ -244,7 +244,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--probe",
-        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks", "bc", "traverse", "geo", "louvain"],
+        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks", "bc", "traverse", "geo", "louvain", "textops"],
         default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
@@ -891,6 +891,74 @@ def main() -> None:
             "metric": "curate_probe", "cpus": cpus, "sec": t["sec"],
             "samples": t["samples"], "competing_jvms": jvms,
             "n_docs": n, "kept": kept_per_pass[-1], "docs_per_sec": round(n / t["sec"]),
+        }))
+        spark.stop()
+        return
+
+    if args.probe == "textops":
+        # the round-5 text/pipeline family over a large synthetic
+        # corpus: mixture sampling, exact deciles (counting sort),
+        # both sketches, keep-best resolution on exact-dup clusters
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from pyspark.sql import functions as F
+
+        from essentials_spark.io.transcripts import synth_transcripts
+        from essentials_spark.session import get_spark
+
+        jvms = competing_jvms()
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-textops", shuffle_partitions=cpus)
+        n_docs = args.synthetic or 1_000_000
+        docs = (
+            synth_transcripts(spark, n_convs=n_docs // 5, seed=42)
+            .select(
+                F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+                F.col("text"),
+                F.substring(F.md5(F.col("conv_id")), 1, 1).alias("lang"),
+            )
+        ).persist()
+        n = docs.count()
+        meta: dict = {}
+
+        def one_textops_pass():
+            import time as _t
+
+            from essentials_spark.ops.quantiles import bounded_quantiles
+            from essentials_spark.ops.sample import mixture_sample
+            from essentials_spark.ops.sketch import count_min_table, linear_count
+            from essentials_spark.text.analysis import quality_score, token_stats
+
+            t0 = _t.perf_counter()
+            toks = token_stats(docs).select("doc_id", "n_tokens")
+            d = docs.select("doc_id", "lang").join(toks, "doc_id")
+            meta["mix_kept"] = mixture_sample(
+                d, n // 2, {x: 62_500 for x in "0123456789abcdef"}
+            ).count()
+            meta["mixture_sec"] = round(_t.perf_counter() - t0, 3)
+            t0 = _t.perf_counter()
+            q = quality_score(docs).select(
+                F.round(F.col("quality") * 1e6).cast("long").alias("q_ppm")
+            )
+            dec = bounded_quantiles(q, "q_ppm").collect()
+            meta["median_q_ppm"] = int(
+                next(r.value for r in dec if r.pct_ppm == 500_000)
+            )
+            meta["deciles_sec"] = round(_t.perf_counter() - t0, 3)
+            t0 = _t.perf_counter()
+            meta["distinct_est"] = linear_count(
+                docs, "text", m=1 << 20
+            ).collect()[0].estimate
+            meta["linear_count_sec"] = round(_t.perf_counter() - t0, 3)
+            t0 = _t.perf_counter()
+            tok_stream = docs.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+            meta["cm_cells"] = count_min_table(tok_stream, "token").count()
+            meta["count_min_sec"] = round(_t.perf_counter() - t0, 3)
+
+        t = timed_min(one_textops_pass, args.passes)
+        print(json.dumps({
+            "metric": "textops_probe", "cpus": cpus, "sec": t["sec"],
+            "samples": t["samples"], "competing_jvms": jvms,
+            "n_docs": n, "docs_per_sec": round(n / t["sec"]), **meta,
         }))
         spark.stop()
         return

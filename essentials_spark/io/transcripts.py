@@ -227,3 +227,45 @@ def temporal_edges(transcripts: DataFrame) -> DataFrame:
         toolk.alias("src_key"), F.col("tk").alias("dst_key"), "ets_us"
     )
     return adj.unionByName(t2tool).unionByName(tool2t)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based batch sessionization: within each user's time-ordered
+    event stream, a new session starts where the inter-event gap
+    exceeds ``gap_minutes``. Returns the input ids plus
+    (session_idx: int, starting at 0 per user).
+
+    Pure integer algebra (gaps in epoch-µs; ties broken by id), so an
+    ANSI-SQL oracle replays every assignment. One window pass
+    PARTITIONED BY user — per-user state, embarrassingly parallel at
+    10^9 users; nothing global. The streaming twin with true
+    incremental state is streaming/ingest.conversation_sessions
+    (applyInPandasWithState); this is the batch/backfill path — both
+    produce the same boundaries on the same input.
+    """
+    from pyspark.sql import Window
+
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    us = F.timestamp_diff("MICROSECOND", epoch0, F.col(ts_col).cast("timestamp_ntz"))
+    w = Window.partitionBy(user_col).orderBy(us.asc(), F.col(id_col).asc())
+    gap_us = int(gap_minutes) * 60_000_000
+    brk = (
+        F.when(F.lag(us).over(w).isNull(), F.lit(0))
+        .when(us - F.lag(us).over(w) > F.lit(gap_us), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.sum(brk).over(
+            Window.partitionBy(user_col)
+            .orderBy(us.asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int").alias("session_idx"),
+    )
