@@ -1487,6 +1487,52 @@ def q_louvain_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "community")
 
 
+LOUVAIN_INC_ROUNDS = 4
+
+
+def q_louvain_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental community maintenance (algos/louvain.py
+    init_labels): the edge table arrives in two micro-batches (split
+    by md5 parity of the canonical key pair — both directions of an
+    undirected edge land in the same batch); batch 1 is solved with
+    MIS-scheduled moves, batch 2's union graph WARM-STARTS from the
+    previous assignment. Degrees/2m are per-phase, so stale
+    communities re-evaluate exactly where the batch changed mass. The
+    oracle replays both phases bit-for-bit (salted hash schedules)."""
+    from essentials_spark.algos.louvain import louvain
+    from essentials_spark.functions.portable_hash import md5_int60
+    from essentials_spark.graph.derive import Graph
+
+    kg, sg = _sym_graph(spark, sf_dir)
+    sk_s = kg.vkeys.select(F.col("vid").alias("src"), F.col("skey").alias("sk_s"))
+    sk_d = kg.vkeys.select(F.col("vid").alias("dst"), F.col("skey").alias("sk_d"))
+    pair = F.concat(
+        F.least("sk_s", "sk_d"), F.lit(">"), F.greatest("sk_s", "sk_d")
+    )
+    e_a = (
+        sg.edges.join(sk_s, "src").join(sk_d, "dst")
+        .filter(F.pmod(md5_int60(pair), F.lit(2)) == 0)
+        .select("src", "dst")
+    )
+    g_a = Graph(vertices=sg.vertices, edges=e_a)
+
+    def mk_hash(salt: str):
+        def mis_hash(verts: DataFrame, r: int) -> DataFrame:
+            return verts.join(kg.vkeys, "vid").select(
+                "vid",
+                md5_int60(F.concat(F.col("skey"), F.lit(f":{salt}{r}"))).alias("h"),
+            )
+
+        return mis_hash
+
+    l_a = louvain(g_a, rounds=LOUVAIN_INC_ROUNDS, mode="mis", mis_hash=mk_hash("a"))
+    l_b = louvain(
+        sg, rounds=LOUVAIN_INC_ROUNDS, mode="mis", mis_hash=mk_hash("b"), init_labels=l_a
+    )
+    lab_keys = kg.vkeys.select(F.col("vid").alias("label"), F.col("skey").alias("community"))
+    return l_b.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "community")
+
+
 def q_louvain2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full two-level Louvain (algos/louvain.louvain_multilevel):
     phase-1 moves, phase-2 coarsening into a WEIGHTED super-graph
@@ -1853,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_semi": q_louvain,
         "louvain_2level": q_louvain2,
         "louvain_mis": q_louvain_mis,
+        "louvain_incremental": q_louvain_incremental,
         "degree_assortativity": q_assortativity,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition,
@@ -2077,7 +2124,8 @@ def _lp_sql(semi: bool = False) -> str:
 
 
 def _louvain_round_ctes(
-    i: int, pfx: str, edges: str, deg: str, weighted: bool, movers: str | None = None
+    i: int, pfx: str, edges: str, deg: str, weighted: bool, movers: str | None = None,
+    tm: str = "tm",
 ) -> list[str]:
     """CTEs for one semi-sync Louvain move round over labels
     ``{pfx}{i}`` -> ``{pfx}{i+1}``. ``weighted``: edge table carries a
@@ -2106,11 +2154,11 @@ def _louvain_round_ctes(
         f" ) GROUP BY vkey, lc)",
         f"{pfx}dm{i} AS (SELECT lab, CAST(sum(k) AS BIGINT) AS d_c"
         f" FROM {pfx}{i} JOIN {deg} USING (vkey) GROUP BY lab)",
-        f"{pfx}sc{i} AS (SELECT c.vkey, c.lc, tm.two_m * c.e_ic"
+        f"{pfx}sc{i} AS (SELECT c.vkey, c.lc, {tm}.two_m * c.e_ic"
         f" - d.k * (coalesce(m.d_c, 0)"
         f"   - CASE WHEN c.lc = l.lab THEN d.k ELSE 0 END) AS score"
         f" FROM {pfx}cd{i} c JOIN {pfx}{i} l USING (vkey) JOIN {deg} d USING (vkey)"
-        f" LEFT JOIN {pfx}dm{i} m ON m.lab = c.lc CROSS JOIN tm)",
+        f" LEFT JOIN {pfx}dm{i} m ON m.lab = c.lc CROSS JOIN {tm})",
         f"{pfx}pk{i} AS (SELECT s.vkey, min(s.lc) AS lab FROM {pfx}sc{i} s"
         f" JOIN (SELECT vkey, max(score) AS ms FROM {pfx}sc{i} GROUP BY vkey) x"
         f" ON x.vkey = s.vkey AND s.score = x.ms GROUP BY s.vkey)",
@@ -2168,6 +2216,60 @@ def _louvain_mis_sql(rounds: int) -> str:
         parts += _louvain_round_ctes(i, "v", "sym", "deg", weighted=False, movers=f"mm{i}")
     body = ",\n".join(parts)
     return f"WITH {body}\nSELECT vkey AS skey, lab AS community FROM v{rounds}"
+
+
+def _louvain_inc_sql(rounds: int) -> str:
+    """Twin of q_louvain_incremental: 2 phases of MIS-scheduled moves.
+    Phase A runs on the md5-canonical-pair-parity HALF of the edge
+    table (batch 1); phase B WARM-STARTS from phase A's labels on the
+    full table (batch 2 arrived). Degrees and 2m are per-phase (the
+    criterion reads the current graph); hash salts ':a'/':b' keep the
+    two phases' independent sets distinct."""
+    from essentials_spark.functions.portable_hash import sql_md5_int60
+
+    pairp = sql_md5_int60(
+        "least(src, dst) || '>' || greatest(src, dst)"
+    )
+    parts = [
+        _PRELUDE,
+        f"sa AS (SELECT src, dst FROM sym WHERE ({pairp} % 2) = 0)",
+        "dega AS (SELECT v.vkey, CAST(coalesce(d.k, 0) AS BIGINT) AS k FROM verts v"
+        " LEFT JOIN (SELECT src AS vkey, count(*) AS k FROM sa GROUP BY src) d USING (vkey))",
+        "tma AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM sa)",
+        "degb AS (SELECT v.vkey, CAST(coalesce(d.k, 0) AS BIGINT) AS k FROM verts v"
+        " LEFT JOIN (SELECT src AS vkey, count(*) AS k FROM sym GROUP BY src) d USING (vkey))",
+        "tmb AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM sym)",
+        "v0 AS (SELECT vkey, vkey AS lab FROM verts)",
+    ]
+    for i in range(rounds):
+        h = sql_md5_int60(f"vkey || ':a{i}'")
+        parts.append(f"amh{i} AS (SELECT vkey, {h} AS h FROM verts)")
+        parts.append(
+            f"amm{i} AS (SELECT v.vkey FROM verts v LEFT JOIN ("
+            f"  SELECT DISTINCT e.src AS vkey FROM sa e"
+            f"  JOIN amh{i} a ON a.vkey = e.src JOIN amh{i} b ON b.vkey = e.dst"
+            f"  WHERE b.h < a.h OR (b.h = a.h AND e.dst < e.src)"
+            f") l ON l.vkey = v.vkey WHERE l.vkey IS NULL)"
+        )
+        parts += _louvain_round_ctes(
+            i, "v", "sa", "dega", weighted=False, movers=f"amm{i}", tm="tma"
+        )
+    parts.append(f"u0 AS (SELECT vkey, lab FROM v{rounds})")
+    for i in range(rounds):
+        h = sql_md5_int60(f"vkey || ':b{i}'")
+        parts.append(f"bmh{i} AS (SELECT vkey, {h} AS h FROM verts)")
+        parts.append(
+            f"bmm{i} AS (SELECT v.vkey FROM verts v LEFT JOIN ("
+            f"  SELECT DISTINCT e.src AS vkey FROM sym e"
+            f"  JOIN bmh{i} a ON a.vkey = e.src JOIN bmh{i} b ON b.vkey = e.dst"
+            f"  WHERE b.h < a.h OR (b.h = a.h AND e.dst < e.src)"
+            f") l ON l.vkey = v.vkey WHERE l.vkey IS NULL)"
+        )
+        parts += _louvain_round_ctes(
+            i, "u", "sym", "degb", weighted=False, movers=f"bmm{i}", tm="tmb"
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT vkey AS skey, lab AS community FROM u{rounds}"
 
 
 def _louvain2_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
@@ -3767,6 +3869,7 @@ SELECT doc_id, CAST(round(sum(part) * 1e6) AS BIGINT) AS bm25_ppm FROM part GROU
     sql["louvain_semi"] = _louvain_sql()
     sql["louvain_2level"] = _louvain2_sql()
     sql["louvain_mis"] = _louvain_mis_sql(LOUVAIN_MIS_ROUNDS)
+    sql["louvain_incremental"] = _louvain_inc_sql(LOUVAIN_INC_ROUNDS)
     _mix_share = "CASE lang " + " ".join(
         f"WHEN '{g}' THEN {s}" for g, s in sorted(MIX_TARGETS_PPM.items())
     ) + " ELSE 0 END"

@@ -173,10 +173,18 @@ def louvain(
     mode: str = "sync",
     semi_parity: DataFrame | None = None,
     mis_hash: "callable | None" = None,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """`rounds` Louvain phase-1 move rounds from singleton
     communities; returns (vid, label). Deterministic — fixed round
     count, integer scores, smallest-label ties.
+
+    ``init_labels``: optional (vid, label) warm start — the
+    incremental-maintenance path: after an edge micro-batch, resume
+    moving from the previous assignment instead of singletons
+    (vertices absent from the table start as their own community).
+    The move criterion reads the CURRENT graph's degrees/2m, so stale
+    communities re-evaluate immediately where the batch changed mass.
 
     ``mode='semi'``: round r moves only vertices whose parity
     (``semi_parity``: (vid, par in {0,1}); default vid % 2) equals
@@ -208,7 +216,12 @@ def louvain(
         raise ValueError(f"unknown louvain mode {mode!r}")
     degrees = truncate_plan(_degrees(g))
     two_m = int(_weighted(g.edges).agg(F.sum("w")).collect()[0][0] or 0)
-    labels = g.vertices.select("vid", F.col("vid").alias("label"))
+    if init_labels is not None:
+        labels = g.vertices.select("vid").join(
+            init_labels.select("vid", F.col("label").cast("long").alias("_il")), "vid", "left"
+        ).select("vid", F.coalesce(F.col("_il"), F.col("vid")).alias("label"))
+    else:
+        labels = g.vertices.select("vid", F.col("vid").alias("label"))
     par = None
     schedule: list[tuple[int, int]]  # (round, class) pairs
     if mode == "semi":

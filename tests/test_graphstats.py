@@ -365,3 +365,25 @@ def test_louvain_mis_schedule_merges_and_is_independent(spark):
     n2 = two.select("label").distinct().count()
     assert (n1, q1) == (21, 676172)
     assert (n2, q2) == (9, 772500)
+
+
+def test_louvain_warm_start_fixpoint_and_incremental(spark):
+    from essentials_spark.algos.louvain import louvain
+    from essentials_spark.graph.derive import Graph
+
+    g = _graph(spark, TRI_BRIDGE, 6)
+    conv = louvain(g, rounds=4, mode="semi")  # the two triangles
+    # warm-starting a converged assignment on the SAME graph is a no-op
+    again = louvain(g, rounds=2, mode="semi", init_labels=conv)
+    assert {(r.vid, r.label) for r in again.collect()} == {
+        (r.vid, r.label) for r in conv.collect()
+    }
+    # incremental arrival: solve triangle 1 alone, then warm-start on
+    # the full graph — the new triangle forms without disturbing the old
+    e_a = _sym(spark, [(0, 1), (1, 2), (0, 2)])
+    l_a = louvain(Graph(vertices=g.vertices, edges=e_a), rounds=4, mode="semi")
+    l_b = louvain(g, rounds=4, mode="semi", init_labels=l_a)
+    got = {r.vid: r.label for r in l_b.collect()}
+    assert len({got[0], got[1], got[2]}) == 1  # old community intact
+    assert len({got[3], got[4], got[5]}) == 1  # new community formed
+    assert got[0] != got[3]
