@@ -165,3 +165,69 @@ def test_linkpred_partial_aggregation_and_anti_join(spark):
     plan = explain_str(linkpred_scores(g, min_cn=1))
     assert "partial_count" in plan or "partial_sum" in plan
     assert "LeftAnti" in plan
+
+
+def test_mixture_sample_broadcasts_rate_table(spark):
+    """mixture_sample's physical plan: the O(groups) rate table joins
+    as a BROADCAST (no shuffle of the corpus for the rate lookup); the
+    only exchange is the group-scale total aggregate."""
+    from essentials_spark.ops.sample import mixture_sample
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("lang"),
+        (F.col("id") % 50 + 1).alias("n_tokens"),
+    )
+    kept = mixture_sample(docs, 10_000, {"1": 500_000, "2": 500_000})
+    plan = explain_str(kept)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bounded_quantiles_no_global_sort_of_data(spark):
+    """The counting-sort invariant: the only Sort in the plan feeds
+    the distinct-value window, AFTER the partial+final aggregate — the
+    raw data is never totally sorted. Partial aggregation must appear
+    (map-side combine on the value groupBy)."""
+    from essentials_spark.ops.quantiles import bounded_quantiles
+
+    df = spark.range(100_000).select((F.col("id") % 1000).alias("v"))
+    q = bounded_quantiles(df, "v")
+    plan = explain_str(q)
+    assert "partial_count" in plan or "partial" in plan.lower()
+    # window input is the aggregated (v, c) table: the Sort operator's
+    # child chain must contain the HashAggregate, not the raw range
+    assert "Window" in plan
+
+
+def test_count_min_single_constant_size_aggregate(spark):
+    """count_min_table: one hash aggregate over (d, b) — output is at
+    most depth*width rows; no window, no join in the build."""
+    from essentials_spark.ops.sketch import count_min_table
+
+    df = spark.range(50_000).select((F.col("id") % 500).cast("string").alias("k"))
+    t = count_min_table(df, "k", depth=4, width=64)
+    plan = explain_str(t)
+    assert "Window" not in plan and "Join" not in plan
+    assert t.count() <= 4 * 64
+
+
+def test_sessionize_window_is_user_partitioned(spark):
+    """sessionize: every window spec is PARTITIONED BY the user — no
+    global (unpartitioned) window anywhere in the plan."""
+    from essentials_spark.io.transcripts import sessionize
+
+    ev = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 37).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 1800).cast("timestamp_ntz").alias("ts"),
+    )
+    out = sessionize(ev)
+    plan = explain_str(out)
+    assert "Window" in plan
+    # an unpartitioned window renders as 'Window [...], [us ASC ...]'
+    # with no partition spec; partitioned renders '[user_id#...]'
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[[^\]]*\](, \[[^\]]*\])?", plan):
+        assert "user_id" in m.group(0)
