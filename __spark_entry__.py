@@ -1018,6 +1018,54 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction over the corpus word-frequency table
+    (text/bpe.bpe_train): per round, integer pair counts weighted by
+    word frequency, min-pair tie-breaks, and a non-overlapping padded
+    replace whose left-to-right semantics are identical in Spark and
+    DuckDB — the oracle replays all 6 merge rounds bit-for-bit. State
+    is the vocabulary, never the corpus."""
+    from essentials_spark.text.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), merges=BPE_MERGES).select(
+        "merge_idx", "left", "right", "pair_cnt"
+    )
+
+
+def _bpe_sql(merges: int = BPE_MERGES) -> str:
+    parts = [
+        "bw0 AS (SELECT CAST(count(*) AS BIGINT) AS cnt,"
+        " array_to_string(string_split(word, ''), ' ') AS s FROM ("
+        "   SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)"
+        " WHERE length(word) > 0 GROUP BY word)"
+    ]
+    for r in range(merges):
+        parts.append(
+            f"bp{r} AS (SELECT p[1] AS l, p[2] AS r2, CAST(sum(cnt) AS BIGINT) AS c FROM ("
+            f"   SELECT cnt, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p"
+            f"   FROM (SELECT cnt, string_split(s, ' ') AS a FROM bw{r}))"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"bwin{r} AS (SELECT l, r2, c FROM bp{r} ORDER BY c DESC, l || ' ' || r2 LIMIT 1)"
+        )
+        parts.append(
+            f"bw{r + 1} AS (SELECT w.cnt,"
+            f" trim(replace(' ' || w.s || ' ', ' ' || x.l || ' ' || x.r2 || ' ',"
+            f" ' ' || x.l || x.r2 || ' ')) AS s FROM bw{r} w CROSS JOIN bwin{r} x)"
+        )
+    sel = " UNION ALL ".join(
+        f'SELECT CAST({r} AS BIGINT) AS merge_idx, l AS "left", r2 AS "right",'
+        f" c AS pair_cnt FROM bwin{r}"
+        for r in range(merges)
+    )
+    body = ",\n".join(parts)
+    return f"WITH {body}\n{sel}"
+
+
 SKETCH_M, CM_DEPTH, CM_WIDTH = 4096, 4, 1024
 
 
@@ -1916,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "sketch_distinct": q_sketch_distinct,
         "sketch_freq": q_sketch_freq,
+        "bpe_merges": q_bpe_merges,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
         "tool_transitions": q_tool_transitions,
@@ -3797,6 +3846,7 @@ FROM g JOIN top USING (doc_id)
         " SELECT CAST(t.pct_ppm AS BIGINT) AS pct_ppm, CAST(min(c.v) AS BIGINT) AS value"
         " FROM qdt t JOIN qdc c ON c.cum >= t.thr GROUP BY t.pct_ppm"
     )
+    sql["bpe_merges"] = _bpe_sql()
     sql["sketch_distinct"] = (
         f"WITH lb AS (SELECT DISTINCT ({_h60('CAST(user_id AS VARCHAR)')}"
         f" % {SKETCH_M}) AS b FROM events),"

@@ -1,0 +1,113 @@
+"""BPE merge induction — tokenizer training as a gated operator.
+
+Classic byte-pair-encoding trains on the corpus WORD-FREQUENCY table
+(Sennrich et al. 2016): each round counts adjacent symbol pairs
+weighted by word frequency, merges the most frequent pair, and
+rewrites the symbol sequences. Everything here is exact integer
+algebra plus string ops with identical semantics in Spark and DuckDB,
+so the full merge trajectory replays bit-for-bit in SQL:
+
+- pair counts: explode adjacent (sym[i], sym[i+1]) pairs, Σ word
+  counts — BIGINTs;
+- the winner: max count, ties to the lexicographically smaller pair
+  (min over (-cnt, pair) — the engine's standard argmax idiom);
+- the rewrite: non-overlapping left-to-right replace of the
+  space-padded pair token (' a b ' -> ' ab ' over ' '||s||' ') —
+  both engines' replace() scans left to right without overlap, so
+  consecutive occurrences sharing a boundary space rewrite on the
+  NEXT round, deterministically and identically in both engines.
+
+Scale shape per round: the state is the distinct-WORD table (corpus
+vocabulary — bounded, not corpus-scale; one groupBy derives it), and
+each round is one explode + one sum + a 1-row argmax + a narrow
+rewrite projection. 10^12 turns change the word COUNTS, not the
+table's size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt): the corpus word-frequency table (whitespace
+    tokens, the engine's token convention). One shuffle."""
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _char_spaced(col) -> F.Column:
+    # 'hello' -> 'h e l l o' (initial symbol sequence = characters)
+    return F.concat_ws(" ", F.filter(F.split(col, ""), lambda c: c != F.lit("")))
+
+
+def bpe_train(
+    docs: DataFrame, merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Run ``merges`` BPE rounds; returns the merge table
+    (merge_idx, left, right, pair_cnt) — the tokenizer artifact a
+    training pipeline ships. Deterministic; the per-round winner is
+    collected driver-side (1 row) and inlined into the next round's
+    rewrite expression, so the loop is driver-bounded at O(merges)."""
+    from essentials_spark.engine.superstep import truncate_plan
+
+    wf = truncate_plan(
+        word_freq(docs, text_col).select(
+            "cnt", _char_spaced(F.col("word")).alias("s")
+        )
+    )
+    rows = []
+    for r in range(merges):
+        arr = F.split(F.col("s"), " ")
+        pairs = (
+            wf.select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+                        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", F.col("p")["0"].alias("l"), F.col("p")["1"].alias("r"))
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.select(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("nc"),
+                    F.concat(F.col("l"), F.lit(" "), F.col("r")).alias("p"),
+                    F.col("l").alias("l"),
+                    F.col("r").alias("r"),
+                    F.col("c").alias("c"),
+                )
+            ).alias("w")
+        ).collect()[0]["w"]
+        if top is None:
+            break
+        left, right, cnt = top["l"], top["r"], int(top["c"])
+        rows.append((r, left, right, cnt))
+        pat = f" {left} {right} "
+        rep = f" {left}{right} "
+        wf = truncate_plan(
+            wf.select(
+                "cnt",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                        F.lit(pat),
+                        F.lit(rep),
+                    )
+                ).alias("s"),
+            )
+        )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rows, "merge_idx long, left string, right string, pair_cnt long"
+    )

@@ -139,3 +139,23 @@ def test_dedup_keep_best_argmax_and_ties(spark):
     # cluster 10: max score 9 tie between 2 and 3 -> min id 2
     # cluster 40: singleton keeps; cluster 50: tie 5/6 -> 5
     assert out == {1: False, 2: True, 3: False, 4: True, 5: True, 6: False}
+
+
+def test_bpe_merge_trajectory_hand_computed(spark):
+    # words: 'aaab' x2, 'ab' x1
+    # r0: (a,a)=4 wins; 'a a a b' -> 'aa a b' (non-overlapping replace)
+    # r1: (a,b)=3 wins over (aa,a)=2; -> 'aa ab' / 'ab'
+    # r2: (aa,ab)=2
+    from essentials_spark.text.bpe import bpe_train
+
+    docs = spark.createDataFrame([(0, "aaab aaab"), (1, "ab")], "doc_id long, text string")
+    got = [(r.merge_idx, r.left, r.right, r.pair_cnt) for r in bpe_train(docs, merges=3).collect()]
+    assert sorted(got) == [(0, "a", "a", 4), (1, "a", "b", 3), (2, "aa", "ab", 2)]
+
+
+def test_bpe_exhausts_gracefully(spark):
+    # single 1-char word: no pairs -> empty merge table, no crash
+    from essentials_spark.text.bpe import bpe_train
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    assert bpe_train(docs, merges=3).count() == 0
