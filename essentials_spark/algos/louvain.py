@@ -174,6 +174,7 @@ def louvain(
     semi_parity: DataFrame | None = None,
     mis_hash: "callable | None" = None,
     init_labels: DataFrame | None = None,
+    runner=None,
 ) -> DataFrame:
     """`rounds` Louvain phase-1 move rounds from singleton
     communities; returns (vid, label). Deterministic — fixed round
@@ -185,6 +186,14 @@ def louvain(
     (vertices absent from the table start as their own community).
     The move criterion reads the CURRENT graph's degrees/2m, so stale
     communities re-evaluate immediately where the batch changed mass.
+
+    ``runner``: optional SuperstepRunner — with a checkpoint_dir the
+    per-round label state becomes durable and a rerun resumes from the
+    last completed round (the engine's standard resume contract; the
+    fingerprint binds graph content + mode + init so a different graph
+    or schedule refuses stale state). The schedule is a pure function
+    of the round index in every mode, so extending ``rounds`` resumes
+    the shared prefix.
 
     ``mode='semi'``: round r moves only vertices whose parity
     (``semi_parity``: (vid, par in {0,1}); default vid % 2) equals
@@ -210,10 +219,15 @@ def louvain(
     ``rounds`` counts MOVE ROUNDS here (3 rounds ≈ one full sweep in
     expectation). The schedule is deterministic and, with an
     md5-of-key hash, ANSI-SQL-replayable (the gated entry's choice)."""
-    from essentials_spark.engine.superstep import truncate_plan
+    from essentials_spark.engine.superstep import (
+        SuperstepRunner,
+        edge_fingerprint,
+        truncate_plan,
+    )
 
     if mode not in ("sync", "semi", "color", "mis"):
         raise ValueError(f"unknown louvain mode {mode!r}")
+    runner = runner or SuperstepRunner(g.edges.sparkSession, "louvain")
     degrees = truncate_plan(_degrees(g))
     two_m = int(_weighted(g.edges).agg(F.sum("w")).collect()[0][0] or 0)
     if init_labels is not None:
@@ -249,7 +263,19 @@ def louvain(
         mis_edges = truncate_plan(
             g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
         )
-    for r, cls in schedule:
+    if runner.checkpoint_dir and runner.fingerprint is None:
+        runner.fingerprint = (
+            f"louvain:{mode}:init={init_labels is not None}"
+            f":2m={two_m}:{edge_fingerprint(g.edges)}"
+        )
+    start = 0
+    resumed = runner.latest()
+    if resumed is not None:
+        it, state, _meta = resumed
+        if it <= len(schedule):
+            labels, start = state.select("vid", "label"), it
+    for idx in range(start, len(schedule)):
+        r, cls = schedule[idx]
         if mode == "mis":
             if mis_hash is not None:
                 hvals = mis_hash(g.vertices.select("vid"), r)
@@ -262,7 +288,11 @@ def louvain(
             movers = (
                 par.filter(F.col("par") == cls).select("vid") if par is not None else None
             )
-        labels = truncate_plan(louvain_move_round(g, labels, degrees, two_m, movers=movers))
+        labels = runner.materialize(
+            louvain_move_round(g, labels, degrees, two_m, movers=movers),
+            idx + 1,
+            force=(idx == len(schedule) - 1),
+        )
     return labels
 
 

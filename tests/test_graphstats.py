@@ -387,3 +387,39 @@ def test_louvain_warm_start_fixpoint_and_incremental(spark):
     assert len({got[0], got[1], got[2]}) == 1  # old community intact
     assert len({got[3], got[4], got[5]}) == 1  # new community formed
     assert got[0] != got[3]
+
+
+def test_louvain_checkpoint_resume(spark, tmp_path):
+    # the engine resume contract: mid-run restore continues from the
+    # last durable round and lands on the identical assignment; a
+    # completed run restores its final state verbatim
+    import shutil
+
+    from essentials_spark.algos.louvain import louvain
+    from essentials_spark.engine.superstep import SuperstepRunner
+
+    g = _graph(spark, TRI_BRIDGE, 6)
+    ck = str(tmp_path / "lv")
+    fresh = {
+        (r.vid, r.label)
+        for r in louvain(g, rounds=4, mode="semi").collect()
+    }
+
+    r1 = SuperstepRunner(spark, "lv", checkpoint_dir=ck, checkpoint_every=2)
+    a = {(r.vid, r.label) for r in louvain(g, rounds=4, mode="semi", runner=r1).collect()}
+    assert a == fresh
+    # wipe the final round's checkpoint: resume recomputes 3-4 from 2
+    shutil.rmtree(f"{ck}/lv/iter=000004")
+    shutil.rmtree(f"{ck}/lv/iter=000003", ignore_errors=True)
+    r2 = SuperstepRunner(spark, "lv", checkpoint_dir=ck, checkpoint_every=2)
+    b = {(r.vid, r.label) for r in louvain(g, rounds=4, mode="semi", runner=r2).collect()}
+    assert b == fresh
+    # completed-run restore: a third runner returns the stored final
+    r3 = SuperstepRunner(spark, "lv", checkpoint_dir=ck, checkpoint_every=2)
+    c = {(r.vid, r.label) for r in louvain(g, rounds=4, mode="semi", runner=r3).collect()}
+    assert c == fresh
+    # different graph, same dir: fingerprint mismatch -> fresh start
+    g2 = _graph(spark, [(0, 1)], 2)
+    r4 = SuperstepRunner(spark, "lv", checkpoint_dir=ck, checkpoint_every=2)
+    d = {(r.vid, r.label) for r in louvain(g2, rounds=2, mode="semi", runner=r4).collect()}
+    assert d == {(0, 1), (1, 1)}
