@@ -1018,6 +1018,33 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_K = 40
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row acceptance sampling (ops/sample.importance_sample):
+    keep each document with probability = its quality score — the
+    quality-proportional curation sweep, decided by the portable md5
+    bucket so the selection is deterministic and exactly replayed."""
+    from essentials_spark.ops.sample import importance_sample
+    from essentials_spark.text.analysis import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", F.round(F.col("quality") * 1e6).cast("long").alias("rate_ppm")
+    )
+    return importance_sample(scored, "rate_ppm").select("doc_id", "rate_ppm")
+
+
+def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-sample without replacement (ops/sample.
+    sample_fixed_k): the k smallest md5-int60 key hashes — distributed
+    top-k (per-partition heaps + k-row merge), never a global sort;
+    the selection is a pure function of the key set."""
+    from essentials_spark.ops.sample import sample_fixed_k
+
+    return sample_fixed_k(_docs(spark, sf_dir), SAMPLE_K).select("doc_id", "lang")
+
+
 BPE_MERGES = 6
 
 
@@ -1965,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": q_sketch_distinct,
         "sketch_freq": q_sketch_freq,
         "bpe_merges": q_bpe_merges,
+        "importance_sample": q_importance_sample,
+        "sample_fixed_k": q_sample_fixed_k,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
         "tool_transitions": q_tool_transitions,
@@ -3847,6 +3876,26 @@ FROM g JOIN top USING (doc_id)
         " FROM qdt t JOIN qdc c ON c.cum >= t.thr GROUP BY t.pct_ppm"
     )
     sql["bpe_merges"] = _bpe_sql()
+    _qexpr = (
+        "CAST(round(round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE"
+        " least(1.0, n_tokens / 100.0) * 0.4"
+        " + (1.0 - least(1.0, n_punct / CAST(greatest(n_tokens, 1) AS DOUBLE))) * 0.2"
+        " + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.4 END, 6) * 1e6) AS BIGINT)"
+    )
+    _qfeat = (
+        "(SELECT doc_id, length(string_split(trim(text), ' ')) AS n_tokens,"
+        " length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,"
+        " length(list_distinct(string_split(trim(text), ' '))) AS n_distinct FROM documents)"
+    )
+    sql["importance_sample"] = (
+        f"WITH isq AS (SELECT doc_id, {_qexpr} AS rate_ppm FROM {_qfeat})"
+        f" SELECT doc_id, rate_ppm FROM isq"
+        f" WHERE ({_h60('CAST(doc_id AS VARCHAR)')} % 1000000) < rate_ppm"
+    )
+    sql["sample_fixed_k"] = (
+        f"SELECT doc_id, lang FROM documents"
+        f" ORDER BY {_h60('CAST(doc_id AS VARCHAR)')} LIMIT {SAMPLE_K}"
+    )
     sql["sketch_distinct"] = (
         f"WITH lb AS (SELECT DISTINCT ({_h60('CAST(user_id AS VARCHAR)')}"
         f" % {SKETCH_M}) AS b FROM events),"

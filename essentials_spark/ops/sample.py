@@ -112,3 +112,35 @@ def mixture_sample(
         .withColumn("bucket", sample_bucket(key))
         .filter(F.col("bucket") < F.col("rate_ppm"))
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    rate_ppm_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-ROW acceptance sampling: keep each row with probability
+    ``rate_ppm_col``/1e6 (a quality score, a recency weight — any
+    per-row integer rate), decided by the portable md5 bucket of the
+    row key. The per-row generalization of stratified_sample's
+    per-group rates: deterministic, layout-independent, monotone
+    (raising a row's rate can only keep it), and exactly replayable.
+    Narrow filter — no shuffle, pushdown survives."""
+    key = F.col(key_col).cast("string")
+    return df.filter(sample_bucket(key) < F.col(rate_ppm_col).cast("long"))
+
+
+def sample_fixed_k(
+    df: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic uniform k-sample WITHOUT replacement: the k rows
+    with the smallest md5-int60 of their key (ties impossible for
+    distinct keys; duplicate keys hash identically, keeping the sample
+    a function of the key SET). Distributed top-k — per-partition
+    heaps then a k-row merge, never a global sort of the data; the
+    selection is stable under any partitioning and under appending
+    rows that hash higher (the bottom-k reservoir property)."""
+    key = F.col(key_col).cast("string")
+    return df.withColumn("_h", md5_int60(key)).orderBy("_h").limit(int(k)).drop("_h")

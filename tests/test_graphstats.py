@@ -423,3 +423,20 @@ def test_louvain_checkpoint_resume(spark, tmp_path):
     r4 = SuperstepRunner(spark, "lv", checkpoint_dir=ck, checkpoint_every=2)
     d = {(r.vid, r.label) for r in louvain(g2, rounds=2, mode="semi", runner=r4).collect()}
     assert d == {(0, 1), (1, 1)}
+
+
+def test_importance_and_fixed_k_sampling(spark, docs):
+    from essentials_spark.ops.sample import importance_sample, sample_fixed_k
+
+    scored = docs.withColumn("rate_ppm", (F.col("doc_id") % 2) * 1_000_000)
+    kept = importance_sample(scored, "rate_ppm")
+    # rate 0 rows never kept; rate 1e6 rows always kept
+    assert kept.filter("rate_ppm = 0").count() == 0
+    assert kept.count() == docs.filter("doc_id % 2 = 1").count()
+
+    s1 = {r.doc_id for r in sample_fixed_k(docs, 100).collect()}
+    s2 = {r.doc_id for r in sample_fixed_k(docs.repartition(17), 100).collect()}
+    assert len(s1) == 100 and s1 == s2  # layout-independent
+    # bottom-k reservoir: the 100-sample contains the 50-sample
+    s3 = {r.doc_id for r in sample_fixed_k(docs, 50).collect()}
+    assert s3 <= s1
