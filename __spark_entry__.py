@@ -1018,6 +1018,91 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TNS_FANOUTS, TNS_ROOT_MOD, TNS_CAP = (3, 2), 23, 8
+
+
+def q_temporal_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting neighborhood sampling (sampling/walks.
+    temporal_neighbor_sample): for a deterministic ~1/23 subset of
+    turns, gather up to (3, 2) most-recent INFLUENCERS per hop — edges
+    pointing at the vertex with timestamps strictly before the hop's
+    bound, the sampled edge's own time bounding the next hop (TGN
+    loader semantics). Adjacency pre-capped to each vertex's 8 most
+    recent edges (the temporal hub cap); all ranking keys integer/
+    string, the oracle replays caps, bounds, and top-k exactly."""
+    from essentials_spark.functions.portable_hash import md5_int60
+    from essentials_spark.io.transcripts import temporal_edges
+    from essentials_spark.sampling import temporal_neighbor_sample
+
+    t = _transcripts(spark, sf_dir)
+    te = temporal_edges(t)
+    rev = te.select(
+        F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key"), "ets_us"
+    )
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    rk = F.concat(
+        F.lit("turn|"), F.col("conv_id"), F.lit(":"), F.lpad(F.col("turn_idx").cast("string"), 6, "0")
+    )
+    # bound = the instant just AFTER the turn: its incoming influence
+    # edges carry exactly the turn's own timestamp, and the library's
+    # comparison is strictly-before (proper TGN semantics)
+    roots = t.select(
+        rk.alias("root_key"),
+        (F.timestamp_diff("MICROSECOND", epoch0, F.col("ts")) + F.lit(1)).alias("t0_us"),
+    ).filter(
+        F.pmod(md5_int60(F.concat(F.col("root_key"), F.lit(":tns"))), F.lit(TNS_ROOT_MOD)) == 0
+    )
+    out = temporal_neighbor_sample(rev, roots, list(TNS_FANOUTS), recent_cap=TNS_CAP)
+    return out.select("root_key", "hop", "src_key", "dst_key", "ets_us")
+
+
+def _tns_sql() -> str:
+    from essentials_spark.functions.portable_hash import sql_md5_int60
+
+    rootp = sql_md5_int60("root_key || ':tns'")
+    parts = [
+        _PRELUDE,
+        # reversed time-stamped influence edges (tte, inverted)
+        f"tte AS ("
+        f" SELECT src, dst, ets FROM ("
+        f"  SELECT {_TURNKEY} AS src,"
+        f"   lead({_TURNKEY}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst,"
+        f"   lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ets"
+        f"  FROM tr) WHERE dst IS NOT NULL"
+        f" UNION ALL"
+        f" SELECT {_TURNKEY}, 'tool|' || tool, epoch_us(ts) FROM tr WHERE tool IS NOT NULL"
+        f" UNION ALL"
+        f" SELECT 'tool|' || tool, {_TURNKEY}, epoch_us(ts) FROM tr WHERE tool IS NOT NULL)",
+        "tnadj AS (SELECT src_key, dst_key, CAST(ets_us AS BIGINT) AS ets_us FROM ("
+        "  SELECT dst AS src_key, src AS dst_key, ets AS ets_us,"
+        "   row_number() OVER (PARTITION BY dst ORDER BY ets DESC, src) AS rk FROM tte)"
+        f" WHERE rk <= {TNS_CAP})",
+        f"tnroots AS (SELECT root_key, CAST(t0 AS BIGINT) AS bound_us FROM ("
+        f"  SELECT {_TURNKEY} AS root_key, epoch_us(ts) + 1 AS t0 FROM tr)"
+        f" WHERE ({rootp} % {TNS_ROOT_MOD}) = 0)",
+        "tnf0 AS (SELECT root_key, root_key AS src_key, bound_us FROM tnroots)",
+    ]
+    for hop, f in enumerate(TNS_FANOUTS, start=1):
+        parts.append(
+            f"tns{hop} AS (SELECT root_key, src_key, dst_key, ets_us FROM ("
+            f"  SELECT fr.root_key, fr.src_key, a.dst_key, a.ets_us,"
+            f"   row_number() OVER (PARTITION BY fr.root_key, fr.src_key, fr.bound_us"
+            f"    ORDER BY a.ets_us DESC, a.dst_key) AS rk"
+            f"  FROM tnf{hop - 1} fr JOIN tnadj a USING (src_key)"
+            f"  WHERE a.ets_us < fr.bound_us) WHERE rk <= {f})"
+        )
+        parts.append(
+            f"tnf{hop} AS (SELECT DISTINCT root_key, dst_key AS src_key,"
+            f" ets_us AS bound_us FROM tns{hop})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT root_key, CAST({h} AS INTEGER) AS hop, src_key, dst_key, ets_us FROM tns{h}"
+        for h in range(1, len(TNS_FANOUTS) + 1)
+    )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT DISTINCT root_key, hop, src_key, dst_key, ets_us FROM ({sel})"
+
+
 SAMPLE_K = 40
 
 
@@ -1993,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_freq": q_sketch_freq,
         "bpe_merges": q_bpe_merges,
         "importance_sample": q_importance_sample,
+        "temporal_neighbor_sample": q_temporal_neighbor_sample,
         "sample_fixed_k": q_sample_fixed_k,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
@@ -3892,6 +3978,7 @@ FROM g JOIN top USING (doc_id)
         f" SELECT doc_id, rate_ppm FROM isq"
         f" WHERE ({_h60('CAST(doc_id AS VARCHAR)')} % 1000000) < rate_ppm"
     )
+    sql["temporal_neighbor_sample"] = _tns_sql()
     sql["sample_fixed_k"] = (
         f"SELECT doc_id, lang FROM documents"
         f" ORDER BY {_h60('CAST(doc_id AS VARCHAR)')} LIMIT {SAMPLE_K}"

@@ -1,5 +1,6 @@
 from essentials_spark.sampling.walks import (
     neighbor_sample,
+    temporal_neighbor_sample,
     node2vec_walks,
     random_walks,
     ranked_adjacency,
@@ -13,5 +14,6 @@ __all__ = [
     "random_walks",
     "sampled_adjacency",
     "neighbor_sample",
+    "temporal_neighbor_sample",
     "walk_contexts",
 ]

@@ -539,3 +539,63 @@ def node2vec_walks(
         walks = walks.unionByName(df)
     runner.finalize()
     return walks
+
+
+def temporal_neighbor_sample(
+    tedges: DataFrame,
+    roots: DataFrame,
+    fanouts: list[int],
+    recent_cap: int = 32,
+) -> DataFrame:
+    """Time-respecting bounded-fanout neighborhood sampling (the
+    TGN-style mini-batch loader): ``tedges`` = (src_key, dst_key,
+    ets_us) time-stamped edges, ``roots`` = (root_key, t0_us). Hop i
+    expands each frontier row (root, v, bound) through up to
+    ``fanouts[i]`` of v's MOST-RECENT out-edges with ets_us < bound
+    (ties to the smaller dst); the sampled edge's own timestamp
+    becomes the next hop's bound, so every path respects time
+    monotonically backwards from the root's query time. To gather
+    INFLUENCERS (edges pointing at the root), pass the reversed edge
+    table. Returns (root_key, hop, src_key, dst_key, ets_us).
+
+    Scale shape: the adjacency is pre-capped to each vertex's
+    ``recent_cap`` most-recent edges (one window shuffle; n·cap static
+    rows — hub histories are bounded BEFORE any hop join, the temporal
+    analog of the walk hub cap; older-than-cap edges are invisible, a
+    documented approximation the oracle replays identically). Each hop
+    is one frontier⋈adjacency join + a per-(root, v, bound) top-k —
+    output ≤ |roots|·Πfanouts rows by construction. All ranking keys
+    are integers/strings: deterministic and SQL-replayable."""
+    w_cap = Window.partitionBy("src_key").orderBy(
+        F.col("ets_us").desc(), F.col("dst_key")
+    )
+    adj = (
+        tedges.select("src_key", "dst_key", F.col("ets_us").cast("long").alias("ets_us"))
+        .withColumn("_rk", F.row_number().over(w_cap))
+        .filter(F.col("_rk") <= recent_cap)
+        .drop("_rk")
+    )
+    front = roots.select(
+        "root_key",
+        F.col("root_key").alias("src_key"),
+        F.col("t0_us").cast("long").alias("bound_us"),
+    )
+    out = None
+    for hop, f in enumerate(fanouts, start=1):
+        cand = front.join(adj, "src_key").filter(F.col("ets_us") < F.col("bound_us"))
+        w = Window.partitionBy("root_key", "src_key", "bound_us").orderBy(
+            F.col("ets_us").desc(), F.col("dst_key")
+        )
+        step = (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= f)
+            .select("root_key", F.lit(hop).alias("hop"), "src_key", "dst_key", "ets_us")
+        )
+        out = step if out is None else out.unionByName(step)
+        front = step.select(
+            "root_key", F.col("dst_key").alias("src_key"), F.col("ets_us").alias("bound_us")
+        ).distinct()
+    # the same (root, v) can be reached under two different bounds and
+    # sample the same edge — dedup the emitted rows (bounds are not in
+    # the output schema)
+    return out.distinct()

@@ -342,3 +342,43 @@ def test_node2vec_hub_cap_semantics(spark):
                 saw_capped = True
                 assert path[t] == adj[cur][hmap[(wid, t)] % len(adj[cur])]
     assert saw_capped
+
+
+def test_temporal_neighbor_sample_respects_time(spark):
+    # chain a -1000-> b -2000-> c -3000-> d (forward influence);
+    # sampling influencers of d at t=3001 must walk BACKWARD with
+    # strictly decreasing bounds: d<-c@3000, c<-b@2000, never b<-a
+    # at hop 2 from d (bound 3000 > 1000 allows it) — verify bounds
+    from pyspark.sql import functions as F
+
+    from essentials_spark.sampling import temporal_neighbor_sample
+
+    te = spark.createDataFrame(
+        [("a", "b", 1000), ("b", "c", 2000), ("c", "d", 3000)],
+        "src_key string, dst_key string, ets_us long",
+    )
+    rev = te.select(
+        F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key"), "ets_us"
+    )
+    roots = spark.createDataFrame([("d", 3001)], "root_key string, t0_us long")
+    out = {(r.hop, r.src_key, r.dst_key, r.ets_us)
+           for r in temporal_neighbor_sample(rev, roots, [2, 2]).collect()}
+    assert out == {(1, "d", "c", 3000), (2, "c", "b", 2000)}
+
+    # a root queried BEFORE any edge sees nothing
+    early = spark.createDataFrame([("d", 500)], "root_key string, t0_us long")
+    assert temporal_neighbor_sample(rev, early, [2, 2]).count() == 0
+
+    # recency cap: with cap=1, a vertex with two incoming edges only
+    # exposes the most recent one
+    te2 = spark.createDataFrame(
+        [("x", "z", 100), ("y", "z", 200)],
+        "src_key string, dst_key string, ets_us long",
+    )
+    rev2 = te2.select(
+        F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key"), "ets_us"
+    )
+    r2 = spark.createDataFrame([("z", 300)], "root_key string, t0_us long")
+    got = {(r.dst_key, r.ets_us)
+           for r in temporal_neighbor_sample(rev2, r2, [5], recent_cap=1).collect()}
+    assert got == {("y", 200)}
