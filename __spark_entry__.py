@@ -1513,6 +1513,75 @@ def q_walk_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_K = 2
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word2vec negative sampling (sampling/walks.
+    negative_samples) over the skip-gram pairs of the walk corpus:
+    k=2 uniform hash-drawn negatives per (center, ctx) pair, mapped
+    through the dense rank table (vid = rank of key), positives bumped
+    off branch-free. The full chain — walks, contexts, draws, bumps —
+    replays in SQL."""
+    from essentials_spark.sampling import negative_samples, random_walks, walk_contexts
+
+    kg = _keyed_graph(spark, sf_dir)
+    start = kg.vkeys.select(F.concat(F.col("skey"), F.lit("#0")).alias("wid"), "vid")
+    walks = random_walks(_sym_vid_edges(kg), start, length=WALK_LEN)
+    ctx = walk_contexts(walks, window=2)
+    pairs = (
+        ctx.join(kg.vkeys.select(F.col("vid").alias("center"), F.col("skey").alias("center_key")), "center")
+        .join(kg.vkeys.select(F.col("vid").alias("ctx"), F.col("skey").alias("ctx_key")), "ctx")
+        .select("center_key", "ctx_key")
+    )
+    return negative_samples(pairs, kg.vkeys, k=NEG_K).select(
+        "center_key", "ctx_key", "neg_idx", "neg_key"
+    )
+
+
+def _negative_samples_sql(k: int = NEG_K, window: int = 2) -> str:
+    from essentials_spark.functions.portable_hash import sql_md5_int60
+
+    parts, union = _walks_parts()
+    leads = ", ".join(
+        f"lead(cur, {d}) OVER (PARTITION BY wid ORDER BY step) AS c{d}"
+        for d in range(1, window + 1)
+    )
+    parts.append(f"wt AS ({union})")
+    parts.append(f"led AS (SELECT cur, {leads} FROM wt)")
+    pair_selects = []
+    for d in range(1, window + 1):
+        pair_selects.append(f"SELECT cur AS center, c{d} AS ctx FROM led WHERE c{d} IS NOT NULL")
+        pair_selects.append(f"SELECT c{d} AS center, cur AS ctx FROM led WHERE c{d} IS NOT NULL")
+    parts.append("ctxp AS (" + " UNION ALL ".join(pair_selects) + ")")
+    parts.append("cps AS (SELECT center, ctx FROM ctxp GROUP BY center, ctx)")
+    parts.append("rankv AS (SELECT vkey, row_number() OVER (ORDER BY vkey) - 1 AS vid FROM verts)")
+    parts.append("nnv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts)")
+    draw_parts = []
+    for j in range(k):
+        hj = sql_md5_int60(f"center || ':' || ctx || ':{j}:neg'")
+        draw_parts.append(
+            f"SELECT center, ctx, {j} AS neg_idx, ({hj} % n) AS raw"
+            f" FROM cps CROSS JOIN nnv"
+        )
+    draws = " UNION ALL ".join(draw_parts)
+    parts.append(f"drw AS ({draws})")
+    parts.append(
+        "bmp AS (SELECT d.center, d.ctx, d.neg_idx,"
+        " CASE WHEN d.raw <> cv.vid AND d.raw <> xv.vid THEN d.raw"
+        "      WHEN (d.raw + 1) % n.n <> cv.vid AND (d.raw + 1) % n.n <> xv.vid THEN (d.raw + 1) % n.n"
+        "      ELSE (d.raw + 2) % n.n END AS neg_vid"
+        " FROM drw d JOIN rankv cv ON cv.vkey = d.center"
+        " JOIN rankv xv ON xv.vkey = d.ctx CROSS JOIN nnv n)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT b.center AS center_key, b.ctx AS ctx_key,"
+        f" CAST(b.neg_idx AS INTEGER) AS neg_idx, nv.vkey AS neg_key"
+        f" FROM bmp b JOIN rankv nv ON nv.vid = b.neg_vid"
+    )
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient over the membership graph:
     lcc(v) = 2·tc(v) / (deg(v)·(deg(v)−1)), 0 below degree 2 — a pure
@@ -2079,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "importance_sample": q_importance_sample,
         "temporal_neighbor_sample": q_temporal_neighbor_sample,
+        "negative_samples": q_negative_samples,
         "sample_fixed_k": q_sample_fixed_k,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
@@ -3910,6 +3980,7 @@ FROM g JOIN top USING (doc_id)
     # CSR walk kernel vs the same trajectory oracle (A/B x2)
     sql["random_walks_csr"] = _walks_sql()
     sql["walk_contexts"] = _walk_contexts_sql()
+    sql["negative_samples"] = _negative_samples_sql()
     sql["node2vec_walks"] = _node2vec_sql()
     # two-pass CSR kernels vs the same trajectory oracle (A/B x2)
     sql["node2vec_walks_csr"] = _node2vec_sql()

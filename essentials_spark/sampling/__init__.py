@@ -1,4 +1,5 @@
 from essentials_spark.sampling.walks import (
+    negative_samples,
     neighbor_sample,
     temporal_neighbor_sample,
     node2vec_walks,
@@ -13,6 +14,7 @@ __all__ = [
     "node2vec_walks",
     "random_walks",
     "sampled_adjacency",
+    "negative_samples",
     "neighbor_sample",
     "temporal_neighbor_sample",
     "walk_contexts",

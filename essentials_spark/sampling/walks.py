@@ -599,3 +599,67 @@ def temporal_neighbor_sample(
     # sample the same edge — dedup the emitted rows (bounds are not in
     # the output schema)
     return out.distinct()
+
+
+def negative_samples(
+    pairs: DataFrame,
+    vkeys: DataFrame,
+    k: int = 3,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic word2vec negative sampling: for each skip-gram
+    pair (center_key, ctx_key), draw ``k`` uniform negatives over the
+    vertex set via the portable hash — neg_vid =
+    md5_int60(center:ctx:j:salt) % n, mapped back to keys through the
+    dense rank table (vids ARE ranks of skey, so the oracle rebuilds
+    the mapping with one ordered row_number). A draw that collides
+    with the pair's own endpoints is bumped deterministically
+    (+1, then +2 — distinct for n > 2), the standard resample made
+    branch-free. Uniform over vertices is the deterministic baseline;
+    frequency-tempered distributions compose by feeding a resampled
+    vertex table.
+
+    Scale shape: one explode (k rows per pair) + two hash-partitioned
+    joins against the vertex table; no windows over the corpus, no
+    RNG state. Returns (center_key, ctx_key, neg_idx, neg_key)."""
+    n = vkeys.count()
+    cvid = vkeys.select(F.col("skey").alias("center_key"), F.col("vid").alias("_cv"))
+    xvid = vkeys.select(F.col("skey").alias("ctx_key"), F.col("vid").alias("_xv"))
+    p = pairs.select("center_key", "ctx_key").join(cvid, "center_key").join(xvid, "ctx_key")
+    drawn = p.select(
+        "center_key",
+        "ctx_key",
+        "_cv",
+        "_xv",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        md5_int60(
+                            F.concat(
+                                F.col("center_key"), F.lit(":"), F.col("ctx_key"),
+                                F.lit(f":{j}:{salt}"),
+                            )
+                        )
+                        % F.lit(n)
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("neg_idx", "_raw"),
+    )
+    bump1 = (F.col("_raw") + 1) % F.lit(n)
+    bump2 = (F.col("_raw") + 2) % F.lit(n)
+    neg = (
+        F.when(
+            (F.col("_raw") != F.col("_cv")) & (F.col("_raw") != F.col("_xv")), F.col("_raw")
+        )
+        .when((bump1 != F.col("_cv")) & (bump1 != F.col("_xv")), bump1)
+        .otherwise(bump2)
+    )
+    nkey = vkeys.select(F.col("vid").alias("_nv"), F.col("skey").alias("neg_key"))
+    return (
+        drawn.select("center_key", "ctx_key", "neg_idx", neg.alias("_nv"))
+        .join(nkey, "_nv")
+        .select("center_key", "ctx_key", F.col("neg_idx").cast("int").alias("neg_idx"), "neg_key")
+    )

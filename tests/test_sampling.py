@@ -382,3 +382,25 @@ def test_temporal_neighbor_sample_respects_time(spark):
     got = {(r.dst_key, r.ets_us)
            for r in temporal_neighbor_sample(rev2, r2, [5], recent_cap=1).collect()}
     assert got == {("y", 200)}
+
+
+def test_negative_samples_bump_off_positives(spark):
+    from pyspark.sql import functions as F
+
+    from essentials_spark.sampling import negative_samples
+
+    vkeys = spark.createDataFrame(
+        [(i, f"v{i:02d}") for i in range(10)], "vid long, skey string"
+    )
+    pairs = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{(i + 1) % 10:02d}") for i in range(10)],
+        "center_key string, ctx_key string",
+    )
+    out = negative_samples(pairs, vkeys, k=3).collect()
+    assert len(out) == 30  # k per pair, always
+    for r in out:
+        assert r.neg_key not in (r.center_key, r.ctx_key)  # bumped off
+        assert 0 <= r.neg_idx < 3
+    # deterministic rerun
+    again = negative_samples(pairs, vkeys, k=3).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in again}
