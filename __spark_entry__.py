@@ -2110,16 +2110,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the suite degrades gracefully if the driver's per-round budget
     (time or entry count) cuts the tail:
 
-    1. the round-4/5 additions first (cheap-ascending) — the entries
+    0. the north-rule headline four (pagerank / cc / lp / tc) FIRST —
+       they are the required surface and must be inside any cap
+       (round-4's driver cut at entry 50; 102 are registered now);
+    1. then the round-5 additions (cheap-ascending) — the entries
        with the fewest prior green gate rows get hard-signal coverage
-       before anything else;
-    2. the north-rule headline four (pagerank / cc / lp / tc);
-    3. everything long-established, cheap-ascending, with the
+       before the long-established tail;
+    2. everything long-established, cheap-ascending, with the
        most expensive convergence-contract entry
        (pagerank_incremental, ~180 supersteps to tol=1e-13) last —
        it carries four rounds of green history, so it is the least
        costly row to lose to a budget cut."""
     return {
+        # --- group 0: the north-rule headline four (NON-NEGOTIABLE:
+        # these must appear in every round's hard signal, so they run
+        # before anything can exhaust an entry-count or time budget;
+        # round-4 showed the driver cutting at entry 50, and round 5
+        # registers 102) ---
+        "pagerank": q_pagerank,
+        "connected_components": q_cc,
+        "label_propagation": q_lp,
+        "triangle_count": q_triangles,
         # --- group 1: fewest prior gate rows, cheap first ---
         # round-5b text-pipeline additions (never gated yet)
         "stratified_sample": q_stratified_sample,
@@ -2175,11 +2186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_3src_chain": q_bc_chain,
         "harmonic_4src_chain": q_harmonic_chain,
         "ktruss_4": q_ktruss_4,
-        # --- group 2: north-rule headline four ---
-        "pagerank": q_pagerank,
-        "connected_components": q_cc,
-        "label_propagation": q_lp,
-        "triangle_count": q_triangles,
         # --- group 3: long-established, cheap-ascending ---
         "doc_fingerprint": q_doc_fingerprint,
         "doc_stats": q_doc_stats,
