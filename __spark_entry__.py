@@ -1018,6 +1018,31 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_LEN, CHUNK_OVERLAP = 16, 4
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (ops/sample.assign_split):
+    md5-bucket thresholds 90/5/5 — a pure function of the key, so a
+    growing corpus never moves an old document between splits (the
+    leakage-safety invariant); replayed exactly."""
+    from essentials_spark.ops.sample import assign_split
+
+    return assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training chunks with overlap (text/packing.
+    chunk_documents, 16-token windows, 4-token overlap): integer
+    window geometry + one explode, no shuffle; the oracle replays
+    boundaries AND the reassembled chunk text."""
+    from essentials_spark.text.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), max_len=CHUNK_LEN, overlap=CHUNK_OVERLAP
+    ).select("doc_id", "chunk_idx", "start_tok", "n_toks", "chunk_text")
+
+
 TNS_FANOUTS, TNS_ROOT_MOD, TNS_CAP = (3, 2), 23, 8
 
 
@@ -2160,6 +2185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": q_importance_sample,
         "temporal_neighbor_sample": q_temporal_neighbor_sample,
         "negative_samples": q_negative_samples,
+        "split_assign": q_split_assign,
+        "chunk_documents": q_chunk_documents,
         "sample_fixed_k": q_sample_fixed_k,
         "exact_dedup": q_exact_dedup,
         "lang_pred": q_lang_pred,
@@ -4054,6 +4081,25 @@ FROM g JOIN top USING (doc_id)
         f"WITH isq AS (SELECT doc_id, {_qexpr} AS rate_ppm FROM {_qfeat})"
         f" SELECT doc_id, rate_ppm FROM isq"
         f" WHERE ({_h60('CAST(doc_id AS VARCHAR)')} % 1000000) < rate_ppm"
+    )
+    sql["split_assign"] = (
+        f"SELECT doc_id, CASE WHEN ({_h60('CAST(doc_id AS VARCHAR)')} % 1000000) < 900000"
+        f" THEN 'train' WHEN ({_h60('CAST(doc_id AS VARCHAR)')} % 1000000) < 950000"
+        f" THEN 'val' ELSE 'test' END AS split FROM documents"
+    )
+    _stride = CHUNK_LEN - CHUNK_OVERLAP
+    sql["chunk_documents"] = (
+        "WITH cdt AS (SELECT doc_id, string_split(trim(text), ' ') AS t,"
+        "   CAST(length(string_split(trim(text), ' ')) AS BIGINT) AS n FROM documents),"
+        f" cdc AS (SELECT doc_id, t, n, unnest(range(0,"
+        f"   1 + (greatest(n - {CHUNK_LEN}, 0) + {_stride - 1}) // {_stride})) AS chunk_idx"
+        f"  FROM cdt)"
+        f" SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,"
+        f" CAST(chunk_idx * {_stride} AS BIGINT) AS start_tok,"
+        f" CAST(least({CHUNK_LEN}, n - chunk_idx * {_stride}) AS BIGINT) AS n_toks,"
+        f" array_to_string(t[chunk_idx * {_stride} + 1 :"
+        f"   chunk_idx * {_stride} + least({CHUNK_LEN}, n - chunk_idx * {_stride})], ' ')"
+        f" AS chunk_text FROM cdc"
     )
     sql["temporal_neighbor_sample"] = _tns_sql()
     sql["sample_fixed_k"] = (

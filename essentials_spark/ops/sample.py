@@ -144,3 +144,27 @@ def sample_fixed_k(
     rows that hash higher (the bottom-k reservoir property)."""
     key = F.col(key_col).cast("string")
     return df.withColumn("_h", md5_int60(key)).orderBy("_h").limit(int(k)).drop("_h")
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train_ppm: int = 900_000,
+    val_ppm: int = 50_000,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: the md5 bucket
+    of the key partitions rows into train (< train_ppm), val
+    (< train_ppm + val_ppm), test (the rest). The split is a pure
+    function of the KEY — stable across runs, layouts, and corpus
+    growth (a new document can never move an old one between splits;
+    the leakage-safety property eval pipelines require). Keying by a
+    GROUP id (conversation, source domain) keeps whole groups in one
+    split — pass that column as key_col. Narrow projection, no
+    shuffle."""
+    b = sample_bucket(F.col(key_col).cast("string"))
+    return df.withColumn(
+        "split",
+        F.when(b < F.lit(train_ppm), F.lit("train"))
+        .when(b < F.lit(train_ppm + val_ppm), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

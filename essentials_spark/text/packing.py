@@ -160,3 +160,49 @@ def packing_stats(packed: DataFrame, budget: int, group_col: str = "source") -> 
             F.lit(1e6) * F.sum("seq_tokens") / (F.count("*") * F.lit(budget))
         ).cast("long").alias("fill_ppm"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_len: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-length training chunks with overlap: split each document
+    into windows of ``max_len`` whitespace tokens, striding
+    ``max_len - overlap`` so consecutive chunks share ``overlap``
+    tokens (the context-continuity convention LM pipelines use).
+    Returns (id_col, chunk_idx, start_tok, n_toks, chunk_text).
+
+    Pure integer geometry + one explode — no shuffle, no state:
+    n_chunks = 1 + ceil(max(n - max_len, 0) / stride), chunk i covers
+    tokens [i·stride, i·stride + max_len). The trailing chunk is the
+    only short one; a document shorter than max_len is one chunk.
+    Every boundary is exact integer arithmetic over the engine's
+    token convention (split on ' '), so a SQL oracle replays both the
+    geometry and the reassembled chunk text."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(toks)
+    stride = max_len - overlap
+    if stride <= 0:
+        raise ValueError("chunk_documents: overlap must be < max_len")
+    n_chunks = (
+        F.lit(1)
+        + F.floor((F.greatest(n - F.lit(max_len), F.lit(0)) + F.lit(stride - 1)) / F.lit(stride))
+    ).cast("int")
+    c = docs.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * F.lit(stride)
+    ln = F.least(F.lit(max_len), F.col("_n") - start)
+    return c.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        ln.cast("long").alias("n_toks"),
+        F.concat_ws(" ", F.slice(F.col("_t"), start + 1, ln)).alias("chunk_text"),
+    )

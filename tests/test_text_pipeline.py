@@ -159,3 +159,50 @@ def test_bpe_exhausts_gracefully(spark):
 
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     assert bpe_train(docs, merges=3).count() == 0
+
+
+def test_chunk_documents_geometry(spark):
+    from pyspark.sql import functions as F
+
+    from essentials_spark.text.packing import chunk_documents
+
+    # 10 tokens, max_len 4, overlap 1 -> stride 3 -> n_chunks =
+    # 1 + ceil((10-4)/3) = 3, the minimum covering every token
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.chunk_idx, r.start_tok, r.n_toks, r.chunk_text)
+        for r in chunk_documents(docs, max_len=4, overlap=1).collect()
+    )
+    assert got == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 3, 4, "t3 t4 t5 t6"),
+        (2, 6, 4, "t6 t7 t8 t9"),
+    ]
+    # short doc: exactly one chunk
+    one = chunk_documents(
+        spark.createDataFrame([(2, "a b")], "doc_id long, text string"), max_len=4, overlap=1
+    ).collect()
+    assert len(one) == 1 and one[0].chunk_text == "a b"
+    # coverage invariant on a corpus: every token index lands in >=1 chunk
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_len=4, overlap=4)
+
+
+def test_assign_split_stability(spark):
+    from pyspark.sql import functions as F
+
+    from essentials_spark.ops.sample import assign_split
+
+    docs = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    s1 = assign_split(docs)
+    frac = {r.split: r.c for r in s1.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert abs(frac["train"] / 5000 - 0.9) < 0.02
+    assert abs(frac.get("val", 0) / 5000 - 0.05) < 0.01
+    # growing the corpus never reassigns existing keys
+    s2 = assign_split(spark.createDataFrame([(i,) for i in range(8000)], "doc_id long"))
+    j = s1.withColumnRenamed("split", "a").join(s2.withColumnRenamed("split", "b"), "doc_id")
+    assert j.filter("a <> b").count() == 0
