@@ -231,3 +231,23 @@ def test_sessionize_window_is_user_partitioned(spark):
 
     for m in re.finditer(r"Window \[[^\]]*\], \[[^\]]*\](, \[[^\]]*\])?", plan):
         assert "user_id" in m.group(0)
+
+
+def test_louvain_move_round_partial_agg_and_semi_prefilter(spark):
+    """louvain_move_round plan shape: the e_ic groupBy carries a
+    map-side partial aggregate, and with a movers restriction the edge
+    scan is prefiltered by a LeftSemi join (a color/MIS-class round
+    costs |class|-scale candidate generation, not n-scale)."""
+    from essentials_spark.algos.louvain import _degrees, louvain_move_round
+    from essentials_spark.graph.derive import Graph
+
+    edges = spark.range(4000).select(
+        (F.col("id") % 120).alias("src"), (F.col("id") % 77).alias("dst")
+    )
+    g = Graph(vertices=spark.range(120).select(F.col("id").alias("vid")), edges=edges)
+    labels = g.vertices.select("vid", F.col("vid").alias("label"))
+    degrees = _degrees(g)
+    movers = g.vertices.filter("vid % 5 = 0").select("vid")
+    plan = explain_str(louvain_move_round(g, labels, degrees, 8000, movers=movers))
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert "LeftSemi" in plan
