@@ -1018,6 +1018,18 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-pair pointwise mutual information over conversations
+    (io/transcripts.tool_cooccurrence_pmi): exact BIGINT co-occurrence
+    counts, one ln rounded to 1e-6 — the tool-affinity table behind
+    bundle suggestions."""
+    from essentials_spark.io.transcripts import tool_cooccurrence_pmi
+
+    return tool_cooccurrence_pmi(_transcripts(spark, sf_dir)).select(
+        "tool_a", "tool_b", "n_a", "n_b", "n_ab", "pmi_e6"
+    )
+
+
 CHUNK_LEN, CHUNK_OVERLAP = 16, 4
 
 
@@ -2186,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_neighbor_sample": q_temporal_neighbor_sample,
         "negative_samples": q_negative_samples,
         "split_assign": q_split_assign,
+        "tool_pmi": q_tool_pmi,
         "chunk_documents": q_chunk_documents,
         "sample_fixed_k": q_sample_fixed_k,
         "exact_dedup": q_exact_dedup,
@@ -4081,6 +4094,21 @@ FROM g JOIN top USING (doc_id)
         f"WITH isq AS (SELECT doc_id, {_qexpr} AS rate_ppm FROM {_qfeat})"
         f" SELECT doc_id, rate_ppm FROM isq"
         f" WHERE ({_h60('CAST(doc_id AS VARCHAR)')} % 1000000) < rate_ppm"
+    )
+    sql["tool_pmi"] = (
+        f"WITH {_PRELUDE},"
+        " pmt AS (SELECT DISTINCT conv_id, tool FROM tr WHERE tool IS NOT NULL),"
+        " pmn AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n FROM tr),"
+        " pmm AS (SELECT tool, CAST(count(*) AS BIGINT) AS n_t FROM pmt GROUP BY tool),"
+        " pmp AS (SELECT a.tool AS tool_a, b.tool AS tool_b,"
+        "   CAST(count(*) AS BIGINT) AS n_ab"
+        "  FROM pmt a JOIN pmt b ON a.conv_id = b.conv_id AND a.tool < b.tool"
+        "  GROUP BY a.tool, b.tool)"
+        " SELECT p.tool_a, p.tool_b, ma.n_t AS n_a, mb.n_t AS n_b, p.n_ab,"
+        " CAST(round(ln((CAST(p.n_ab AS DOUBLE) * CAST(n.n AS DOUBLE))"
+        "   / (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE))) * 1e6) AS BIGINT) AS pmi_e6"
+        " FROM pmp p JOIN pmm ma ON ma.tool = p.tool_a"
+        " JOIN pmm mb ON mb.tool = p.tool_b CROSS JOIN pmn n"
     )
     sql["split_assign"] = (
         f"SELECT doc_id, CASE WHEN ({_h60('CAST(doc_id AS VARCHAR)')} % 1000000) < 900000"

@@ -269,3 +269,51 @@ def sessionize(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).cast("int").alias("session_idx"),
     )
+
+
+def tool_cooccurrence_pmi(transcripts: DataFrame) -> DataFrame:
+    """Pointwise mutual information of tool PAIRS over conversations:
+    for tools a < b, pmi(a,b) = ln(n_ab·N / (n_a·n_b)) where n_x =
+    conversations containing x, n_ab = containing both, N = all
+    conversations. The standard association score for building tool
+    affinity graphs / suggesting tool bundles. Counts are exact
+    BIGINTs; the single ln is the only FP step (rounded to 1e-6 —
+    the engine's scalar-gate convention). Returns
+    (tool_a, tool_b, n_a, n_b, n_ab, pmi_e6).
+
+    Scale shape: distinct (conv, tool) is one shuffle; the pair join
+    is per-conversation (tools-per-conversation bounded, never a
+    global tool×tool product); marginals broadcast."""
+    t = transcripts.filter(F.col("tool").isNotNull()).select("conv_id", "tool").distinct()
+    n_convs = transcripts.select("conv_id").distinct().count()
+    marg = t.groupBy("tool").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    a = t.select("conv_id", F.col("tool").alias("tool_a"))
+    b = t.select("conv_id", F.col("tool").alias("tool_b"))
+    pairs = (
+        a.join(b, "conv_id")
+        .filter(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ma = marg.select(F.col("tool").alias("tool_a"), F.col("n_t").alias("n_a"))
+    mb = marg.select(F.col("tool").alias("tool_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "tool_a")
+        .join(F.broadcast(mb), "tool_b")
+        .select(
+            "tool_a",
+            "tool_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.lit(float(n_convs)))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi_e6"),
+        )
+    )

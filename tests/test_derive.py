@@ -83,3 +83,21 @@ def test_graph_end_to_end_on_transcripts(spark):
     exp_tc, exp_total = tc_oracle(n, und)
     assert got_tc.tolist() == exp_tc.tolist()
     assert total == exp_total
+
+
+def test_tool_cooccurrence_pmi_hand_computed(spark):
+    # N=4 convs; x in 3, y in 2, both in 2 -> pmi = ln(2*4/(3*2)) =
+    # ln(4/3) = 0.2876821 -> 287682; z never pairs
+    from essentials_spark.io.transcripts import tool_cooccurrence_pmi
+
+    t = spark.createDataFrame(
+        [
+            ("c1", "x"), ("c1", "y"), ("c2", "x"), ("c2", "y"),
+            ("c3", "x"), ("c3", None), ("c4", "z"),
+        ],
+        "conv_id string, tool string",
+    )
+    rows = tool_cooccurrence_pmi(t).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.tool_a, r.tool_b, r.n_a, r.n_b, r.n_ab, r.pmi_e6) == ("x", "y", 3, 2, 2, 287682)
