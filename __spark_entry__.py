@@ -1827,6 +1827,18 @@ def q_louvain2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(kg.vkeys, "vid").join(lab_keys, "label").select("skey", "community")
 
 
+def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution Gini coefficient of the symmetrized
+    transcript graph (algos/graphstats.degree_gini) — hub
+    concentration via the counting-sort shape (distinct-degree-scale
+    cumulative window, closed-form rank sums; exact BIGINT
+    numerator/denominator, one rounded division)."""
+    from essentials_spark.algos.graphstats import degree_gini
+
+    _kg, sg = _sym_graph(spark, sf_dir)
+    return degree_gini(sg.edges)
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Pearson degree-degree correlation) of the
     symmetrized transcript graph — the six Pearson sums are exact
@@ -2178,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_mis": q_louvain_mis,
         "louvain_incremental": q_louvain_incremental,
         "degree_assortativity": q_assortativity,
+        "degree_gini": q_degree_gini,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition,
         "ngram_contamination": q_contamination,
@@ -4240,6 +4253,20 @@ SELECT doc_id, CAST(round(sum(part) * 1e6) AS BIGINT) AS bm25_ppm FROM part GROU
         "   / (CAST(tm.two_m AS DOUBLE) * CAST(tm.two_m AS DOUBLE)) * 1e6)"
         "   AS BIGINT) AS q_ppm"
         " FROM per_c CROSS JOIN tm GROUP BY tm.two_m"
+    )
+    sql["degree_gini"] = (
+        f"WITH {_PRELUDE},"
+        " gdd AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src),"
+        " gdg AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM gdd GROUP BY d),"
+        " gdc AS (SELECT d, c, sum(c) OVER (ORDER BY d) - c AS a FROM gdg),"
+        " gda AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(d * c) AS BIGINT) AS s,"
+        "   CAST(sum(d * (c * a + c * (c + 1) // 2)) AS BIGINT) AS ids FROM gdc)"
+        " SELECT n, s AS degree_sum,"
+        " CAST(2 * ids - (n + 1) * s AS BIGINT) AS gini_num,"
+        " CAST(n * s AS BIGINT) AS gini_den,"
+        " CAST(floor(CAST(2 * ids - (n + 1) * s AS DOUBLE)"
+        "   / CAST(n * s AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS gini_ppm"
+        " FROM gda"
     )
     sql["degree_assortativity"] = (
         f"WITH {_PRELUDE},"

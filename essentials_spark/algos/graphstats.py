@@ -109,3 +109,52 @@ def degree_assortativity(sym_edges: DataFrame) -> DataFrame:
         .cast("long")
         .alias("r_e6"),
     )
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """Gini coefficient of the degree distribution — the
+    hub-concentration statistic (0 = regular graph, ->1 = one hub owns
+    everything). Over degrees sorted ascending d_1..d_n:
+
+        G = (2·Σ i·d_i − (n+1)·Σd) / (n·Σd)
+
+    computed WITHOUT a global sort: group degrees by value (the
+    counting-sort shape — distinct-degree-scale, not n-scale), take an
+    ordered cumulative count, and expand each equal-degree run's rank
+    sum in closed form: ranks (a, a+c] contribute
+    d·(c·a + c·(c+1)/2). Exact BIGINT numerator/denominator; the one
+    FP step is the final ppm rounding (half away from zero, the
+    engine's convention). Returns 1 row
+    (n, degree_sum, gini_num, gini_den, gini_ppm)."""
+    from pyspark.sql import Window
+
+    deg = edges.groupBy(F.col("src").alias("vid")).agg(F.count(F.lit(1)).alias("d"))
+    grp = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("d")
+    cum = grp.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "a", F.col("cum") - F.col("c")
+    )
+    # run contribution to Σ i·d_i: d * (c*a + c*(c+1)/2)
+    contrib = (
+        F.col("d")
+        * (F.col("c") * F.col("a") + F.expr("c * (c + 1) DIV 2"))
+    ).cast("long")
+    agg = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("d") * F.col("c")).cast("long").alias("s"),
+        F.sum(contrib).cast("long").alias("ids"),
+    )
+    return agg.select(
+        "n",
+        F.col("s").alias("degree_sum"),
+        (F.lit(2) * F.col("ids") - (F.col("n") + 1) * F.col("s")).alias("gini_num"),
+        (F.col("n") * F.col("s")).alias("gini_den"),
+        F.floor(
+            (F.lit(2) * F.col("ids") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )

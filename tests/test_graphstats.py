@@ -440,3 +440,19 @@ def test_importance_and_fixed_k_sampling(spark, docs):
     # bottom-k reservoir: the 100-sample contains the 50-sample
     s3 = {r.doc_id for r in sample_fixed_k(docs, 50).collect()}
     assert s3 <= s1
+
+
+def test_degree_gini_hand_computed(spark):
+    # out-degrees [1,1,2,4]: sorted Σ i*d = 25, num = 50 - 5*8 = 10,
+    # den = 32 -> G = 0.3125
+    from essentials_spark.algos.graphstats import degree_gini
+
+    e = spark.createDataFrame(
+        [(0, 9)] + [(1, 9)] + [(2, 9), (2, 8)] + [(3, 9), (3, 8), (3, 7), (3, 6)],
+        "src long, dst long",
+    )
+    r = degree_gini(e).collect()[0]
+    assert (r.n, r.degree_sum, r.gini_num, r.gini_den, r.gini_ppm) == (4, 8, 10, 32, 312500)
+    # regular graph: G = 0
+    reg = spark.createDataFrame([(i, (i + 1) % 4) for i in range(4)], "src long, dst long")
+    assert degree_gini(reg).collect()[0].gini_ppm == 0
