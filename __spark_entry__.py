@@ -1202,9 +1202,13 @@ def _bpe_sql(merges: int = BPE_MERGES) -> str:
             f"bwin{r} AS (SELECT l, r2, c FROM bp{r} ORDER BY c DESC, l || ' ' || r2 LIMIT 1)"
         )
         parts.append(
+            # doubled-space form mirrors text/bpe.bpe_train: one
+            # replace merges EVERY occurrence this round, collapse
+            # restores single-space separators
             f"bw{r + 1} AS (SELECT w.cnt,"
-            f" trim(replace(' ' || w.s || ' ', ' ' || x.l || ' ' || x.r2 || ' ',"
-            f" ' ' || x.l || x.r2 || ' ')) AS s FROM bw{r} w CROSS JOIN bwin{r} x)"
+            f" trim(replace(replace(' ' || replace(w.s, ' ', '  ') || ' ',"
+            f" ' ' || x.l || '  ' || x.r2 || ' ',"
+            f" ' ' || x.l || x.r2 || ' '), '  ', ' ')) AS s FROM bw{r} w CROSS JOIN bwin{r} x)"
         )
     sel = " UNION ALL ".join(
         f'SELECT CAST({r} AS BIGINT) AS merge_idx, l AS "left", r2 AS "right",'
@@ -3997,16 +4001,16 @@ w AS (
   FROM toks
 )
 SELECT doc_id, source, tokens,
-       source || ':' || CAST(CAST(floor((cum - tokens) / {PACK_BUDGET}.0) AS BIGINT) AS VARCHAR) AS seq_id,
-       CAST((cum - tokens) - CAST(floor((cum - tokens) / {PACK_BUDGET}.0) AS BIGINT) * {PACK_BUDGET} AS BIGINT) AS offset_in_seq
+       source || ':' || CAST((cum - tokens) // {PACK_BUDGET} AS VARCHAR) AS seq_id,
+       CAST((cum - tokens) - ((cum - tokens) // {PACK_BUDGET}) * {PACK_BUDGET} AS BIGINT) AS offset_in_seq
 FROM w
 """
     sql["ngram_contamination"] = f"""
 WITH g AS (
-  SELECT doc_id, list_distinct(list_transform(
-      range(0, greatest(len(t)-{CONTAM_N}, 0)+1),
+  SELECT doc_id, CASE WHEN len(t) >= {CONTAM_N} THEN list_distinct(list_transform(
+      range(0, len(t)-{CONTAM_N}+1),
       i -> array_to_string(list_slice(t, i+1, i+{CONTAM_N}), ' ')
-    )) AS grams
+    )) ELSE [] END AS grams
   FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents)
 ),
 bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),

@@ -136,6 +136,7 @@ def betweenness_centrality(
             .agg(F.sum((F.col("vsigma") / F.col("wsigma")) * (1.0 + F.col("wdelta"))).alias("dd"))
         )
         finalized.append(delta.select("seed", "vid", "delta"))
+        prev_delta = delta
         delta = truncate_plan(
             levels[d - 1].join(contrib, ["seed", "vid"], "left").select(
                 "seed", "vid", "sigma", F.coalesce(F.col("dd"), F.lit(0.0)).alias("delta")
@@ -145,7 +146,13 @@ def betweenness_centrality(
         # eagerly localCheckpoint-materialized, so it no longer reads
         # from the level cache) — release it now, not at GC time
         levels[d].unpersist()
+        # same for the consumed delta's DataFrame-level cache: its
+        # rows live in the localCheckpoint blocks that `finalized`
+        # reads from, so the persist on top is a redundant duplicate
+        # pinning O(seed x level) memory per depth — drop it eagerly
+        prev_delta.unpersist()
     finalized.append(delta.select("seed", "vid", "delta"))
+    levels[0].unpersist()
 
     all_deltas = finalized[0]
     for df in finalized[1:]:

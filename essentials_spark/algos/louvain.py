@@ -239,7 +239,9 @@ def louvain(
     par = None
     schedule: list[tuple[int, int]]  # (round, class) pairs
     if mode == "semi":
-        par = semi_parity or g.vertices.select(
+        # explicit None check: DataFrame must not be bool-evaluated
+        # (future PySpark versions may raise on __bool__, as pandas does)
+        par = semi_parity if semi_parity is not None else g.vertices.select(
             "vid", F.pmod(F.col("vid"), F.lit(2)).cast("int").alias("par")
         )
         par = truncate_plan(par.select("vid", F.col("par").cast("int").alias("par")))

@@ -11,11 +11,15 @@ so the full merge trajectory replays bit-for-bit in SQL:
   counts — BIGINTs;
 - the winner: max count, ties to the lexicographically smaller pair
   (min over (-cnt, pair) — the engine's standard argmax idiom);
-- the rewrite: non-overlapping left-to-right replace of the
-  space-padded pair token (' a b ' -> ' ab ' over ' '||s||' ') —
-  both engines' replace() scans left to right without overlap, so
-  consecutive occurrences sharing a boundary space rewrite on the
-  NEXT round, deterministically and identically in both engines.
+- the rewrite: simultaneous merge of EVERY occurrence of the winning
+  pair within the round (Sennrich semantics), via the doubled-space
+  form: internal separators are doubled (' a b ' -> ' a  b ') so
+  adjacent occurrences no longer share a boundary space, one
+  non-overlapping left-to-right replace of ' a  b ' hits them all
+  (greedy left-to-right on genuine overlaps like 'a a a', exactly as
+  reference BPE), and collapsing '  ' -> ' ' restores the canonical
+  form. replace() scans identically in Spark and DuckDB, so the
+  trajectory stays bit-exact in both engines.
 
 Scale shape per round: the state is the distinct-WORD table (corpus
 vocabulary — bounded, not corpus-scale; one groupBy derives it), and
@@ -93,16 +97,24 @@ def bpe_train(
             break
         left, right, cnt = top["l"], top["r"], int(top["c"])
         rows.append((r, left, right, cnt))
-        pat = f" {left} {right} "
+        # doubled-space form: every occurrence owns its flanking
+        # spaces, so ONE non-overlapping replace merges all of them
+        # in this round (back-to-back 'a b a b' included); runs of
+        # exactly two spaces remain afterwards, one collapse pass
+        # restores canonical single-space separators
+        pat = f" {left}  {right} "
         rep = f" {left}{right} "
+        padded = F.concat(
+            F.lit(" "), F.replace(F.col("s"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
         wf = truncate_plan(
             wf.select(
                 "cnt",
                 F.trim(
                     F.replace(
-                        F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
-                        F.lit(pat),
-                        F.lit(rep),
+                        F.replace(padded, F.lit(pat), F.lit(rep)),
+                        F.lit("  "),
+                        F.lit(" "),
                     )
                 ).alias("s"),
             )

@@ -32,10 +32,17 @@ from pyspark.sql import functions as F
 
 
 def _ngrams(text_col, n: int):
-    """Array of word n-gram strings (space-joined), lowercased."""
+    """Array of word n-gram strings (space-joined), lowercased.
+
+    Docs shorter than ``n`` tokens emit NO grams (standard
+    decontamination semantics: a sub-n-gram overlap is not a hit), so
+    the index range is gated rather than clamped."""
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def ngram_contamination(

@@ -72,16 +72,21 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("tokens").over(w)
-    before = (cum - F.col("tokens")).alias("before")
-    # integer-valued doubles are exact below 2^53: floor() is
-    # deterministic and identical in DuckDB
-    seq_idx = F.floor((cum - F.col("tokens")) / F.lit(budget)).cast("long")
-    return toks.select(
+    # long floordiv (DIV): exact for ANY budget — no FP floor-boundary
+    # risk at large cumulative sums; mirrored as // in the DuckDB oracle
+    staged = toks.select(
+        id_col,
+        group_col,
+        "tokens",
+        (cum - F.col("tokens")).cast("long").alias("before"),
+    )
+    seq_idx = F.expr(f"before DIV {int(budget)}")
+    return staged.select(
         id_col,
         group_col,
         "tokens",
         F.concat(F.col(group_col), F.lit(":"), seq_idx.cast("string")).alias("seq_id"),
-        (before - seq_idx * F.lit(budget)).cast("long").alias("offset_in_seq"),
+        (F.col("before") - seq_idx * F.lit(budget)).cast("long").alias("offset_in_seq"),
     )
 
 

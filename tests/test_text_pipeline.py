@@ -88,13 +88,17 @@ def test_ngram_contamination(spark):
             (0, "x alpha beta gamma y"),  # shares 'alpha beta gamma'
             (1, "alpha beta x gamma delta"),  # shares no 3-gram
             (2, "clean document entirely"),
+            (3, "alpha beta"),  # SHORTER than n: emits no grams, never flags
         ],
         "doc_id long, text string",
     )
     hits = {r["doc_id"]: r["hit_ngrams"] for r in ngram_contamination(train, bench, n=3).collect()}
     assert hits == {0: 1}
     survivors = sorted(r["doc_id"] for r in decontaminate(train, bench, n=3).collect())
-    assert survivors == [1, 2]
+    assert survivors == [1, 2, 3]
+    # a sub-n-gram benchmark doc contributes no grams either
+    short_bench = spark.createDataFrame([(200, "alpha beta")], "doc_id long, text string")
+    assert ngram_contamination(train, short_bench, n=3).count() == 0
 
 
 def test_repetition_stats(spark):
@@ -151,6 +155,19 @@ def test_bpe_merge_trajectory_hand_computed(spark):
     docs = spark.createDataFrame([(0, "aaab aaab"), (1, "ab")], "doc_id long, text string")
     got = [(r.merge_idx, r.left, r.right, r.pair_cnt) for r in bpe_train(docs, merges=3).collect()]
     assert sorted(got) == [(0, "a", "a", 4), (1, "a", "b", 3), (2, "aa", "ab", 2)]
+
+
+def test_bpe_merges_back_to_back_occurrences_in_one_round(spark):
+    # 'abab' -> 'a b a b': both (a,b) occurrences merge in ROUND 0
+    # (Sennrich simultaneous rewrite), so round 1 sees 'ab ab' and
+    # the same pair never wins twice — no duplicate merge-table rows
+    from essentials_spark.text.bpe import bpe_train
+
+    docs = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+    got = [(r.merge_idx, r.left, r.right, r.pair_cnt) for r in bpe_train(docs, merges=2).collect()]
+    assert sorted(got) == [(0, "a", "b", 2), (1, "ab", "ab", 1)]
+    pairs = [(l, r) for _, l, r, _ in got]
+    assert len(pairs) == len(set(pairs))
 
 
 def test_bpe_exhausts_gracefully(spark):
