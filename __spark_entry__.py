@@ -1184,7 +1184,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql(merges: int = BPE_MERGES) -> str:
+def _bpe_parts(merges: int = BPE_MERGES) -> list[str]:
     parts = [
         "bw0 AS (SELECT CAST(count(*) AS BIGINT) AS cnt,"
         " array_to_string(string_split(word, ''), ' ') AS s FROM ("
@@ -1210,13 +1210,51 @@ def _bpe_sql(merges: int = BPE_MERGES) -> str:
             f" ' ' || x.l || '  ' || x.r2 || ' ',"
             f" ' ' || x.l || x.r2 || ' '), '  ', ' ')) AS s FROM bw{r} w CROSS JOIN bwin{r} x)"
         )
+    return parts
+
+
+def _bpe_sql(merges: int = BPE_MERGES) -> str:
     sel = " UNION ALL ".join(
         f'SELECT CAST({r} AS BIGINT) AS merge_idx, l AS "left", r2 AS "right",'
         f" c AS pair_cnt FROM bwin{r}"
         for r in range(merges)
     )
-    body = ",\n".join(parts)
+    body = ",\n".join(_bpe_parts(merges))
     return f"WITH {body}\n{sel}"
+
+
+def _bpe_encode_sql(merges: int = BPE_MERGES) -> str:
+    """Replay training (bwin0..n winners), then the per-word encode
+    cascade over every doc: char-space each word, apply each winner
+    with the same doubled-space simultaneous rewrite, count tokens."""
+    parts = list(_bpe_parts(merges))
+    parts.append(
+        "encw0 AS (SELECT doc_id,"
+        " array_to_string(string_split(word, ''), ' ') AS s FROM ("
+        "   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents)"
+        " WHERE length(word) > 0)"
+    )
+    for r in range(merges):
+        parts.append(
+            f"encw{r + 1} AS (SELECT w.doc_id,"
+            f" trim(replace(replace(' ' || replace(w.s, ' ', '  ') || ' ',"
+            f" ' ' || x.l || '  ' || x.r2 || ' ',"
+            f" ' ' || x.l || x.r2 || ' '), '  ', ' ')) AS s"
+            f" FROM encw{r} w CROSS JOIN bwin{r} x)"
+        )
+    parts.append(
+        f"encagg AS (SELECT doc_id,"
+        f" CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_tokens,"
+        f" CAST(count(*) AS BIGINT) AS n_words FROM encw{merges} GROUP BY doc_id)"
+    )
+    body = ",\n".join(parts)
+    # LEFT JOIN keeps zero-word docs as (0, 0), matching Spark
+    return (
+        f"WITH {body}\n"
+        "SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,"
+        " coalesce(a.n_words, 0) AS n_words"
+        " FROM documents d LEFT JOIN encagg a USING (doc_id)"
+    )
 
 
 SKETCH_M, CM_DEPTH, CM_WIDTH = 4096, 4, 1024
@@ -2158,6 +2196,157 @@ def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_transitions(_transcripts(spark, sf_dir))
 
 
+WIN_US = 3_600_000_000  # 1 hour
+SLIDE_US = 1_800_000_000  # 30 minutes
+RANGE_BUCKET_US = WIN_US
+
+
+def _turns_ts_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return _transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.timestamp_diff("MICROSECOND", epoch0, F.col("ts")).alias("ts_us"),
+    )
+
+
+def q_asof_tool_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops/asof.asof_join): every tool-call turn joined to
+    the most recent STRICTLY-earlier use of the same tool anywhere in
+    the corpus — the sorted-merge shape (one key shuffle + running
+    last(ignore nulls)), never a range self-join. Ties at equal ts
+    resolve to the max (conv_id, turn_idx) right row, bit-exact in
+    both engines."""
+    from essentials_spark.ops.asof import asof_join
+
+    tt = _turns_ts_us(spark, sf_dir).filter(F.col("tool").isNotNull())
+    out = asof_join(
+        tt,
+        tt,
+        "tool",
+        ts_col="ts_us",
+        value_cols=["conv_id", "turn_idx"],
+        strict=True,
+        right_order_cols=["conv_id", "turn_idx"],
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.col("asof_conv_id").alias("prev_conv"),
+        F.col("asof_turn_idx").alias("prev_turn"),
+    )
+
+
+def q_conv_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range-count (ops/asof.range_count): per conversation,
+    how many OTHER conversations' turns fall inside its [first, last]
+    timestamp span — prefix-rank arithmetic (bucketed running counts +
+    broadcast offsets), never the interval x turn pair join the naive
+    plan materializes (1.45M pairs at sf0.01 already)."""
+    from essentials_spark.ops.asof import range_count
+
+    t = _turns_ts_us(spark, sf_dir)
+    iv = t.groupBy("conv_id").agg(
+        F.min("ts_us").alias("lo_us"),
+        F.max("ts_us").alias("hi_us"),
+        F.count(F.lit(1)).alias("n_own"),
+    )
+    rc = range_count(
+        t.select("ts_us"),
+        iv.select(F.col("conv_id").alias("qid"), "lo_us", "hi_us"),
+        bucket_us=RANGE_BUCKET_US,
+    )
+    return (
+        rc.join(iv, rc["qid"] == iv["conv_id"])
+        .select(
+            "conv_id", (F.col("n_in_range") - F.col("n_own")).cast("long").alias("n_concurrent")
+        )
+    )
+
+
+def q_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window rollup (streaming/windows.
+    tumbling_rollup): 1-hour windows over turn timestamps — the
+    Structured-Streaming aggregation shape run in batch (identical
+    F.window expression under readStream with a watermark)."""
+    from essentials_spark.streaming.windows import tumbling_rollup
+
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id", "tool", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    return tumbling_rollup(t, width="1 hour")
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window variant (1h window / 30m slide): bounded 2x row
+    replication, state ~ open windows — the late-data/watermark
+    configuration point for the streaming path."""
+    from essentials_spark.streaming.windows import sliding_rollup
+
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id", "tool", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    return sliding_rollup(t, width="1 hour", slide="30 minutes")
+
+
+def q_scc_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (algos/scc.py, FW-BW min-label
+    peel) of the DIRECTED tool-transition digraph — true directed
+    mutual-reachability semantics, vs the undirected CC family.
+
+    The raw 5-tool digraph at sf0.01 is complete (one SCC — a
+    blind-spot gate: a constant labeler would pass), so the entry
+    keeps only HEAVY transitions (count * 24 > corpus total, a
+    scale-free relative threshold): at sf0.01 that splits the graph
+    into {click,error,signup,view} + singleton {purchase}, so the
+    gate pins a genuine multi-SCC decomposition. The oracle computes
+    the transitive closure by repeated squaring (exact for <= 32
+    tools) and takes min over mutual-reach pairs."""
+    from essentials_spark.algos.scc import strongly_connected_components
+    from essentials_spark.io.transcripts import tool_transitions
+
+    t = _transcripts(spark, sf_dir)
+    verts = t.filter(F.col("tool").isNotNull()).select(F.col("tool").alias("vid")).distinct()
+    tt = tool_transitions(t)
+    total = tt.agg(F.sum("n").alias("tot"))
+    ed = (
+        tt.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 24 > F.col("tot"))
+        .select(F.col("src_tool").alias("src"), F.col("dst_tool").alias("dst"))
+    )
+    out = strongly_connected_components(verts, ed)
+    return out.select(F.col("vid").alias("tool"), "scc")
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (text/bpe.bpe_encode): train the
+    BPE_MERGES-round merge table on the corpus, then tokenize every
+    doc with it — v chained narrow projections in one codegen pass.
+    Integer (n_tokens, n_words) per doc; the oracle replays both the
+    training trajectory and the encode cascade."""
+    from essentials_spark.text.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, merges=BPE_MERGES)
+    return bpe_encode(docs, merges).select("doc_id", "n_tokens", "n_words")
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (ops/rank.global_rank): every doc's exact
+    1-based global position under (quality desc, doc_id asc) — the
+    counting-sort offsets + per-score parallel window shape, never a
+    single-partition global sort."""
+    from essentials_spark.ops.rank import global_rank
+    from essentials_spark.text.analysis import quality_score
+
+    q = quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", F.round(F.col("quality") * 1e6).cast("long").alias("q_ppm")
+    )
+    return global_rank(q, "q_ppm", "doc_id").select("doc_id", "q_ppm", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's execution order, chosen so
     the suite degrades gracefully if the driver's per-round budget
@@ -2185,6 +2374,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_lp,
         "triangle_count": q_triangles,
         # --- group 1: fewest prior gate rows, cheap first ---
+        # round-6 additions (never gated yet)
+        "window_rollup": q_window_rollup,
+        "window_sliding": q_window_sliding,
+        "curriculum_order": q_curriculum_order,
+        "scc_tools": q_scc_tools,
+        "asof_tool_reuse": q_asof_tool_reuse,
+        "conv_concurrency": q_conv_concurrency,
+        "bpe_encode": q_bpe_encode,
         # round-5b text-pipeline additions (never gated yet)
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
@@ -4096,6 +4293,97 @@ FROM g JOIN top USING (doc_id)
         " FROM qdt t JOIN qdc c ON c.cum >= t.thr GROUP BY t.pct_ppm"
     )
     sql["bpe_merges"] = _bpe_sql()
+    sql["bpe_encode"] = _bpe_encode_sql()
+
+    # round-6 temporal/window/rank/scc oracles ------------------------------
+    sql["window_rollup"] = f"""
+WITH {_PRELUDE}
+SELECT (epoch_us(ts) // {WIN_US}) * {WIN_US} AS win_start_us,
+       (epoch_us(ts) // {WIN_US}) * {WIN_US} + {WIN_US} AS win_end_us,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(tool) AS BIGINT) AS n_tool_calls
+FROM tr GROUP BY 1, 2
+"""
+    sql["window_sliding"] = f"""
+WITH {_PRELUDE},
+slid AS (
+  SELECT conv_id, tool,
+         ((epoch_us(ts) // {SLIDE_US}) - k) * {SLIDE_US} AS ws
+  FROM tr CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+SELECT ws AS win_start_us, ws + {WIN_US} AS win_end_us,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(tool) AS BIGINT) AS n_tool_calls
+FROM slid GROUP BY 1, 2
+"""
+    sql["asof_tool_reuse"] = f"""
+WITH {_PRELUDE},
+tt AS (SELECT conv_id, turn_idx, tool, epoch_us(ts) AS ts_us FROM tr WHERE tool IS NOT NULL),
+au AS (
+  SELECT tool, ts_us, 0 AS side, conv_id, turn_idx,
+         CAST(NULL AS VARCHAR) AS rconv, CAST(NULL AS INTEGER) AS rturn
+  FROM tt
+  UNION ALL
+  SELECT tool, ts_us, 1, NULL, NULL, conv_id, turn_idx FROM tt
+),
+aw AS (
+  SELECT side, conv_id, turn_idx, tool,
+    last_value(rconv IGNORE NULLS) OVER (PARTITION BY tool ORDER BY ts_us, side, rconv, rturn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_conv,
+    last_value(rturn IGNORE NULLS) OVER (PARTITION BY tool ORDER BY ts_us, side, rconv, rturn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_turn
+  FROM au
+)
+SELECT conv_id, turn_idx, tool, prev_conv, prev_turn FROM aw WHERE side = 0
+"""
+    sql["conv_concurrency"] = f"""
+WITH {_PRELUDE},
+spanc AS (SELECT conv_id, min(epoch_us(ts)) AS a, max(epoch_us(ts)) AS b FROM tr GROUP BY conv_id)
+SELECT s.conv_id, CAST(count(t.conv_id) AS BIGINT) AS n_concurrent
+FROM spanc s LEFT JOIN tr t
+  ON epoch_us(t.ts) BETWEEN s.a AND s.b AND t.conv_id <> s.conv_id
+GROUP BY s.conv_id
+"""
+    # transitive closure by repeated squaring: r_k holds all reachable
+    # pairs via paths <= 2^k hops (reflexive seed), exact for <= 32
+    # tools (synth caps n_tools at 20); scc = min over mutual reach
+    _scc_parts = [
+        _PRELUDE,
+        "sccv AS (SELECT DISTINCT tool AS v FROM tr WHERE tool IS NOT NULL)",
+        "sccw AS (SELECT s, d, count(*) AS n FROM ("
+        "  SELECT tool AS s, lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS d"
+        "  FROM tr WHERE tool IS NOT NULL) WHERE d IS NOT NULL GROUP BY s, d)",
+        # heavy-transition filter mirrors the entry: n * 24 > total
+        "scce AS (SELECT s, d FROM sccw WHERE n * 24 > (SELECT sum(n) FROM sccw))",
+        "sccr0 AS (SELECT v AS s, v AS d FROM sccv UNION SELECT s, d FROM scce)",
+    ]
+    for _k in range(5):
+        _scc_parts.append(
+            f"sccr{_k + 1} AS (SELECT DISTINCT a.s, b.d"
+            f" FROM sccr{_k} a JOIN sccr{_k} b ON a.d = b.s)"
+        )
+    sql["scc_tools"] = (
+        "WITH " + ",\n".join(_scc_parts) + "\n"
+        "SELECT a.s AS tool, min(a.d) AS scc"
+        " FROM sccr5 a JOIN sccr5 b ON a.s = b.d AND a.d = b.s GROUP BY a.s"
+    )
+    sql["curriculum_order"] = """
+WITH cq AS (
+  SELECT doc_id, CAST(round(round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+    least(1.0, n_tokens / 100.0) * 0.4
+    + (1.0 - least(1.0, n_punct / CAST(greatest(n_tokens, 1) AS DOUBLE))) * 0.2
+    + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.4 END, 6) * 1e6) AS BIGINT) AS q_ppm
+  FROM (SELECT doc_id, length(string_split(trim(text), ' ')) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+    length(list_distinct(string_split(trim(text), ' '))) AS n_distinct
+    FROM documents)
+)
+SELECT doc_id, q_ppm,
+       CAST(row_number() OVER (ORDER BY q_ppm DESC, doc_id) AS BIGINT) AS rank
+FROM cq
+"""
     _qexpr = (
         "CAST(round(round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE"
         " least(1.0, n_tokens / 100.0) * 0.4"

@@ -123,3 +123,45 @@ def bpe_train(
     return spark.createDataFrame(
         rows, "merge_idx long, left string, right string, pair_cnt long"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize ``docs`` with a trained merge table (the artifact
+    :func:`bpe_train` ships): per word, start from characters and
+    apply every merge in merge_idx order with the same doubled-space
+    simultaneous rewrite as training. Returns
+    (id_col, n_tokens, n_words) — subword count and word count per doc.
+
+    The merge table is tokenizer-sized (driver-collected, O(merges)
+    rows) and the per-merge rewrite is one narrow JVM projection over
+    the doc scan — applying a v-merge tokenizer is v chained
+    projections in ONE whole-stage-codegen pass, no shuffle, no
+    Python. Word boundaries never merge (words are rewritten
+    independently via per-word transform), matching BPE semantics.
+    """
+    ordered = [
+        (r["left"], r["right"])
+        for r in merge_table.orderBy("merge_idx").collect()
+    ]
+    words = F.filter(F.split(F.trim(F.col(text_col)), " "), lambda x: F.length(x) > 0)
+    # per-word char-spacing, then the merge cascade inside ONE
+    # transform lambda chain (applies to each word independently)
+    def encode_word(wcol):
+        s = F.concat_ws(" ", F.filter(F.split(wcol, ""), lambda c: c != F.lit("")))
+        for left, right in ordered:
+            pat, rep = f" {left}  {right} ", f" {left}{right} "
+            padded = F.concat(F.lit(" "), F.replace(s, F.lit(" "), F.lit("  ")), F.lit(" "))
+            s = F.trim(F.replace(F.replace(padded, F.lit(pat), F.lit(rep)), F.lit("  "), F.lit(" ")))
+        return F.size(F.split(s, " "))
+
+    tok_counts = F.transform(words, encode_word)
+    return docs.select(
+        F.col(id_col),
+        F.aggregate(tok_counts, F.lit(0).cast("long"), lambda a, x: a + x).alias("n_tokens"),
+        F.size(words).cast("long").alias("n_words"),
+    )

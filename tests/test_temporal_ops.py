@@ -1,0 +1,133 @@
+"""Round-6 ops: as-of join, range count, window rollups, SCC,
+BPE encode, global rank — hand-computed fixtures."""
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_strict_and_inclusive(spark):
+    from essentials_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10, "l1"), ("k", 20, "l2"), ("k", 5, "l0"), ("z", 10, "lz")],
+        "key string, ts_us long, lid string",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, "r10"), ("k", 15, "r15"), ("k", 15, "r15b"), ("k", 1, "r1")],
+        "key string, ts_us long, rv string",
+    )
+    # strict: left@10 sees right@1 only (right@10 excluded at equal ts)
+    got = {
+        r["lid"]: r["asof_rv"]
+        for r in asof_join(
+            left, right, "key", value_cols=["rv"], strict=True, right_order_cols=["rv"]
+        ).collect()
+    }
+    assert got == {"l0": "r1", "l1": "r1", "l2": "r15b", "lz": None}
+    # inclusive: left@10 sees right@10; equal-ts right ties pick the
+    # LAST by right_order_cols ('r15b' > 'r15')
+    got2 = {
+        r["lid"]: r["asof_rv"]
+        for r in asof_join(
+            left, right, "key", value_cols=["rv"], strict=False, right_order_cols=["rv"]
+        ).collect()
+    }
+    assert got2 == {"l0": "r1", "l1": "r10", "l2": "r15b", "lz": None}
+
+
+def test_range_count_boundaries(spark):
+    from essentials_spark.ops.asof import range_count
+
+    points = spark.createDataFrame([(t,) for t in [5, 10, 10, 20, 100]], "ts_us long")
+    intervals = spark.createDataFrame(
+        [
+            (1, 10, 20),   # inclusive both ends: 10,10,20 -> 3
+            (2, 0, 4),     # before everything -> 0
+            (3, 11, 19),   # gap -> 0
+            (4, 0, 1000),  # everything -> 5
+            (5, 101, 999), # after everything -> 0
+            (6, 5, 5),     # single point -> 1
+        ],
+        "qid long, lo_us long, hi_us long",
+    )
+    got = {
+        r["qid"]: r["n_in_range"]
+        for r in range_count(points, intervals, bucket_us=7).collect()
+    }
+    assert got == {1: 3, 2: 0, 3: 0, 4: 5, 5: 0, 6: 1}
+
+
+def test_window_rollups(spark):
+    from essentials_spark.streaming.windows import sliding_rollup, tumbling_rollup
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", "2024-01-01 00:10:00", "toolA"),
+            ("c1", "2024-01-01 00:50:00", None),
+            ("c2", "2024-01-01 01:10:00", "toolB"),
+        ],
+        "conv_id string, ts_s string, tool string",
+    ).select("conv_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "tool")
+    t = {r["win_start_us"]: (r["n_turns"], r["n_convs"], r["n_tool_calls"])
+         for r in tumbling_rollup(turns).collect()}
+    h0 = 1704067200 * 10**6  # 2024-01-01 00:00 UTC epoch-us
+    assert t == {h0: (2, 1, 1), h0 + 3_600_000_000: (1, 1, 1)}
+    s = {r["win_start_us"]: r["n_turns"] for r in sliding_rollup(turns).collect()}
+    # 00:10 lands in [23:40?] no — windows starting 23:30 & 00:00 for
+    # width 1h slide 30m: starts 23:30 (23:30-00:30) and 00:00
+    assert s[h0] == 2  # 00:00-01:00 holds 00:10 and 00:50
+    assert s[h0 + 1_800_000_000] == 2  # 00:30-01:30 holds 00:50, 01:10
+
+
+def test_scc_hand_graph(spark):
+    from essentials_spark.algos.scc import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 5), (5, 6), (6, 5), (7, 8)],
+        "src long, dst long",
+    )
+    verts = spark.createDataFrame([(v,) for v in [1, 2, 3, 5, 6, 7, 8, 9]], "vid long")
+    got = {r["vid"]: r["scc"] for r in strongly_connected_components(verts, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+
+def test_scc_string_vids_and_empty(spark):
+    from essentials_spark.algos.scc import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+    )
+    verts = spark.createDataFrame([("a",), ("b",), ("c",)], "vid string")
+    got = {r["vid"]: r["scc"] for r in strongly_connected_components(verts, edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c"}
+    empty_v = verts.limit(0)
+    assert strongly_connected_components(empty_v, edges.limit(0)).count() == 0
+
+
+def test_bpe_encode_roundtrip(spark):
+    from essentials_spark.text.bpe import bpe_encode, bpe_train
+
+    corpus = spark.createDataFrame(
+        [(0, "abab abab xy"), (1, "ab xy xy")], "doc_id long, text string"
+    )
+    merges = bpe_train(corpus, merges=3)
+    # merges: (a,b) cnt5 -> (x,y) cnt3 -> (ab,ab) cnt2
+    out = {r["doc_id"]: (r["n_tokens"], r["n_words"]) for r in bpe_encode(corpus, merges).collect()}
+    # doc0: 'abab'->[abab] x2 (1 tok each), 'xy'->[xy] => 3 tokens, 3 words
+    # doc1: 'ab'->[ab], 'xy' x2 => 3 tokens, 3 words
+    assert out == {0: (3, 3), 1: (3, 3)}
+    fresh = spark.createDataFrame([(9, "ababx yab q")], "doc_id long, text string")
+    out2 = {r["doc_id"]: (r["n_tokens"], r["n_words"]) for r in bpe_encode(fresh, merges).collect()}
+    # 'ababx' -> a b a b x -> ab ab x -> abab x (2); 'yab' -> y ab (2); 'q' (1)
+    assert out2 == {9: (5, 3)}
+
+
+def test_global_rank_ties_and_order(spark):
+    from essentials_spark.ops.rank import global_rank
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 50), (4, 10), (5, 90)], "doc_id long, score long"
+    )
+    got = {r["doc_id"]: r["rank"] for r in global_rank(df, "score", "doc_id").collect()}
+    assert got == {2: 1, 5: 2, 1: 3, 3: 4, 4: 5}
+    asc = {r["doc_id"]: r["rank"] for r in global_rank(df, "score", "doc_id", descending=False).collect()}
+    assert asc == {4: 1, 1: 2, 3: 3, 2: 4, 5: 5}
