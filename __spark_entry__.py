@@ -2333,6 +2333,21 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "n_tokens", "n_words")
 
 
+DUP_SPAN_K = 6
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span statistics (text/spans.duplicate_spans,
+    the Lee-et-al substring-dedup signal): per doc, total
+    DUP_SPAN_K-token spans, spans occurring >= 2x corpus-wide, and
+    distinct duplicated spans — all integers; never doc pairs."""
+    from essentials_spark.text.spans import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=DUP_SPAN_K).select(
+        "doc_id", "n_spans", "n_dup_spans", "n_dup_grams"
+    )
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (ops/rank.global_rank): every doc's exact
     1-based global position under (quality desc, doc_id asc) — the
@@ -2381,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_tools": q_scc_tools,
         "asof_tool_reuse": q_asof_tool_reuse,
         "conv_concurrency": q_conv_concurrency,
+        "duplicate_spans": q_duplicate_spans,
         "bpe_encode": q_bpe_encode,
         # round-5b text-pipeline additions (never gated yet)
         "stratified_sample": q_stratified_sample,
@@ -4369,6 +4385,26 @@ GROUP BY s.conv_id
         "SELECT a.s AS tool, min(a.d) AS scc"
         " FROM sccr5 a JOIN sccr5 b ON a.s = b.d AND a.d = b.s GROUP BY a.s"
     )
+    sql["duplicate_spans"] = f"""
+WITH dsp AS (
+  SELECT doc_id, CASE WHEN len(t) >= {DUP_SPAN_K} THEN list_transform(
+      range(0, len(t)-{DUP_SPAN_K}+1),
+      i -> array_to_string(list_slice(t, i+1, i+{DUP_SPAN_K}), ' ')
+    ) ELSE [] END AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents)
+),
+dpos AS (SELECT doc_id, unnest(grams) AS gram FROM dsp),
+docc AS (SELECT gram FROM dpos GROUP BY gram HAVING count(*) >= 2),
+dfl AS (SELECT p.doc_id, p.gram, (o.gram IS NOT NULL) AS dup
+        FROM dpos p LEFT JOIN docc o USING (gram)),
+dagg AS (SELECT doc_id,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           CAST(count(DISTINCT CASE WHEN dup THEN gram END) AS BIGINT) AS ng
+         FROM dfl GROUP BY doc_id)
+SELECT s.doc_id, CAST(len(s.grams) AS BIGINT) AS n_spans,
+       coalesce(a.nd, 0) AS n_dup_spans, coalesce(a.ng, 0) AS n_dup_grams
+FROM dsp s LEFT JOIN dagg a USING (doc_id)
+"""
     sql["curriculum_order"] = """
 WITH cq AS (
   SELECT doc_id, CAST(round(round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE

@@ -40,6 +40,17 @@ def _win_bounds_us(prefix: str = "window"):
     ]
 
 
+def _n_convs_agg(df: DataFrame):
+    """Exact distinct in batch; HLL (approx_count_distinct) under a
+    stream — streaming aggregation forbids exact DISTINCT state.
+    HLL register merge is commutative/associative and deterministic,
+    so incremental micro-batch folding yields the IDENTICAL estimate
+    a one-shot batch HLL pass does (the parity test pins this)."""
+    if df.isStreaming:
+        return F.approx_count_distinct("conv_id").alias("n_convs")
+    return F.countDistinct("conv_id").alias("n_convs")
+
+
 def tumbling_rollup(
     turns: DataFrame,
     width: str = "1 hour",
@@ -49,13 +60,14 @@ def tumbling_rollup(
     """(win_start_us, win_end_us, n_turns, n_convs, n_tool_calls) per
     tumbling window. Pass ``watermark`` (e.g. ``"2 hours"``) when
     ``turns`` is a stream to bound state; batch runs leave it None.
+    Event time must be TIMESTAMP (not NTZ) for watermarked streams.
     """
     df = turns
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     agg = df.groupBy(F.window(F.col(ts_col), width).alias("w")).agg(
         F.count(F.lit(1)).alias("n_turns"),
-        F.countDistinct("conv_id").alias("n_convs"),
+        _n_convs_agg(df),
         F.count("tool").alias("n_tool_calls"),
     )
     return agg.select(*_win_bounds_us("w"), "n_turns", "n_convs", "n_tool_calls")
@@ -77,7 +89,7 @@ def sliding_rollup(
         df = df.withWatermark(ts_col, watermark)
     agg = df.groupBy(F.window(F.col(ts_col), width, slide).alias("w")).agg(
         F.count(F.lit(1)).alias("n_turns"),
-        F.countDistinct("conv_id").alias("n_convs"),
+        _n_convs_agg(df),
         F.count("tool").alias("n_tool_calls"),
     )
     return agg.select(*_win_bounds_us("w"), "n_turns", "n_convs", "n_tool_calls")

@@ -209,3 +209,57 @@ def test_sketch_maintenance_fold_equals_batch(spark, tmp_path):
     est = {r.token: r.est for r in sm.query(toks).collect()}
     true = {r.token: r.c for r in toks.groupBy("token").agg(F.count("*").alias("c")).collect()}
     assert all(est[k] >= v for k, v in true.items())
+
+
+def test_tumbling_rollup_stream_matches_batch(spark, tmp_path):
+    # the SAME tumbling_rollup expression over readStream (availableNow,
+    # complete mode) equals the batch run — the batch/stream parity
+    # contract of streaming/windows.py
+    from pyspark.sql import functions as F
+
+    from essentials_spark.streaming.windows import tumbling_rollup
+
+    # watermarks require TIMESTAMP (LTZ) event time — NTZ is rejected
+    t = synth_transcripts(spark, n_convs=40, seed=42).select(
+        "conv_id", "tool", F.col("ts").cast("timestamp").alias("ts")
+    )
+    in_dir = str(tmp_path / "win_in")
+    t.write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(t.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    agg = tumbling_rollup(stream, width="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["win_start_us"]: (r["n_turns"], r["n_convs"], r["n_tool_calls"])
+        for r in spark.sql("SELECT * FROM win_parity").collect()
+    }
+    batch = {
+        r["win_start_us"]: (r["n_turns"], r["n_convs"], r["n_tool_calls"])
+        for r in tumbling_rollup(t, width="1 hour").collect()
+    }
+    # counts are exact in both modes; n_convs is HLL under the stream
+    # (exact DISTINCT is illegal in streaming state), so compare it
+    # against a batch HLL over the same windows — register merges are
+    # order-independent, the estimates must be IDENTICAL
+    hll = {
+        r["ws"]: r["nc"]
+        for r in t.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("conv_id").alias("nc"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws_s"), "nc"
+        )
+        .withColumn("ws", F.col("ws_s") * 1_000_000)
+        .collect()
+    }
+    assert len(batch) > 0 and set(streamed) == set(batch)
+    for ws, (nt, nc, ntc) in streamed.items():
+        assert nt == batch[ws][0] and ntc == batch[ws][2]
+        assert nc == hll[ws]

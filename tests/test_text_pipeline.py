@@ -157,6 +157,32 @@ def test_bpe_merge_trajectory_hand_computed(spark):
     assert sorted(got) == [(0, "a", "a", 4), (1, "a", "b", 3), (2, "aa", "ab", 2)]
 
 
+def test_duplicate_spans_hand_computed(spark):
+    from essentials_spark.text.spans import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),      # spans: 'a b c','b c d','c d e'
+            (1, "x a b c d y"),    # shares 'a b c','b c d'
+            (2, "p q r"),          # 1 span, unique
+            (3, "u u u u"),        # 'u u u' twice WITHIN the doc -> dup
+            (4, "s t"),            # shorter than k -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["n_dup_grams"])
+        for r in duplicate_spans(docs, k=3).collect()
+    }
+    assert got == {
+        0: (3, 2, 2),
+        1: (4, 2, 2),
+        2: (1, 0, 0),
+        3: (2, 2, 1),
+        4: (0, 0, 0),
+    }
+
+
 def test_bpe_merges_back_to_back_occurrences_in_one_round(spark):
     # 'abab' -> 'a b a b': both (a,b) occurrences merge in ROUND 0
     # (Sennrich simultaneous rewrite), so round 1 sees 'ab ab' and
