@@ -244,7 +244,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--probe",
-        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks", "bc", "traverse", "geo", "louvain", "textops"],
+        choices=["ann", "csr", "curate", "cc", "contract", "mst", "color", "lp", "tc", "kcore", "princ", "ktruss", "walks", "bc", "traverse", "geo", "louvain", "textops", "temporal"],
         default=None,
         help="scaling probes: ann = brute-force cosine (compute-bound); "
         "csr = PageRank on the vectorized packed-CSR kernel (the north-star "
@@ -891,6 +891,92 @@ def main() -> None:
             "metric": "curate_probe", "cpus": cpus, "sec": t["sec"],
             "samples": t["samples"], "competing_jvms": jvms,
             "n_docs": n, "kept": kept_per_pass[-1], "docs_per_sec": round(n / t["sec"]),
+        }))
+        spark.stop()
+        return
+
+    if args.probe == "temporal":
+        # round-6 temporal family at scale: as-of join (sorted-merge
+        # shape over the Zipf tool key — the hub tool holds ~30% of
+        # calls, the per-key sort bound in practice), interval
+        # range-count (prefix ranks, zero pair blowup), and SCC over
+        # the tool transition digraph (m-scale window pass + the
+        # FW-BW peel on the tool-cardinality core)
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from pyspark.sql import functions as F
+
+        from essentials_spark.io.transcripts import synth_transcripts, tool_transitions
+        from essentials_spark.session import get_spark
+
+        jvms = competing_jvms()
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-temporal", shuffle_partitions=cpus)
+        n_convs = args.synthetic or 200_000
+        t = synth_transcripts(spark, n_convs=n_convs, seed=42).persist()
+        n_turns = t.count()
+        epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        tt = t.select(
+            "conv_id", "turn_idx", "tool",
+            F.timestamp_diff("MICROSECOND", epoch0, F.col("ts").cast("timestamp_ntz")).alias("ts_us"),
+        ).persist()
+        tt.count()
+        meta: dict = {}
+
+        def one_temporal_pass():
+            import time as _t
+
+            from essentials_spark.algos.scc import strongly_connected_components
+            from essentials_spark.ops.asof import asof_join, range_count
+
+            tool_turns = tt.filter(F.col("tool").isNotNull())
+            t0 = _t.perf_counter()
+            # aggregate the MATCHED column: a bare count() lets
+            # Catalyst prune the unused window projection and the
+            # as-of work never runs
+            row = asof_join(
+                tool_turns, tool_turns, "tool", ts_col="ts_us",
+                value_cols=["conv_id", "turn_idx"], strict=True,
+                right_order_cols=["conv_id", "turn_idx"],
+            ).agg(
+                F.count(F.lit(1)).alias("n"), F.count("asof_conv_id").alias("m")
+            ).collect()[0]
+            meta["asof_rows"], meta["asof_matched"] = row["n"], row["m"]
+            meta["asof_sec"] = round(_t.perf_counter() - t0, 3)
+            t0 = _t.perf_counter()
+            # hub path: tool00 holds ~47% of calls (zipf u^4), so the
+            # plain window sorts half the stream in ONE task; daily
+            # shards parallelize it, stitched exactly (A/B-pinned)
+            row = asof_join(
+                tool_turns, tool_turns, "tool", ts_col="ts_us",
+                value_cols=["conv_id", "turn_idx"], strict=True,
+                right_order_cols=["conv_id", "turn_idx"],
+                shard_us=86_400_000_000,
+            ).agg(
+                F.count(F.lit(1)).alias("n"), F.count("asof_conv_id").alias("m")
+            ).collect()[0]
+            assert (row["n"], row["m"]) == (meta["asof_rows"], meta["asof_matched"])
+            meta["asof_sharded_sec"] = round(_t.perf_counter() - t0, 3)
+            t0 = _t.perf_counter()
+            iv = tt.groupBy("conv_id").agg(
+                F.min("ts_us").alias("lo_us"), F.max("ts_us").alias("hi_us")
+            ).select(F.col("conv_id").alias("qid"), "lo_us", "hi_us")
+            meta["range_rows"] = range_count(tt.select("ts_us"), iv).count()
+            meta["range_sec"] = round(_t.perf_counter() - t0, 3)
+            t0 = _t.perf_counter()
+            verts = tt.filter(F.col("tool").isNotNull()).select(
+                F.col("tool").alias("vid")
+            ).distinct()
+            ed = tool_transitions(t).select(
+                F.col("src_tool").alias("src"), F.col("dst_tool").alias("dst")
+            )
+            meta["scc_rows"] = strongly_connected_components(verts, ed).count()
+            meta["scc_sec"] = round(_t.perf_counter() - t0, 3)
+
+        tm = timed_min(one_temporal_pass, args.passes)
+        print(json.dumps({
+            "metric": "temporal_probe", "cpus": cpus, "sec": tm["sec"],
+            "samples": tm["samples"], "competing_jvms": jvms,
+            "n_turns": n_turns, "turns_per_sec": round(n_turns / tm["sec"]), **meta,
         }))
         spark.stop()
         return

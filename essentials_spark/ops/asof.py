@@ -55,6 +55,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     strict: bool = True,
     right_order_cols: list[str] | None = None,
+    shard_us: int | None = None,
 ) -> DataFrame:
     """For each ``left`` row, attach the latest ``right`` row of the
     same key with ``right.ts < left.ts`` (strict) or ``<=``
@@ -68,6 +69,18 @@ def asof_join(
 
     One shuffle (key hash), one sort — no range join, no pair
     materialization, no Python in the row path.
+
+    ``shard_us``: HUB-KEY scale path. A key holding k rows sorts in
+    one window run of k; when a single key dominates (a hub tool at
+    ~half the call stream), pass a time-shard width to split each
+    key's stream into (key, ts DIV shard_us) windows that sort in
+    parallel, then stitch shard boundaries exactly: the per-shard
+    LAST right row (one tiny aggregate) is carried forward across
+    shards with an exclusive-frame running last per key (handles
+    right-empty shard gaps), and rows with no in-shard match coalesce
+    to the carry. Result is IDENTICAL to the unsharded path (A/B
+    pytest-pinned); cost moves from O(max key run) to
+    O(max key run per shard) + a |keys x shards|-scale stitch.
     """
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = value_cols or [c for c in right.columns if c not in keys + [ts_col]]
@@ -96,17 +109,70 @@ def asof_join(
     u = l_tag.unionByName(r_tag.select(l_tag.columns))
 
     order = [F.col(ts_col), F.col("_side")] + [F.col(f"_ro_{c}") for c in right_order_cols]
+    if shard_us is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.select(
+            *lcols,
+            "_side",
+            *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+        )
+        return matched.filter(F.col("_side") == left_side).drop("_side")
+
+    # ---- sharded path: per-(key, shard) windows + exact carry stitch
+    u = u.withColumn("_shard", F.expr(f"{ts_col} DIV {int(shard_us)}"))
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*keys, "_shard")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u.select(
+    in_shard = u.select(
         *lcols,
         "_side",
-        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+        "_shard",
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_is_{c}") for c in value_cols],
     )
-    return matched.filter(F.col("_side") == left_side).drop("_side")
+    # per-(key, shard) LAST right row by (ts, tie): lexicographic
+    # struct max — ties resolve exactly as the window order does
+    pick = F.max(
+        F.struct(
+            F.col(ts_col),
+            *[F.col(f"_ro_{c}") for c in right_order_cols],
+            *[F.col(f"_rv_{c}").alias(f"_rv_{c}") for c in value_cols],
+        )
+    ).alias("_pk")
+    # NOTE: the sharded stitch carries whole rows, so right VALUE
+    # columns must be non-null for exact plain-path parity (the plain
+    # window skips nulls per-column); id/timestamp payloads satisfy
+    # this by construction
+    shard_last = (
+        u.filter(F.col("_side") == right_side)
+        .groupBy(*keys, "_shard")
+        .agg(pick)
+    )
+    # carry(key, shard) = last right row of any STRICTLY-earlier shard
+    # (exclusive frame; ignorenulls walks across right-empty shards)
+    shards = u.select(*keys, "_shard").distinct()
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        shards.join(shard_last, [*keys, "_shard"], "left")
+        .select(*keys, "_shard", F.last("_pk", ignorenulls=True).over(wc).alias("_carry"))
+    )
+    out = in_shard.join(carry, [*keys, "_shard"])
+    return out.filter(F.col("_side") == left_side).select(
+        *lcols,
+        *[
+            F.coalesce(F.col(f"_is_{c}"), F.col(f"_carry._rv_{c}")).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
 
 
 def range_count(
@@ -122,29 +188,37 @@ def range_count(
     ``points`` rows with ``lo <= ts <= hi`` — via global prefix ranks,
     never an interval x point join.
 
-    ``bucket_us`` bounds both the per-partition sort (points per
-    bucket) and the driver-side offset table (#buckets); pick it so
-    #buckets stays ~1e5 at the target scale (hourly buckets over a
-    year = 8.8k).
+    ``bucket_us`` bounds the per-partition sort (points per bucket)
+    and the offset table (#buckets); pick it so #buckets stays ~1e6
+    at the target scale (hourly buckets over a year = 8.8k). The
+    offsets build is fully JVM-side: one bucket groupBy, a dense
+    spark.range over [min, max] bucket, and ONE bounded
+    single-partition cumulative window over #buckets rows — the
+    driver only ever sees the two bucket bounds.
     """
     spark = points.sparkSession
     pts = points.select(F.col(ts_col).cast("long").alias("t")).where(F.col("t").isNotNull())
     b = F.expr(f"t DIV {int(bucket_us)}")
 
-    # bounded driver-side cumulative offsets per bucket
-    counts = {
-        int(r["b"]): int(r["c"])
-        for r in pts.select(b.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    if not counts:
+    bounds = pts.agg(F.min(b).alias("lo"), F.max(b).alias("hi")).collect()[0]
+    if bounds["lo"] is None:
         return intervals.select(F.col(id_col), F.lit(0).cast("long").alias("n_in_range"))
-    min_b, max_b = min(counts), max(counts)
-    offsets, acc = [], 0
-    for bk in range(min_b, max_b + 1):
-        offsets.append((bk, acc))
-        acc += counts.get(bk, 0)
-    total = acc
-    off_df = F.broadcast(spark.createDataFrame(offsets, "b long, off long"))
+    min_b, max_b = int(bounds["lo"]), int(bounds["hi"])
+    counts_df = pts.select(b.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    dense = spark.range(min_b, max_b + 1).select(F.col("id").alias("b"))
+    off_df = F.broadcast(
+        dense.join(counts_df, "b", "left")
+        .select("b", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .select(
+            "b",
+            (
+                F.sum("c").over(
+                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                - F.col("c")
+            ).alias("off"),
+        )
+    )
 
     # endpoints ride the points' bucket windows; sides order so that a
     # lo endpoint counts strictly-before points and a hi endpoint
@@ -179,7 +253,9 @@ def range_count(
         .join(off_df, F.col("_b") == F.col("b"))
         .select("_q", "_kind", (F.col("off") + F.col("_run")).alias("rank"))
     )
-    out = (
+    # intervals whose endpoints clamp out of the observed bucket range
+    # still resolve through the window (rank 0 or the grand total)
+    return (
         ranked.groupBy("_q")
         .agg(
             F.sum(F.when(F.col("_kind") == 1, F.col("rank")).otherwise(-F.col("rank"))).alias(
@@ -188,8 +264,3 @@ def range_count(
         )
         .select(F.col("_q").alias(id_col), F.col("n_in_range").cast("long"))
     )
-    # intervals whose endpoints both clamp out of range still resolve
-    # through the window (rank 0 or total); no special-casing needed —
-    # but keep `total` referenced for the docstring contract
-    _ = total
-    return out

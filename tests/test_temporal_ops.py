@@ -34,6 +34,43 @@ def test_asof_join_strict_and_inclusive(spark):
     assert got2 == {"l0": "r1", "l1": "r10", "l2": "r15b", "lz": None}
 
 
+def test_asof_sharded_equals_plain(spark):
+    # fuzz parity: the time-sharded hub path must be row-identical to
+    # the single-window path, across shard widths that split, straddle,
+    # and subsume the data — including right-empty shard gaps
+    from pyspark.sql import functions as F
+
+    from essentials_spark.ops.asof import asof_join
+
+    left = spark.range(300).select(
+        (F.pmod(F.xxhash64("id"), F.lit(3))).cast("string").alias("key"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000))).alias("ts_us"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(120).select(
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(3))).cast("string").alias("key"),
+        # cluster rights into [0, 500) so late shards have no rights
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(500))).alias("ts_us"),
+        F.col("id").alias("rv"),
+    )
+    for strict in (True, False):
+        plain = {
+            r["lid"]: r["asof_rv"]
+            for r in asof_join(
+                left, right, "key", value_cols=["rv"], strict=strict, right_order_cols=["rv"]
+            ).collect()
+        }
+        for shard in (7, 100, 5000):
+            sharded = {
+                r["lid"]: r["asof_rv"]
+                for r in asof_join(
+                    left, right, "key", value_cols=["rv"], strict=strict,
+                    right_order_cols=["rv"], shard_us=shard,
+                ).collect()
+            }
+            assert sharded == plain, (strict, shard)
+
+
 def test_range_count_boundaries(spark):
     from essentials_spark.ops.asof import range_count
 
