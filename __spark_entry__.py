@@ -2334,6 +2334,51 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DUP_SPAN_K = 6
+KATZ_ROUNDS = 8
+KATZ_ALPHA = 1.0 / 128  # exact binary rational; alpha*lambda_max << 1 here
+DENSEST_ROUNDS = 12  # measured peel depth: 4 (sf0.001) / 7 (sf0.01) + margin
+
+
+def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest subgraph (algos/densest.densest_subgraph, the parallel
+    Charikar/Bahmani peel with epsilon=0): members of the densest
+    intermediate subgraph with its exact (n_sub, m_sub) attached.
+    Every comparison is cross-multiplied integers — no FP density
+    exists on either engine. At sf0.01 the best is peel round 2
+    (385 vertices at density 517/385 > the whole graph's 1.318), so
+    the gate pins a non-initial argmax, not just the peel."""
+    from essentials_spark.algos.densest import densest_subgraph
+    from essentials_spark.graph.derive import canonicalize_edges
+
+    kg = _keyed_graph(spark, sf_dir)
+    sym = canonicalize_edges(
+        kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True
+    )
+    canon = sym.filter(F.col("src") < F.col("dst"))
+    out = densest_subgraph(
+        kg.graph.vertices.select("vid"), canon, epsilon_num=0, epsilon_den=1
+    )
+    return out.join(kg.vkeys, "vid").select("skey", "n_sub", "m_sub")
+
+
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (algos/eigen.katz_centrality): KATZ_ROUNDS
+    attenuated-walk iterations, beta=1, alpha=1/128 (exact binary —
+    the per-edge multiply is FP-exact; only the n-term sums carry
+    engine-order noise, covered by the ppm margin convention:
+    measured min distance of score*1e6 to a rounding boundary at
+    sf0.01 is 4.1e-5 ppm == 4.1e-11 in score units, ~100x the
+    sum-order noise floor)."""
+    from essentials_spark.algos import katz_centrality
+    from essentials_spark.graph.derive import Graph
+
+    kg = _keyed_graph(spark, sf_dir)
+    sym = _sym_vid_edges(kg)
+    g = Graph(vertices=kg.graph.vertices, edges=sym)
+    out = katz_centrality(g, alpha=KATZ_ALPHA, beta=1.0, max_iter=KATZ_ROUNDS, tol=0.0, edges_mode="shuffle")
+    return out.join(kg.vkeys, "vid").select(
+        "skey", F.round(F.col("score") * 1e6).cast("long").alias("score_ppm")
+    )
 
 
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2397,6 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tool_reuse": q_asof_tool_reuse,
         "conv_concurrency": q_conv_concurrency,
         "duplicate_spans": q_duplicate_spans,
+        "katz_centrality": q_katz,
+        "densest_subgraph": q_densest,
         "bpe_encode": q_bpe_encode,
         # round-5b text-pipeline additions (never gated yet)
         "stratified_sample": q_stratified_sample,
@@ -3180,6 +3227,79 @@ def _eigen_sql() -> str:
     return (
         f"WITH {body}\nSELECT vkey AS skey,"
         f" CAST(round(score * 1e6) AS BIGINT) AS score_ppm FROM es{EIG_ROUNDS}"
+    )
+
+
+def _densest_sql(rounds: int = DENSEST_ROUNDS) -> str:
+    """Unrolled epsilon=0 peel twin of q_densest: per round keep
+    vertices with deg*n > 2*m on the canonical (src<dst) edge set,
+    then pick the undominated round (strictly denser by
+    cross-multiplication, ties to the earliest) and emit its
+    members."""
+    parts = [
+        _PRELUDE,
+        "dv0 AS (SELECT vkey AS vid FROM verts)",
+        "de0 AS (SELECT src, dst FROM sym WHERE src < dst)",
+        "dn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dv0)",
+        "dm0 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM de0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"dv{i + 1} AS (SELECT v.vid FROM dv{i} v LEFT JOIN ("
+            f"  SELECT vid, count(*) AS deg FROM ("
+            f"    SELECT src AS vid FROM de{i} UNION ALL SELECT dst FROM de{i}) GROUP BY vid"
+            f") d ON d.vid = v.vid CROSS JOIN dn{i} CROSS JOIN dm{i}"
+            f" WHERE coalesce(d.deg, 0) * n > 2 * m)"
+        )
+        parts.append(
+            f"de{i + 1} AS (SELECT e.src, e.dst FROM de{i} e"
+            f" JOIN dv{i + 1} a ON a.vid = e.src JOIN dv{i + 1} b ON b.vid = e.dst)"
+        )
+        parts.append(f"dn{i + 1} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dv{i + 1})")
+        parts.append(f"dm{i + 1} AS (SELECT CAST(count(*) AS BIGINT) AS m FROM de{i + 1})")
+    summaries = " UNION ALL ".join(
+        f"SELECT {i} AS r, n, m FROM dn{i} CROSS JOIN dm{i}" for i in range(rounds + 1)
+    )
+    members = " UNION ALL ".join(
+        f"SELECT {i} AS r, vid FROM dv{i}" for i in range(rounds + 1)
+    )
+    parts.append(f"dsum AS (SELECT * FROM ({summaries}) WHERE n > 0)")
+    parts.append(
+        "dbest AS (SELECT s.r, s.n, s.m FROM dsum s WHERE NOT EXISTS ("
+        "  SELECT 1 FROM dsum t WHERE t.m * s.n > s.m * t.n"
+        "  OR (t.m * s.n = s.m * t.n AND t.r < s.r)))"
+    )
+    parts.append(f"dmem AS ({members})")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        "SELECT v.vid AS skey, b.n AS n_sub, b.m AS m_sub"
+        " FROM dmem v JOIN dbest b ON v.r = b.r"
+    )
+
+
+def _katz_sql() -> str:
+    """Unrolled Katz twin of q_katz: per round
+    score = 1.0 + alpha * sum of in-neighbor scores on the
+    symmetrized table, from score_0 = 1.0."""
+    parts = [
+        _PRELUDE,
+        "ks0 AS (SELECT vkey, CAST(1.0 AS DOUBLE) AS score FROM verts)",
+    ]
+    for i in range(KATZ_ROUNDS):
+        parts.append(
+            # CAST to DOUBLE: a bare decimal literal makes DuckDB do
+            # DECIMAL arithmetic whose scale overflows after a few
+            # rounds; Spark's lit() is double — match it exactly
+            f"ks{i + 1} AS (SELECT v.vkey,"
+            f" 1.0 + CAST({KATZ_ALPHA!r} AS DOUBLE) * coalesce(x.raw, 0.0) AS score FROM ks{i} v LEFT JOIN ("
+            f"  SELECT e.dst, sum(s.score) AS raw FROM sym e"
+            f"  JOIN ks{i} s ON s.vkey = e.src GROUP BY e.dst) x ON x.dst = v.vkey)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT vkey AS skey,"
+        f" CAST(round(score * 1e6) AS BIGINT) AS score_ppm FROM ks{KATZ_ROUNDS}"
     )
 
 
@@ -4271,6 +4391,8 @@ FROM g JOIN top USING (doc_id)
     # chain-contracted path, same oracle (rehydrated == plain)
     sql["closeness_4src_chain"] = sql["closeness_4src"]
     sql["eigenvector_centrality"] = _eigen_sql()
+    sql["katz_centrality"] = _katz_sql()
+    sql["densest_subgraph"] = _densest_sql()
     sql["kmeans_embeddings"] = _kmeans_sql()
     sql["pq_codes"] = _pq_sql()
     sql["pq_adc_topk"] = _pq_adc_sql()

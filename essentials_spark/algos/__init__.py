@@ -29,7 +29,7 @@ from essentials_spark.algos.traversal import (  # noqa: F401
     sssp,
     temporal_reachability,
 )
-from essentials_spark.algos.eigen import eigenvector_centrality  # noqa: F401
+from essentials_spark.algos.eigen import eigenvector_centrality, katz_centrality  # noqa: F401
 from essentials_spark.algos.hits import hits  # noqa: F401
 from essentials_spark.algos.salsa import salsa  # noqa: F401
 from essentials_spark.algos.kcore import kcore  # noqa: F401

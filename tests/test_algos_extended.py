@@ -713,6 +713,31 @@ def test_eigenvector_centrality_vs_numpy(spark):
         assert abs(got[v] - x[v]) < 1e-9, (v, got[v], x[v])
 
 
+def test_katz_centrality_vs_numpy(spark):
+    """Katz recurrence x <- 1 + alpha*A x matches the dense NumPy
+    replay iterate-for-iterate."""
+    import numpy as np
+
+    from essentials_spark.algos import katz_centrality
+
+    rng = np.random.RandomState(7)
+    n = 25
+    pairs = list({(int(a), int(b)) for a, b in rng.randint(0, n, size=(50, 2)) if a != b})
+    g = graph_from_edges(spark, pairs, n_vertices=n)
+    alpha = 1.0 / 64
+    got = {r["vid"]: r["score"] for r in katz_centrality(g, alpha=alpha, max_iter=6).collect()}
+
+    A = np.zeros((n, n))
+    for u, v in pairs:
+        A[u, v] = 1.0
+        A[v, u] = 1.0
+    x = np.ones(n)
+    for _ in range(6):
+        x = 1.0 + alpha * (A @ x)
+    for v in range(n):
+        assert abs(got[v] - x[v]) < 1e-9, (v, got[v], x[v])
+
+
 def test_eigenvector_centrality_tol_early_exit(spark):
     """tol > 0 stops at the fixpoint: a triangle (non-bipartite —
     power iteration oscillates on bipartite graphs like stars) hits

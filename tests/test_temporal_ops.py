@@ -140,6 +140,37 @@ def test_scc_string_vids_and_empty(spark):
     assert strongly_connected_components(empty_v, edges.limit(0)).count() == 0
 
 
+def test_densest_subgraph_planted_clique(spark):
+    # K4 (density 1.5) + a 6-chain tail (density ~0.83): the eps=0
+    # peel drops the chain in round 1 and the best subgraph is K4
+    from essentials_spark.algos.densest import densest_subgraph
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    chain = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15)]
+    edges = spark.createDataFrame(k4 + chain, "src long, dst long")
+    verts = spark.createDataFrame(
+        [(v,) for v in [0, 1, 2, 3, 10, 11, 12, 13, 14, 15, 99]], "vid long"
+    )  # 99 isolated: peels immediately, never hurts density
+    out = densest_subgraph(verts, edges, epsilon_num=0, epsilon_den=1).collect()
+    assert {r["vid"] for r in out} == {0, 1, 2, 3}
+    assert all((r["n_sub"], r["m_sub"]) == (4, 6) for r in out)
+
+
+def test_densest_subgraph_whole_graph_best(spark):
+    # a uniform cycle never improves by peeling (peel empties it in
+    # one round): best = the full graph
+    from essentials_spark.algos.densest import densest_subgraph
+
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    edges = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in cyc], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(v,) for v in range(5)], "vid long")
+    out = densest_subgraph(verts, edges, epsilon_num=0, epsilon_den=1).collect()
+    assert {r["vid"] for r in out} == set(range(5))
+    assert all((r["n_sub"], r["m_sub"]) == (5, 5) for r in out)
+
+
 def test_bpe_encode_roundtrip(spark):
     from essentials_spark.text.bpe import bpe_encode, bpe_train
 
