@@ -251,3 +251,39 @@ def test_louvain_move_round_partial_agg_and_semi_prefilter(spark):
     plan = explain_str(louvain_move_round(g, labels, degrees, 8000, movers=movers))
     assert "partial_sum" in plan or "partial" in plan.lower()
     assert "LeftSemi" in plan
+
+
+def test_asof_join_single_exchange_merge_shape(spark):
+    # the as-of join must stay the sorted-merge shape: ONE shuffle
+    # (key hash for the window), one sort, zero range joins
+    from essentials_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10, 1)], "key string, ts_us long, lid long")
+    right = spark.createDataFrame([("k", 5, 7)], "key string, ts_us long, rv long")
+    out = asof_join(left, right, "key", value_cols=["rv"], right_order_cols=["rv"])
+    assert count_exchanges(out) == 1
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_count_and_global_rank_broadcast_bounded_sides(spark):
+    # bounded offset tables must BROADCAST, never shuffle the data side
+    from essentials_spark.ops.asof import range_count
+    from essentials_spark.ops.rank import global_rank
+
+    pts = spark.createDataFrame([(5,), (10,)], "ts_us long")
+    iv = spark.createDataFrame([(1, 0, 20)], "qid long, lo_us long, hi_us long")
+    assert "BroadcastHashJoin" in explain_str(range_count(pts, iv, bucket_us=7))
+
+    df = spark.createDataFrame([(1, 5), (2, 9)], "doc_id long, score long")
+    assert "BroadcastHashJoin" in explain_str(global_rank(df, "score", "doc_id"))
+
+
+def test_bpe_encode_no_shuffle(spark):
+    # applying a trained merge table is chained narrow projections:
+    # zero exchanges in the encode plan
+    from essentials_spark.text.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame([(0, "abab xy"), (1, "ab xy")], "doc_id long, text string")
+    merges = bpe_train(docs, merges=2)
+    assert count_exchanges(bpe_encode(docs, merges)) == 0
