@@ -2337,6 +2337,34 @@ DUP_SPAN_K = 6
 KATZ_ROUNDS = 8
 KATZ_ALPHA = 1.0 / 128  # exact binary rational; alpha*lambda_max << 1 here
 DENSEST_ROUNDS = 12  # measured peel depth: 4 (sf0.001) / 7 (sf0.01) + margin
+MIS_ROUNDS = 8  # measured Luby rounds: 3 at both gate SFs + margin
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set (algos/mis.py) over the
+    symmetrized transcript graph with portable md5 priorities —
+    (skey, mis_round) pins the full round structure (3 rounds / 4,356
+    members at sf0.01). The scheduling primitive behind the engine's
+    chase-free move rounds (louvain mode='mis'), exposed standalone."""
+    from essentials_spark.algos.mis import maximal_independent_set
+
+    kg = _keyed_graph(spark, sf_dir)
+    # run on the STRING-keyed graph: the md5 priorities hash the key
+    # itself, so the oracle replays them verbatim (dense long vids
+    # would hash differently)
+    key_edges = kg.key_edges.select(
+        F.col("src_key").alias("src"), F.col("dst_key").alias("dst")
+    )
+    sym = (
+        key_edges.unionByName(
+            key_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    verts = kg.vkeys.select(F.col("skey").alias("vid"))
+    out = maximal_independent_set(verts, sym)
+    return out.select(F.col("vid").alias("skey"), "mis_round")
 
 
 def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2444,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "katz_centrality": q_katz,
         "densest_subgraph": q_densest,
+        "maximal_independent_set": q_mis,
         "bpe_encode": q_bpe_encode,
         # round-5b text-pipeline additions (never gated yet)
         "stratified_sample": q_stratified_sample,
@@ -3276,6 +3305,45 @@ def _densest_sql(rounds: int = DENSEST_ROUNDS) -> str:
         "SELECT v.vid AS skey, b.n AS n_sub, b.m AS m_sub"
         " FROM dmem v JOIN dbest b ON v.r = b.r"
     )
+
+
+def _mis_sql(rounds: int = MIS_ROUNDS) -> str:
+    """Unrolled Luby MIS twin of q_mis: fresh portable md5 priority
+    per (round, vkey); winners beat every live neighbor on (h, vid);
+    winners + their neighborhoods retire each round."""
+    from essentials_spark.functions.portable_hash import sql_md5_int60
+
+    parts = [
+        _PRELUDE,
+        "mv0 AS (SELECT vkey AS vid FROM verts)",
+        "me0 AS (SELECT src, dst FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        h = sql_md5_int60(f"'mis' || '|' || '{r}' || '|' || vid")
+        parts.append(f"mh{r} AS (SELECT vid, {h} AS h FROM mv{r - 1})")
+        parts.append(
+            f"mw{r} AS (SELECT v.vid FROM mv{r - 1} v LEFT JOIN ("
+            f"  SELECT DISTINCT e.src AS vid FROM me{r - 1} e"
+            f"  JOIN mh{r} a ON a.vid = e.src JOIN mh{r} b ON b.vid = e.dst"
+            f"  WHERE b.h < a.h OR (b.h = a.h AND e.dst < e.src)"
+            f") l ON l.vid = v.vid WHERE l.vid IS NULL)"
+        )
+        parts.append(
+            f"mv{r} AS (SELECT v.vid FROM mv{r - 1} v LEFT JOIN ("
+            f"  SELECT vid FROM mw{r} UNION"
+            f"  SELECT DISTINCT e.dst FROM me{r - 1} e JOIN mw{r} w ON w.vid = e.src"
+            f") g ON g.vid = v.vid WHERE g.vid IS NULL)"
+        )
+        parts.append(
+            f"me{r} AS (SELECT e.src, e.dst FROM me{r - 1} e"
+            f" JOIN mv{r} a ON a.vid = e.src JOIN mv{r} b ON b.vid = e.dst)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT vid AS skey, CAST({r} AS INT) AS mis_round FROM mw{r}"
+        for r in range(1, rounds + 1)
+    )
+    body = ",\n".join(parts)
+    return f"WITH {body}\n{sel}"
 
 
 def _katz_sql() -> str:
@@ -4393,6 +4461,7 @@ FROM g JOIN top USING (doc_id)
     sql["eigenvector_centrality"] = _eigen_sql()
     sql["katz_centrality"] = _katz_sql()
     sql["densest_subgraph"] = _densest_sql()
+    sql["maximal_independent_set"] = _mis_sql()
     sql["kmeans_embeddings"] = _kmeans_sql()
     sql["pq_codes"] = _pq_sql()
     sql["pq_adc_topk"] = _pq_adc_sql()

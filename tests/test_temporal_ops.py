@@ -140,6 +140,45 @@ def test_scc_string_vids_and_empty(spark):
     assert strongly_connected_components(empty_v, edges.limit(0)).count() == 0
 
 
+def test_mis_invariants_and_determinism(spark):
+    # independence + maximality + exact determinism on a random graph
+    import numpy as np
+
+    from essentials_spark.algos.mis import maximal_independent_set
+
+    rng = np.random.RandomState(11)
+    n = 40
+    pairs = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, size=(80, 2)) if a != b})
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame([(str(a), str(b)) for a, b in sym], "src string, dst string")
+    verts = spark.createDataFrame([(str(v),) for v in range(n)], "vid string")
+    out = {(r["vid"], r["mis_round"]) for r in maximal_independent_set(verts, edges).collect()}
+    members = {v for v, _ in out}
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(str(a), set()).add(str(b))
+    # independence: no two members adjacent
+    for v in members:
+        assert not (adj.get(v, set()) & members), v
+    # maximality: every non-member has a member neighbor
+    for v in (set(str(x) for x in range(n)) - members):
+        assert adj.get(v, set()) & members, v
+    # determinism: identical trajectory on a rerun
+    out2 = {(r["vid"], r["mis_round"]) for r in maximal_independent_set(verts, edges).collect()}
+    assert out == out2
+
+
+def test_mis_complete_graph_single_member(spark):
+    from essentials_spark.algos.mis import maximal_independent_set
+
+    vs = ["a", "b", "c", "d"]
+    sym = [(u, v) for u in vs for v in vs if u != v]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    verts = spark.createDataFrame([(v,) for v in vs], "vid string")
+    out = maximal_independent_set(verts, edges).collect()
+    assert len(out) == 1 and out[0]["mis_round"] == 1
+
+
 def test_densest_subgraph_planted_clique(spark):
     # K4 (density 1.5) + a 6-chain tail (density ~0.83): the eps=0
     # peel drops the chain in round 1 and the best subgraph is K4
