@@ -2421,6 +2421,18 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary artifact (text/bpe.bpe_vocab): distinct
+    post-merge symbols with dense lexicographic ids and word-coverage
+    counts — the third piece of the shipped tokenizer triple
+    (bpe_merges -> bpe_vocab -> bpe_encode)."""
+    from essentials_spark.text.bpe import bpe_train, bpe_vocab
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, merges=BPE_MERGES)
+    return bpe_vocab(docs, merges).select("token", "token_id", "n_words")
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (ops/rank.global_rank): every doc's exact
     1-based global position under (quality desc, doc_id asc) — the
@@ -2474,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest,
         "maximal_independent_set": q_mis,
         "bpe_encode": q_bpe_encode,
+        "bpe_vocab": q_bpe_vocab,
         # round-5b text-pipeline additions (never gated yet)
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
@@ -3344,6 +3357,24 @@ def _mis_sql(rounds: int = MIS_ROUNDS) -> str:
     )
     body = ",\n".join(parts)
     return f"WITH {body}\n{sel}"
+
+
+def _bpe_vocab_sql(merges: int = BPE_MERGES) -> str:
+    """Vocabulary twin of q_bpe_vocab: distinct post-merge symbols of
+    the trained word table, dense lexicographic ids, distinct-word
+    coverage counts."""
+    parts = list(_bpe_parts(merges))
+    parts.append(
+        f"bvt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_words FROM ("
+        f"  SELECT unnest(list_distinct(string_split(s, ' '))) AS token FROM bw{merges}"
+        f") GROUP BY token)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        "SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id,"
+        " n_words FROM bvt"
+    )
 
 
 def _katz_sql() -> str:
@@ -4501,6 +4532,7 @@ FROM g JOIN top USING (doc_id)
     )
     sql["bpe_merges"] = _bpe_sql()
     sql["bpe_encode"] = _bpe_encode_sql()
+    sql["bpe_vocab"] = _bpe_vocab_sql()
 
     # round-6 temporal/window/rank/scc oracles ------------------------------
     sql["window_rollup"] = f"""

@@ -125,6 +125,46 @@ def bpe_train(
     )
 
 
+def bpe_vocab(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, token_id, n_words): the tokenizer vocabulary induced by
+    the merge table over the corpus — every distinct symbol remaining
+    after the merge cascade, with a dense lexicographic id and the
+    number of distinct corpus WORDS containing it. The third artifact
+    a pipeline ships alongside the merge table and the encoder
+    (merges -> vocab -> encode); ids are assignment-stable because
+    they come from the sorted symbol set, not discovery order.
+
+    One explode over the (bounded) vocabulary-scale word table, one
+    distinct aggregate; the ranking window runs over DISTINCT symbols
+    (vocabulary-bounded, not corpus-bounded)."""
+    from pyspark.sql import Window
+
+    ordered = [
+        (r["left"], r["right"]) for r in merge_table.orderBy("merge_idx").collect()
+    ]
+    wf = word_freq(docs, text_col).select(_char_spaced(F.col("word")).alias("s"))
+    for left, right in ordered:
+        pat, rep = f" {left}  {right} ", f" {left}{right} "
+        padded = F.concat(
+            F.lit(" "), F.replace(F.col("s"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        wf = wf.select(
+            F.trim(
+                F.replace(F.replace(padded, F.lit(pat), F.lit(rep)), F.lit("  "), F.lit(" "))
+            ).alias("s")
+        )
+    toks = wf.select(F.explode(F.array_distinct(F.split(F.col("s"), " "))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    w = Window.orderBy("token")
+    return counts.select(
+        "token", (F.row_number().over(w) - 1).cast("long").alias("token_id"), "n_words"
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merge_table: DataFrame,

@@ -249,3 +249,16 @@ def test_assign_split_stability(spark):
     s2 = assign_split(spark.createDataFrame([(i,) for i in range(8000)], "doc_id long"))
     j = s1.withColumnRenamed("split", "a").join(s2.withColumnRenamed("split", "b"), "doc_id")
     assert j.filter("a <> b").count() == 0
+
+
+def test_bpe_vocab_artifact(spark):
+    from essentials_spark.text.bpe import bpe_train, bpe_vocab
+
+    docs = spark.createDataFrame([(0, "abab abab xy"), (1, "ab xy xy")], "doc_id long, text string")
+    merges = bpe_train(docs, merges=3)  # (a,b), (x,y), (ab,ab)
+    vocab = {r["token"]: (r["token_id"], r["n_words"]) for r in bpe_vocab(docs, merges).collect()}
+    # words after merges: 'abab'->[abab], 'xy'->[xy], 'ab'->[ab]
+    assert set(vocab) == {"abab", "xy", "ab"}
+    # dense lexicographic ids
+    assert [t for t, (i, _) in sorted(vocab.items(), key=lambda kv: kv[1][0])] == sorted(vocab)
+    assert vocab["xy"][1] == 1 and vocab["abab"][1] == 1 and vocab["ab"][1] == 1
