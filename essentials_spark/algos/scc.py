@@ -49,17 +49,36 @@ def _min_label_fixpoint(
     runner: SuperstepRunner,
     tag: str,
     max_rounds: int = 200,
+    csr_blocks: DataFrame | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """(vid, lab): lab = min vid over ancestors-or-self along
-    ``edges`` (src -> dst). Delta-frontier hash-min supersteps."""
+    ``edges`` (src -> dst). Delta-frontier hash-min supersteps.
+
+    ``csr_blocks``: packed per-bucket CSR arrays of the SAME edge set
+    (graph/csr_blocks.build_csr_blocks) — the round's message
+    aggregate then runs as the vectorized MIN-semiring gather kernel
+    (csr_min_push, np.minimum.at) with zero edge-side exchange,
+    exactly the connected_components_csr physical path; requires
+    integral vids."""
     labels = truncate_plan(vertices.select("vid", F.col("vid").alias("lab"))).persist()
     frontier = labels  # changed-label set; round 0 = everything
     for r in range(max_rounds):
-        msgs = (
-            edges.join(frontier.select(F.col("vid").alias("src"), "lab"), "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.min("lab").alias("cand"))
-        )
+        if csr_blocks is not None:
+            from essentials_spark.graph.csr_blocks import csr_min_push
+
+            msgs = csr_min_push(
+                csr_blocks,
+                frontier.select("vid", F.col("lab").alias("label")),
+                n_buckets,
+                value_col="label",
+            ).select(F.col("dst").alias("vid"), F.col("nbr_min").alias("cand"))
+        else:
+            msgs = (
+                edges.join(frontier.select(F.col("vid").alias("src"), "lab"), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.min("lab").alias("cand"))
+            )
         improved = (
             labels.join(msgs, "vid")
             .filter(F.col("cand") < F.col("lab"))
@@ -88,11 +107,21 @@ def strongly_connected_components(
     runner: SuperstepRunner | None = None,
     max_phases: int = 50,
     max_rounds: int = 200,
+    kernel: str = "dataframe",
+    n_buckets: int = 32,
 ) -> DataFrame:
     """(vid, scc) over a directed edge table (src, dst); scc is the
     minimum vid of the component. ``vertices``: (vid) — pass the full
     vertex set so isolated vertices land in their own singleton
-    components."""
+    components.
+
+    ``kernel='csr'`` (integral vids only): each phase packs the live
+    forward and reverse edge sets into per-bucket CSR blocks once and
+    runs every min-label round through the vectorized MIN-semiring
+    gather kernel (csr_min_push) — zero edge-side exchange per round,
+    the connected_components_csr physical path applied in both
+    directions. A/B-exact with the dataframe kernel (pytest-pinned).
+    """
     spark = edges.sparkSession
     runner = runner or SuperstepRunner(spark, "scc")
     remaining = truncate_plan(vertices.select("vid").distinct()).persist()
@@ -109,8 +138,24 @@ def strongly_connected_components(
     for phase in range(max_phases):
         if remaining.count() == 0:
             break
-        f = _min_label_fixpoint(remaining, live_edges, runner, f"p{phase}_fwd", max_rounds)
-        b = _min_label_fixpoint(remaining, rev_edges, runner, f"p{phase}_bwd", max_rounds)
+        fwd_blocks = bwd_blocks = None
+        if kernel == "csr":
+            from essentials_spark.graph.csr_blocks import build_csr_blocks
+
+            fwd_blocks = build_csr_blocks(
+                live_edges.withColumn("coef", F.lit(1.0)), n_buckets
+            ).persist()
+            bwd_blocks = build_csr_blocks(
+                rev_edges.withColumn("coef", F.lit(1.0)), n_buckets
+            ).persist()
+        f = _min_label_fixpoint(
+            remaining, live_edges, runner, f"p{phase}_fwd", max_rounds,
+            csr_blocks=fwd_blocks, n_buckets=n_buckets,
+        )
+        b = _min_label_fixpoint(
+            remaining, rev_edges, runner, f"p{phase}_bwd", max_rounds,
+            csr_blocks=bwd_blocks, n_buckets=n_buckets,
+        )
         joined = f.select("vid", F.col("lab").alias("f")).join(
             b.select("vid", F.col("lab").alias("b")), "vid"
         )
@@ -130,6 +175,9 @@ def strongly_connected_components(
         ).persist()
         for df in (remaining, live_edges, f, b):
             df.unpersist()
+        for df in (fwd_blocks, bwd_blocks):
+            if df is not None:
+                df.unpersist()
         remaining, live_edges = new_remaining, new_edges
         rev_edges = live_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     if not assigned_parts:

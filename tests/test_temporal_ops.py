@@ -127,6 +127,26 @@ def test_scc_hand_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
 
 
+def test_scc_csr_kernel_equals_dataframe(spark):
+    # the CSR MIN-semiring path must be label-identical to the
+    # dataframe path on a random directed graph (cycles + DAG tails)
+    import numpy as np
+
+    from essentials_spark.algos.scc import strongly_connected_components
+
+    rng = np.random.RandomState(5)
+    n = 60
+    pairs = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, size=(150, 2)) if a != b})
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in range(n)], "vid long")
+    df_out = {(r["vid"], r["scc"]) for r in strongly_connected_components(verts, edges).collect()}
+    csr_out = {
+        (r["vid"], r["scc"])
+        for r in strongly_connected_components(verts, edges, kernel="csr", n_buckets=4).collect()
+    }
+    assert df_out == csr_out and len(df_out) == n
+
+
 def test_scc_string_vids_and_empty(spark):
     from essentials_spark.algos.scc import strongly_connected_components
 
