@@ -266,7 +266,7 @@ def main() -> None:
         "vertex x 10 steps (--kernel csr for the packed gather kernel)",
     )
     ap.add_argument(
-        "--method", default="hindex", choices=["hindex", "local", "peel", "node2vec", "color"],
+        "--method", default="hindex", choices=["hindex", "local", "peel", "node2vec", "color", "full"],
         help="kcore probe: fixpoint variant (local = bucketed local-fixpoint "
         "kernels); walks probe: 'node2vec' switches to second-order biased walks; "
         "louvain probe: 'color' adds the coloring-scheduled run (expensive)",
@@ -971,6 +971,29 @@ def main() -> None:
             )
             meta["scc_rows"] = strongly_connected_components(verts, ed).count()
             meta["scc_sec"] = round(_t.perf_counter() - t0, 3)
+            if args.method == "full":
+                # at-scale directed SCC: turn->next-turn chain edges +
+                # BIDIRECTIONAL turn<->tool links (2-cycles merge every
+                # caller of a tool into one giant SCC family) — n-scale
+                # vertices, --kernel picks the fixpoint physical path
+                from essentials_spark.graph.keyed import keyed_graph_from_transcripts
+
+                kg = keyed_graph_from_transcripts(t)
+                tool_vids = kg.vkeys.filter(F.col("skey").startswith("tool|")).select("vid")
+                de = kg.graph.edges.select("src", "dst")
+                tool_rev = de.join(
+                    tool_vids.select(F.col("vid").alias("dst")), "dst"
+                ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                directed = de.unionByName(tool_rev)
+                t0 = _t.perf_counter()
+                out = strongly_connected_components(
+                    kg.graph.vertices.select("vid"), directed,
+                    kernel=args.kernel, n_buckets=args.buckets or cpus,
+                )
+                meta["scc_full_vertices"] = out.count()
+                meta["scc_full_components"] = out.select("scc").distinct().count()
+                meta["scc_full_sec"] = round(_t.perf_counter() - t0, 3)
+                meta["scc_full_kernel"] = args.kernel
 
         tm = timed_min(one_temporal_pass, args.passes)
         print(json.dumps({
