@@ -24,7 +24,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="essentials_spark")
     ap.add_argument("algo", choices=[
         "pagerank", "cc", "lp", "tc", "bfs", "sssp", "hits", "salsa",
-        "walks", "node2vec", "temporal", "louvain", "all",
+        "walks", "node2vec", "temporal", "louvain", "scc",
+        "mis", "densest", "all",
     ])
     ap.add_argument("--input", help="transcripts table: parquet path or iceberg table name")
     ap.add_argument("--synthetic", type=int, default=None, help="generate N synthetic conversations instead")
@@ -147,6 +148,42 @@ def main(argv: list[str] | None = None) -> int:
         out = louvain_multilevel(
             Graph(vertices=kg.graph.vertices, edges=sym),
             level_rounds=(6, 6), mode="mis", guard=True,
+        )
+    elif args.algo == "scc":
+        from pyspark.sql import functions as F
+
+        from essentials_spark.algos.scc import strongly_connected_components
+
+        # directed: turn->next + turn->tool, plus tool->turn back-edges
+        tool_vids = kg.vkeys.filter(F.col("skey").startswith("tool|")).select("vid")
+        de = kg.graph.edges.select("src", "dst")
+        tool_rev = de.join(tool_vids.select(F.col("vid").alias("dst")), "dst").select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        out = strongly_connected_components(
+            kg.graph.vertices.select("vid"),
+            de.unionByName(tool_rev),
+            runner=runner,
+            kernel="csr" if args.kernel != "dataframe" else "dataframe",
+        )
+    elif args.algo == "mis":
+        from pyspark.sql import functions as F
+
+        from essentials_spark.algos.mis import maximal_independent_set
+        from essentials_spark.graph.derive import canonicalize_edges
+
+        sym = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+        out = maximal_independent_set(kg.graph.vertices.select("vid"), sym, runner=runner)
+    elif args.algo == "densest":
+        from pyspark.sql import functions as F
+
+        from essentials_spark.algos.densest import densest_subgraph
+        from essentials_spark.graph.derive import canonicalize_edges
+
+        sym = canonicalize_edges(kg.graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
+        out = densest_subgraph(
+            kg.graph.vertices.select("vid"), sym.filter(F.col("src") < F.col("dst")).select("src", "dst"),
+            runner=runner,
         )
     elif args.algo == "salsa":
         from essentials_spark.algos import salsa as _salsa
