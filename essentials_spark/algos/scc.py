@@ -49,8 +49,6 @@ def _min_label_fixpoint(
     runner: SuperstepRunner,
     tag: str,
     max_rounds: int = 200,
-    csr_blocks: DataFrame | None = None,
-    n_buckets: int | None = None,
     jump_rounds: int = 8,
 ) -> DataFrame:
     """(vid, lab): lab = min vid over ancestors-or-self along
@@ -63,32 +61,17 @@ def _min_label_fixpoint(
     squares the effective reach — rounds drop from O(diameter) to
     O(log diameter) (measured 55 -> 9 on the 64-turn-chain graph),
     the same hash-min + pointer-doubling pairing cc.py uses, applied
-    to DIRECTED min-ancestor labels.
-
-    ``csr_blocks``: packed per-bucket CSR arrays of the SAME edge set
-    (graph/csr_blocks.build_csr_blocks) — the round's message
-    aggregate then runs as the vectorized MIN-semiring gather kernel
-    (csr_min_push, np.minimum.at) with zero edge-side exchange,
-    exactly the connected_components_csr physical path; requires
-    integral vids."""
+    to DIRECTED min-ancestor labels. (The integral-vid scale path is
+    :func:`_min_label_fixpoint_bucketed`, which subsumes the
+    per-round kernel question entirely.)"""
     labels = truncate_plan(vertices.select("vid", F.col("vid").alias("lab"))).persist()
     frontier = labels  # changed-label set; round 0 = everything
     for r in range(max_rounds):
-        if csr_blocks is not None:
-            from essentials_spark.graph.csr_blocks import csr_min_push
-
-            msgs = csr_min_push(
-                csr_blocks,
-                frontier.select("vid", F.col("lab").alias("label")),
-                n_buckets,
-                value_col="label",
-            ).select(F.col("dst").alias("vid"), F.col("nbr_min").alias("cand"))
-        else:
-            msgs = (
-                edges.join(frontier.select(F.col("vid").alias("src"), "lab"), "src")
-                .groupBy(F.col("dst").alias("vid"))
-                .agg(F.min("lab").alias("cand"))
-            )
+        msgs = (
+            edges.join(frontier.select(F.col("vid").alias("src"), "lab"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.min("lab").alias("cand"))
+        )
         if r < jump_rounds:
             # early rounds: relax + pointer jump. The jump's n-scale
             # self-join pays off only while labels point FAR (the
