@@ -147,6 +147,28 @@ def test_scc_csr_kernel_equals_dataframe(spark):
     assert df_out == csr_out and len(df_out) == n
 
 
+def test_scc_csr_bucket_count_invariance(spark):
+    # the bucket-local chaotic fixpoint must be schedule-independent:
+    # any bucket count yields the same labels (monotone-operator
+    # unique fixpoint)
+    import numpy as np
+
+    from essentials_spark.algos.scc import strongly_connected_components
+
+    rng = np.random.RandomState(17)
+    n = 50
+    pairs = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, size=(120, 2)) if a != b})
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in range(n)], "vid long")
+    outs = [
+        {(r["vid"], r["scc"]) for r in strongly_connected_components(
+            verts, edges, kernel="csr", n_buckets=b
+        ).collect()}
+        for b in (1, 3, 16)
+    ]
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) == n
+
+
 def test_scc_string_vids_and_empty(spark):
     from essentials_spark.algos.scc import strongly_connected_components
 
