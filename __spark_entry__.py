@@ -122,6 +122,37 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over NON-UNIFORM edge weights (1 + md5(src>dst) % 7 —
+    the sssp_md5w weight convention): the weighted spread table
+    algos/pagerank.weighted_pagerank_edges builds (alpha*w/sum w per
+    src) has carried weights since round 1, but every prior gate ran
+    w=1; this entry pins the weighted semantics end-to-end. Same
+    unrolled-iteration contract as q_pagerank."""
+    from essentials_spark.algos import pagerank
+    from essentials_spark.functions.portable_hash import md5_int60
+    from essentials_spark.graph.derive import Graph
+
+    kg = _keyed_graph(spark, sf_dir)
+    ke = kg.key_edges.select(
+        "src_key",
+        "dst_key",
+        (F.lit(1) + F.pmod(md5_int60(F.concat_ws(">", "src_key", "dst_key")), F.lit(7)))
+        .cast("double")
+        .alias("weight"),
+    )
+    e = (
+        ke.join(kg.vkeys.select(F.col("skey").alias("src_key"), F.col("vid").alias("src")), "src_key")
+        .join(kg.vkeys.select(F.col("skey").alias("dst_key"), F.col("vid").alias("dst")), "dst_key")
+        .select("src", "dst", "weight")
+    )
+    g = Graph(vertices=kg.graph.vertices, edges=e)
+    ranks = pagerank(g, alpha=ALPHA, tol=0.0, max_iter=PR_ITERS, fused_iters=5)
+    return ranks.join(kg.vkeys, "vid").select(
+        "skey", F.round(F.col("rank") * 1e6).cast("long").alias("score_ppm")
+    )
+
+
 def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as q_pagerank but on the vectorized packed-CSR
     kernel (graph/csr_blocks.py — the north-rule Arrow/NumPy SpMV
@@ -2485,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": q_katz,
         "densest_subgraph": q_densest,
         "maximal_independent_set": q_mis,
+        "pagerank_weighted": q_pagerank_weighted,
         "bpe_encode": q_bpe_encode,
         "bpe_vocab": q_bpe_vocab,
         # round-5b text-pipeline additions (never gated yet)
@@ -2658,6 +2690,40 @@ def _pagerank_sql(iters: int = PR_ITERS) -> str:
         "outw AS (SELECT src, CAST(count(*) AS DOUBLE) AS ow FROM edges_k GROUP BY src)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
         f"ew AS (SELECT e.src, e.dst, {ALPHA} / o.ow AS coef FROM edges_k e JOIN outw o USING (src))",
+        "p0 AS (SELECT vkey, 1.0 / nn.n AS score FROM verts, nn)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(p.score), 0.0) * {ALPHA} AS dsum"
+            f" FROM p{i} p LEFT JOIN outw o ON o.src = p.vkey WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"p{i + 1} AS (SELECT v.vkey,"
+            f" (1.0 - {ALPHA} + d.dsum) / nn.n + coalesce(c.contrib, 0.0) AS score"
+            f" FROM verts v"
+            f" LEFT JOIN (SELECT e.dst, sum(p.score * e.coef) AS contrib"
+            f"   FROM ew e JOIN p{i} p ON p.vkey = e.src GROUP BY e.dst) c ON c.dst = v.vkey"
+            f" CROSS JOIN d{i} d CROSS JOIN nn)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vkey AS skey, CAST(round(score * 1e6) AS BIGINT) AS score_ppm FROM p{iters}"
+    )
+
+
+def _pagerank_weighted_sql(iters: int = PR_ITERS) -> str:
+    """Weighted twin of _pagerank_sql: per-edge w = 1 + md5(src>dst)
+    % 7 (positive 60-bit hash, so % == pmod), coef = alpha*w/sum w."""
+    from essentials_spark.functions.portable_hash import sql_md5_int60
+
+    h = sql_md5_int60("e.src || '>' || e.dst")
+    parts = [
+        _PRELUDE,
+        f"wedg AS (SELECT e.src, e.dst, CAST(1 + ({h} % 7) AS DOUBLE) AS w FROM edges_k e)",
+        "outw AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM wedg GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        f"ew AS (SELECT e.src, e.dst, {ALPHA} * e.w / o.ow AS coef FROM wedg e JOIN outw o USING (src))",
         "p0 AS (SELECT vkey, 1.0 / nn.n AS score FROM verts, nn)",
     ]
     for i in range(iters):
@@ -4249,6 +4315,7 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 """
 
     sql["pagerank"] = _pagerank_sql()
+    sql["pagerank_weighted"] = _pagerank_weighted_sql()
     # the CSR kernel must reproduce the SAME unrolled iterates — one
     # oracle, two physical paths (dataframe-join vs packed-CSR SpMV)
     sql["pagerank_csr"] = _pagerank_sql()
