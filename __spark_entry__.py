@@ -2270,6 +2270,33 @@ def q_asof_tool_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_tool_reuse_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as q_asof_tool_reuse on the time-SHARDED hub
+    path (shard_us=1 day): per-(key, shard) windows + exact carry
+    stitch. Shares the oracle — two physical paths, one answer (the
+    random_walks/_csr gating pattern)."""
+    from essentials_spark.ops.asof import asof_join
+
+    tt = _turns_ts_us(spark, sf_dir).filter(F.col("tool").isNotNull())
+    out = asof_join(
+        tt,
+        tt,
+        "tool",
+        ts_col="ts_us",
+        value_cols=["conv_id", "turn_idx"],
+        strict=True,
+        right_order_cols=["conv_id", "turn_idx"],
+        shard_us=86_400_000_000,
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.col("asof_conv_id").alias("prev_conv"),
+        F.col("asof_turn_idx").alias("prev_turn"),
+    )
+
+
 def q_conv_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval range-count (ops/asof.range_count): per conversation,
     how many OTHER conversations' turns fall inside its [first, last]
@@ -2511,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "scc_tools": q_scc_tools,
         "asof_tool_reuse": q_asof_tool_reuse,
+        "asof_tool_reuse_sharded": q_asof_tool_reuse_sharded,
         "conv_concurrency": q_conv_concurrency,
         "duplicate_spans": q_duplicate_spans,
         "katz_centrality": q_katz,
@@ -4652,6 +4680,8 @@ FROM spanc s LEFT JOIN tr t
   ON epoch_us(t.ts) BETWEEN s.a AND s.b AND t.conv_id <> s.conv_id
 GROUP BY s.conv_id
 """
+    # sharded physical path vs the SAME oracle (A/B x2)
+    sql["asof_tool_reuse_sharded"] = sql["asof_tool_reuse"]
     # transitive closure by repeated squaring: r_k holds all reachable
     # pairs via paths <= 2^k hops (reflexive seed), exact for <= 32
     # tools (synth caps n_tools at 20); scc = min over mutual reach
