@@ -2512,7 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     0. the north-rule headline four (pagerank / cc / lp / tc) FIRST —
        they are the required surface and must be inside any cap
-       (round-4's driver cut at entry 50; 118 are registered now);
+       (round-4's driver cut at entry 50; 120 are registered now);
     1. then the round-6 additions, then round-5 (cheap-ascending) —
        the entries with the fewest prior green gate rows get
        hard-signal coverage before the long-established tail;
