@@ -34,6 +34,36 @@ def test_asof_join_strict_and_inclusive(spark):
     assert got2 == {"l0": "r1", "l1": "r10", "l2": "r15b", "lz": None}
 
 
+def test_asof_join_composite_key_and_empty_right(spark):
+    from essentials_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "t1", 10, 1), ("u1", "t2", 10, 2), ("u2", "t1", 10, 3)],
+        "user string, tool string, ts_us long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("u1", "t1", 5, 100), ("u2", "t1", 7, 200), ("u1", "t2", 20, 300)],
+        "user string, tool string, ts_us long, rv long",
+    )
+    got = {
+        r["lid"]: r["asof_rv"]
+        for r in asof_join(
+            left, right, ["user", "tool"], value_cols=["rv"], right_order_cols=["rv"]
+        ).collect()
+    }
+    # composite (user, tool) keys match independently; future right
+    # rows and cross-key rows never leak
+    assert got == {1: 100, 2: None, 3: 200}
+    empty_right = right.limit(0)
+    got2 = {
+        r["lid"]: r["asof_rv"]
+        for r in asof_join(
+            left, empty_right, ["user", "tool"], value_cols=["rv"], right_order_cols=["rv"]
+        ).collect()
+    }
+    assert got2 == {1: None, 2: None, 3: None}
+
+
 def test_asof_sharded_equals_plain(spark):
     # fuzz parity: the time-sharded hub path must be row-identical to
     # the single-window path, across shard widths that split, straddle,
