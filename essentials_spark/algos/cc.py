@@ -38,7 +38,7 @@ from essentials_spark.engine.static_table import (
     hint_state_join,
     prepare_static_edges,
 )
-from essentials_spark.engine.superstep import SuperstepRunner, edge_fingerprint, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, edge_fingerprint, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
 
@@ -703,62 +703,63 @@ def connected_components(
     # reference their predecessor 3x, so the ceiling is lower)
     fused_iters = min(fused_iters, 4)
     front_rows = n
-    while not converged and iteration < max_iter:
-        # never fuse small (broadcast-shape) rounds: each references its
-        # predecessor through several broadcast branches, and nesting
-        # those blows up Catalyst's rendered plan tree (observed:
-        # explainString OOM at depth 3) while measuring slower at
-        # depth 2 anyway — the small round is already one cheap action
-        in_small_regime = front_rows is not None and front_rows < (
-            STATE_BROADCAST_MAX_ROWS if small_round_max is None else small_round_max
-        )
-        if in_small_regime and front_rows:
-            # row count passed — confirm the NEIGHBORHOOD mass is
-            # broadcastable before committing to the broadcast shape
-            in_small_regime = frontier_msg_mass(frontier) < broadcast_mass_cap
-        k = 1 if in_small_regime else min(max(1, fused_iters), max_iter - iteration)
-        cur, front = labels, frontier
-        intermediates = []
-        for j in range(k):
-            # fused sub-rounds reuse the last KNOWN frontier count as a
-            # loose bound — the hint only picks broadcast vs
-            # shuffle_hash, so a stale-but-same-magnitude bound is fine
-            if in_small_regime:
-                cur = small_round(cur.select("vid", "label"), front, intermediates)
-            else:
-                cur = one_round(cur.select("vid", "label"), front, front_rows, intermediates)
-            # each NON-FINAL fused round references its predecessor
-            # several times (messages, hook, jump lookup) — persist
-            # keeps the block a single action while deduplicating the
-            # shared subplans. The block's LAST iterate flows straight
-            # into materialize (single reference): persisting it too
-            # just writes a redundant n-scale cache copy per round.
-            if j < k - 1:
-                cur = cur.persist()
-                intermediates.append(cur)
-                front = cur.filter(F.col("label") != F.col("old")).select("vid", "label")
-        new_labels = runner.materialize(cur, iteration + k)
-        # convergence at block granularity: did the LAST fused round
-        # change anything? (earlier no-op rounds are idempotent)
-        changed = new_labels.filter(F.col("label") != F.col("old")).select("vid", "label")
-        n_changed = changed.count()
-        for df in intermediates:
-            df.unpersist()
-        iteration += k
-        runner.log(iteration, changed=n_changed, edges_processed=m * k)
-        labels.unpersist()
-        labels = new_labels.drop("old").persist()
-        frontier = changed
-        front_rows = n_changed
-        if n_changed == 0:
-            prev = labels
-            # eager: the converged checkpoint must be materialized
-            # before the superseded per-round persist is released
-            labels = runner.materialize(
-                labels, iteration, eager=True, force=True, meta={"converged": True}
-            ).persist()
-            prev.unpersist()
-            break
+    with superstep_conf(spark, work_rows=m):
+        while not converged and iteration < max_iter:
+            # never fuse small (broadcast-shape) rounds: each references its
+            # predecessor through several broadcast branches, and nesting
+            # those blows up Catalyst's rendered plan tree (observed:
+            # explainString OOM at depth 3) while measuring slower at
+            # depth 2 anyway — the small round is already one cheap action
+            in_small_regime = front_rows is not None and front_rows < (
+                STATE_BROADCAST_MAX_ROWS if small_round_max is None else small_round_max
+            )
+            if in_small_regime and front_rows:
+                # row count passed — confirm the NEIGHBORHOOD mass is
+                # broadcastable before committing to the broadcast shape
+                in_small_regime = frontier_msg_mass(frontier) < broadcast_mass_cap
+            k = 1 if in_small_regime else min(max(1, fused_iters), max_iter - iteration)
+            cur, front = labels, frontier
+            intermediates = []
+            for j in range(k):
+                # fused sub-rounds reuse the last KNOWN frontier count as a
+                # loose bound — the hint only picks broadcast vs
+                # shuffle_hash, so a stale-but-same-magnitude bound is fine
+                if in_small_regime:
+                    cur = small_round(cur.select("vid", "label"), front, intermediates)
+                else:
+                    cur = one_round(cur.select("vid", "label"), front, front_rows, intermediates)
+                # each NON-FINAL fused round references its predecessor
+                # several times (messages, hook, jump lookup) — persist
+                # keeps the block a single action while deduplicating the
+                # shared subplans. The block's LAST iterate flows straight
+                # into materialize (single reference): persisting it too
+                # just writes a redundant n-scale cache copy per round.
+                if j < k - 1:
+                    cur = cur.persist()
+                    intermediates.append(cur)
+                    front = cur.filter(F.col("label") != F.col("old")).select("vid", "label")
+            new_labels = runner.materialize(cur, iteration + k)
+            # convergence at block granularity: did the LAST fused round
+            # change anything? (earlier no-op rounds are idempotent)
+            changed = new_labels.filter(F.col("label") != F.col("old")).select("vid", "label")
+            n_changed = changed.count()
+            for df in intermediates:
+                df.unpersist()
+            iteration += k
+            runner.log(iteration, changed=n_changed, edges_processed=m * k)
+            labels.unpersist()
+            labels = new_labels.drop("old").persist()
+            frontier = changed
+            front_rows = n_changed
+            if n_changed == 0:
+                prev = labels
+                # eager: the converged checkpoint must be materialized
+                # before the superseded per-round persist is released
+                labels = runner.materialize(
+                    labels, iteration, eager=True, force=True, meta={"converged": True}
+                ).persist()
+                prev.unpersist()
+                break
 
     out = labels.select("vid", "label")
     runner.finalize()

@@ -57,7 +57,7 @@ from essentials_spark.engine.static_table import (
     hint_state_join,
     prepare_static_edges,
 )
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
 
@@ -256,99 +256,100 @@ def label_propagation(
         STATE_BROADCAST_MAX_ROWS // 8 if small_round_max is None else small_round_max
     )
     mass_cap = 4 * STATE_BROADCAST_MAX_ROWS
-    while not converged and iteration < max_iter:
-        # shape decision from the ACTUAL frontier (module docstring).
-        # Within a fused block the shape is stale by <k rounds — the 4x
-        # cap over the state-broadcast bound is the margin for that
-        # drift, and a mid-shape fallback is always value-identical.
-        # restriction profits only when the frontier is a MINORITY:
-        # synchronous LP oscillates on chain-like structure, so a
-        # convergence-mode run can hold a ~n-scale frontier for many
-        # rounds — there the affected set is ~n too, and the restricted
-        # shapes just add a distinct + an extra join (or near-m-scale
-        # broadcasts) on top of the same full recompute (observed on
-        # transcript graphs: changed = 98% of n every round). Semi mode
-        # gates on the TWO-round union (docstring at `changed` init):
-        # an inactive vertex reacts one round late.
-        if semi:
-            front = changed.unionByName(prev_changed).distinct()
-            front_rows = changed_rows + prev_rows
-        else:
-            front, front_rows = changed, changed_rows
-        if 2 * front_rows >= n:
-            shape = "full"
-        elif front_rows and front_rows < small_bound and _mass(front) < mass_cap:
-            affected_probe = (
-                edges.join(F.broadcast(front.select(F.col("vid").alias("src"))), "src")
-                .select(F.col("dst").alias("vid"))
-                .distinct()
-            )
-            shape = "small" if _mass(affected_probe) < mass_cap else "mid"
-        else:
-            shape = "mid"
-        # fuse full and small rounds (full sub-rounds pay the m-scale
-        # stream regardless, so fusing them only saves action overhead;
-        # small sub-rounds track their own chg). Mid rounds run one per
-        # action: their restricted stream wants a FRESH frontier, and a
-        # stale mid hint pays near-m-scale work per sub-round.
-        k = min(max(1, fused_iters), max_iter - iteration) if shape != "mid" else 1
-        cur, chg = labels, front
-        state_cols = ["vid", "label"] + (["par"] if semi else [])
-        sub_deltas: list[DataFrame] = []  # per-sub-round deltas (semi)
-        intermediates = []
-        for j in range(k):
-            cur = one_round(cur.select(*state_cols), chg, front_rows, shape, rnd=iteration + j)
-            # last fused iterate flows straight into materialize —
-            # persisting it too writes a redundant n-scale cache copy
-            # (see algos/cc.py); non-final iterates are referenced by
-            # their successor (messages + join left side)
-            if j < k - 1:
-                cur = cur.persist()
-                intermediates.append(cur)
-                sub = cur.filter(F.col("label") != F.col("old")).select("vid")
-                sub_deltas.append(sub)
-                # semi: the restricted stream for sub-round j+1 needs
-                # the union of the last TWO deltas
-                if semi:
-                    older = sub_deltas[-2] if len(sub_deltas) >= 2 else changed
-                    chg = sub.unionByName(older).distinct()
-                else:
-                    chg = sub
-        new_labels = runner.materialize(cur, iteration + k)
-        delta = new_labels.filter(F.col("label") != F.col("old")).select("vid")
-        n_changed = delta.count()
-        iteration += k
-        runner.log(
-            iteration,
-            changed=n_changed,
-            shape=shape,
-            frontier_rows=front_rows,
-            edges_processed=m * k,
-        )
-        labels.unpersist()
-        labels = new_labels.drop("old").persist()
-        if semi:
-            # previous-round delta: last fused sub-round's (or the
-            # prior outer delta when the block had one round);
-            # truncate_plan pins it before the intermediates it reads
-            # from are released below
-            if sub_deltas:
-                prev_changed = truncate_plan(sub_deltas[-1])
-                prev_rows = prev_changed.count()
+    with superstep_conf(spark, work_rows=m):
+        while not converged and iteration < max_iter:
+            # shape decision from the ACTUAL frontier (module docstring).
+            # Within a fused block the shape is stale by <k rounds — the 4x
+            # cap over the state-broadcast bound is the margin for that
+            # drift, and a mid-shape fallback is always value-identical.
+            # restriction profits only when the frontier is a MINORITY:
+            # synchronous LP oscillates on chain-like structure, so a
+            # convergence-mode run can hold a ~n-scale frontier for many
+            # rounds — there the affected set is ~n too, and the restricted
+            # shapes just add a distinct + an extra join (or near-m-scale
+            # broadcasts) on top of the same full recompute (observed on
+            # transcript graphs: changed = 98% of n every round). Semi mode
+            # gates on the TWO-round union (docstring at `changed` init):
+            # an inactive vertex reacts one round late.
+            if semi:
+                front = changed.unionByName(prev_changed).distinct()
+                front_rows = changed_rows + prev_rows
             else:
-                prev_changed = changed
-                prev_rows = changed_rows
-        changed = delta
-        changed_rows = n_changed
-        for df in intermediates:
-            df.unpersist()
-        if n_changed == 0 and (not semi or prev_rows == 0):
-            prev = labels
-            labels = runner.materialize(
-                labels, iteration, eager=True, force=True, meta={"converged": True}
-            ).persist()
-            prev.unpersist()  # superseded by the eager checkpoint
-            break
+                front, front_rows = changed, changed_rows
+            if 2 * front_rows >= n:
+                shape = "full"
+            elif front_rows and front_rows < small_bound and _mass(front) < mass_cap:
+                affected_probe = (
+                    edges.join(F.broadcast(front.select(F.col("vid").alias("src"))), "src")
+                    .select(F.col("dst").alias("vid"))
+                    .distinct()
+                )
+                shape = "small" if _mass(affected_probe) < mass_cap else "mid"
+            else:
+                shape = "mid"
+            # fuse full and small rounds (full sub-rounds pay the m-scale
+            # stream regardless, so fusing them only saves action overhead;
+            # small sub-rounds track their own chg). Mid rounds run one per
+            # action: their restricted stream wants a FRESH frontier, and a
+            # stale mid hint pays near-m-scale work per sub-round.
+            k = min(max(1, fused_iters), max_iter - iteration) if shape != "mid" else 1
+            cur, chg = labels, front
+            state_cols = ["vid", "label"] + (["par"] if semi else [])
+            sub_deltas: list[DataFrame] = []  # per-sub-round deltas (semi)
+            intermediates = []
+            for j in range(k):
+                cur = one_round(cur.select(*state_cols), chg, front_rows, shape, rnd=iteration + j)
+                # last fused iterate flows straight into materialize —
+                # persisting it too writes a redundant n-scale cache copy
+                # (see algos/cc.py); non-final iterates are referenced by
+                # their successor (messages + join left side)
+                if j < k - 1:
+                    cur = cur.persist()
+                    intermediates.append(cur)
+                    sub = cur.filter(F.col("label") != F.col("old")).select("vid")
+                    sub_deltas.append(sub)
+                    # semi: the restricted stream for sub-round j+1 needs
+                    # the union of the last TWO deltas
+                    if semi:
+                        older = sub_deltas[-2] if len(sub_deltas) >= 2 else changed
+                        chg = sub.unionByName(older).distinct()
+                    else:
+                        chg = sub
+            new_labels = runner.materialize(cur, iteration + k)
+            delta = new_labels.filter(F.col("label") != F.col("old")).select("vid")
+            n_changed = delta.count()
+            iteration += k
+            runner.log(
+                iteration,
+                changed=n_changed,
+                shape=shape,
+                frontier_rows=front_rows,
+                edges_processed=m * k,
+            )
+            labels.unpersist()
+            labels = new_labels.drop("old").persist()
+            if semi:
+                # previous-round delta: last fused sub-round's (or the
+                # prior outer delta when the block had one round);
+                # truncate_plan pins it before the intermediates it reads
+                # from are released below
+                if sub_deltas:
+                    prev_changed = truncate_plan(sub_deltas[-1])
+                    prev_rows = prev_changed.count()
+                else:
+                    prev_changed = changed
+                    prev_rows = changed_rows
+            changed = delta
+            changed_rows = n_changed
+            for df in intermediates:
+                df.unpersist()
+            if n_changed == 0 and (not semi or prev_rows == 0):
+                prev = labels
+                labels = runner.materialize(
+                    labels, iteration, eager=True, force=True, meta={"converged": True}
+                ).persist()
+                prev.unpersist()  # superseded by the eager checkpoint
+                break
 
     out = labels.select("vid", "label")
     runner.finalize()

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph
 
 
@@ -179,43 +179,44 @@ def pagerank(
     # 3.3M vertices. 6 is a safe ceiling; truncate_plan resets stats at
     # every block boundary.
     fused_iters = min(fused_iters, 6)
-    while not converged and iteration < max_iter:
-        k = min(max(1, fused_iters), max_iter - iteration)
-        cur = ranks
-        intermediates = []
-        for j in range(k):
-            cur = spread(cur.drop("plast") if "plast" in cur.columns else cur)
-            # persist each NON-FINAL fused iterate: every superstep
-            # references its predecessor three times (messages, dangling
-            # sum, join left side) — unmaterialized, the block would
-            # recompute the base state 3^k times. persist() keeps the
-            # block a single driver action while deduplicating the
-            # shared subplans. The block's LAST iterate flows straight
-            # into materialize (single reference) — persisting it too
-            # writes a redundant n-scale cache copy (see algos/cc.py).
-            if j < k - 1:
-                cur = cur.persist()
-                intermediates.append(cur)
-        new_ranks = runner.materialize(cur, iteration + k)
-        err = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("plast"))).alias("err")).collect()[0]["err"]
-        for df in intermediates:  # only after the block is materialized
-            df.unpersist()
-        iteration += k
-        runner.log(iteration, linf_err=err, edges_processed=m * k)
-        ranks.unpersist()
-        ranks = new_ranks.drop("plast").persist()
-        if err < tol:
-            # durable final write: a resumed run must return THIS state,
-            # not run an extra superstep past convergence. (With fused
-            # blocks, convergence is detected at block granularity —
-            # the L-inf check compares the block's last two iterates,
-            # the reference's stopping rule evaluated every k-th step.)
-            prev = ranks
-            ranks = runner.materialize(
-                ranks, iteration, eager=True, force=True, meta={"converged": True}
-            ).persist()
-            prev.unpersist()  # superseded by the eager checkpoint
-            break
+    with superstep_conf(spark, work_rows=m):
+        while not converged and iteration < max_iter:
+            k = min(max(1, fused_iters), max_iter - iteration)
+            cur = ranks
+            intermediates = []
+            for j in range(k):
+                cur = spread(cur.drop("plast") if "plast" in cur.columns else cur)
+                # persist each NON-FINAL fused iterate: every superstep
+                # references its predecessor three times (messages, dangling
+                # sum, join left side) — unmaterialized, the block would
+                # recompute the base state 3^k times. persist() keeps the
+                # block a single driver action while deduplicating the
+                # shared subplans. The block's LAST iterate flows straight
+                # into materialize (single reference) — persisting it too
+                # writes a redundant n-scale cache copy (see algos/cc.py).
+                if j < k - 1:
+                    cur = cur.persist()
+                    intermediates.append(cur)
+            new_ranks = runner.materialize(cur, iteration + k)
+            err = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("plast"))).alias("err")).collect()[0]["err"]
+            for df in intermediates:  # only after the block is materialized
+                df.unpersist()
+            iteration += k
+            runner.log(iteration, linf_err=err, edges_processed=m * k)
+            ranks.unpersist()
+            ranks = new_ranks.drop("plast").persist()
+            if err < tol:
+                # durable final write: a resumed run must return THIS state,
+                # not run an extra superstep past convergence. (With fused
+                # blocks, convergence is detected at block granularity —
+                # the L-inf check compares the block's last two iterates,
+                # the reference's stopping rule evaluated every k-th step.)
+                prev = ranks
+                ranks = runner.materialize(
+                    ranks, iteration, eager=True, force=True, meta={"converged": True}
+                ).persist()
+                prev.unpersist()  # superseded by the eager checkpoint
+                break
 
     runner.log(iteration, converged=True, total_edges_processed=m * iteration)
     out = ranks.select("vid", "rank")

@@ -28,11 +28,83 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 import time
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# --- scoped AQE suppression for superstep loops ---------------------
+# AQE re-optimizes the remaining plan at every shuffle/broadcast stage
+# boundary. A fused superstep block is a DEEP plan with many tiny
+# exchanges, every join already explicitly hinted from KNOWN row
+# counts (hint_state_join) against bucketed static layouts — there is
+# nothing left for AQE to decide, but its per-stage replanning is
+# driver CPU paid once per exchange per superstep. Measured (round 7,
+# sf0.1, local[32], bench_extra.py isolate): pagerank 13.6 s -> 6.5 s
+# (94 -> 25 Spark jobs), cc 11.2 -> 7.3 s (142 -> 59 jobs) with AQE
+# off; one-shot join pipelines (triangle_count) run ~2x FASTER with
+# AQE on (runtime broadcast conversion), so the suppression is scoped
+# to the iterative loops only, never session-global. The cost is
+# plan-depth-driven, not data-driven, so the win holds at any scale;
+# set SPARK_GRAFT_SUPERSTEP_AQE=1 to keep AQE on inside loops (e.g.
+# to let AQE skew-split an unhinted state join on a new cluster).
+_AQE_LOCK = threading.Lock()
+_AQE_STATE: dict[int, list] = {}  # id(session) -> [depth, saved_value]
+
+
+@contextmanager
+def superstep_conf(spark: SparkSession, work_rows: int | None = None):
+    """Disable AQE for the duration of a superstep loop (reentrant,
+    thread-safe, restores the previous value on exit).
+
+    ``work_rows``: the loop's per-superstep edge-scale row bound (the
+    edge count). The suppression is SIZE-GATED: it only fires when
+    every exchange a superstep can issue is broadcast-scale
+    (work_rows <= 4 x STATE_BROADCAST_MAX_ROWS, the same mass bound
+    the shape ladders use) — there AQE's per-stage replanning is pure
+    driver overhead (measured 2.1x on pagerank at sf0.1) while any
+    skew straggler it could fix is bounded by broadcast-scale work.
+    Above the bound AQE stays on: its runtime skew-split of hub-rooted
+    joins is a real win (measured: CC at 3.3M vertices runs 26 s with
+    AQE vs 40 s without). Env knobs: SPARK_GRAFT_SUPERSTEP_AQE=1
+    never suppresses; SPARK_GRAFT_SUPERSTEP_AQE_MAX_ROWS overrides the
+    bound (0 never suppresses, for cluster A/B)."""
+    if os.environ.get("SPARK_GRAFT_SUPERSTEP_AQE") == "1":
+        yield
+        return
+    from essentials_spark.engine.static_table import STATE_BROADCAST_MAX_ROWS
+
+    bound = int(
+        os.environ.get(
+            "SPARK_GRAFT_SUPERSTEP_AQE_MAX_ROWS", 4 * STATE_BROADCAST_MAX_ROWS
+        )
+    )
+    if work_rows is not None and work_rows > bound:
+        yield
+        return
+    key = id(spark)
+    with _AQE_LOCK:
+        st = _AQE_STATE.get(key)
+        if st is None:
+            saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            st = _AQE_STATE[key] = [0, saved]
+        st[0] += 1
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            st = _AQE_STATE.get(key)
+            if st is not None:
+                st[0] -= 1
+                if st[0] <= 0:
+                    try:
+                        spark.conf.set("spark.sql.adaptive.enabled", st[1])
+                    finally:
+                        del _AQE_STATE[key]
 
 
 def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -55,6 +55,15 @@ def get_spark(
         # periodicGC is 30min — far too lazy for superstep loops
         .config("spark.cleaner.periodicGC.interval", "1min")
     )
+    # env-driven overrides (cluster submission / A-B measurement):
+    # SPARK_GRAFT_EXTRA_CONF is a JSON object of spark confs applied
+    # after the defaults, before the caller's extra_conf
+    env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_extra:
+        import json
+
+        for k, v in json.loads(env_extra).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
