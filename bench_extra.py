@@ -44,6 +44,44 @@ def _job_count(sc) -> int:
     return max(ids) if ids else 0
 
 
+def _rest_jobs(spark) -> list[dict]:
+    """All jobs from the UI REST API (needs spark.ui.enabled=true, e.g.
+    via SPARK_GRAFT_EXTRA_CONF='{"spark.ui.enabled":"true"}')."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/jobs") as r:
+            return json.loads(r.read())
+    except Exception:
+        return []
+
+
+def _profile_region(spark, jobs_before: set, label: str) -> dict:
+    """Aggregate REST job rows created since ``jobs_before`` by name."""
+    import datetime as _dt
+
+    rows = [j for j in _rest_jobs(spark) if j["jobId"] not in jobs_before]
+
+    def dur(j):
+        try:
+            f = "%Y-%m-%dT%H:%M:%S.%f%Z"
+            t0 = _dt.datetime.strptime(j["submissionTime"], f)
+            t1 = _dt.datetime.strptime(j["completionTime"], f)
+            return (t1 - t0).total_seconds()
+        except Exception:
+            return 0.0
+    agg: dict[str, dict] = {}
+    for j in rows:
+        name = (j.get("name") or "?").split(" at ")[0][:70]
+        a = agg.setdefault(name, {"n": 0, "sec": 0.0, "tasks": 0})
+        a["n"] += 1
+        a["sec"] = round(a["sec"] + dur(j), 3)
+        a["tasks"] += j.get("numTasks", 0)
+    return {"label": label, "n_jobs": len(rows), "by_name": agg}
+
+
 def cmd_isolate(args) -> None:
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = _spark(cpus)
@@ -87,14 +125,17 @@ def cmd_isolate(args) -> None:
     }
 
     def probe(name, fn, meta_fn=None):
-        samples, jobs, metas = [], [], []
+        samples, jobs, metas, profs = [], [], [], []
         for _ in range(max(1, args.passes)):
             sc.setJobDescription(f"isolate:{name}")
             j0 = _job_count(sc)
+            jb = {j["jobId"] for j in _rest_jobs(spark)} if args.profile else set()
             t0 = time.perf_counter()
             r = fn()
             samples.append(time.perf_counter() - t0)
             jobs.append(_job_count(sc) - j0)
+            if args.profile:
+                profs.append(_profile_region(spark, jb, name))
             if meta_fn:
                 metas.append(meta_fn(r))
             sc.setJobDescription(None)
@@ -105,6 +146,8 @@ def cmd_isolate(args) -> None:
         }
         if metas:
             out["queries"][name]["meta"] = metas[samples.index(min(samples))]
+        if profs:
+            out["queries"][name]["profile"] = profs[samples.index(min(samples))]
 
     if not args.only or "pagerank" in args.only:
         probe(
@@ -136,6 +179,42 @@ def cmd_isolate(args) -> None:
         sum(v["sec"] for v in out["queries"].values()), 3
     )
     pg.close()
+    print(json.dumps(out))
+    spark.stop()
+
+
+def cmd_sweep(args) -> None:
+    """Time every declared query (queries() registry) at one SF dir.
+
+    One pass each (ordering follows the registry), counting rows to
+    force full computation — the same action the driver's gate runs.
+    Used to rank the non-headline operators by cost for the round-7
+    checklist; NOT a replacement for the frozen bench.py contract."""
+    cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _spark(cpus)
+    sc = spark.sparkContext
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = args.sf or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    qs = entry_mod.queries()
+    names = args.only or list(qs)
+    out = {"metric": "sweep", "cpus": cpus, "sf": sf_dir, "queries": {}}
+    for name in names:
+        fn = qs[name]
+        sc.setJobDescription(f"sweep:{name}")
+        t0 = time.perf_counter()
+        try:
+            rows = fn(spark, sf_dir).count()
+            out["queries"][name] = {"sec": round(time.perf_counter() - t0, 3), "rows": rows}
+        except Exception as e:  # keep sweeping; record the failure
+            out["queries"][name] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }
+        sc.setJobDescription(None)
+        print(json.dumps({name: out["queries"][name]}), flush=True)
+    out["total"] = round(sum(v["sec"] for v in out["queries"].values()), 3)
     print(json.dumps(out))
     spark.stop()
 
@@ -270,14 +349,25 @@ def main() -> None:
     iso.add_argument("--sf", default=None)
     iso.add_argument("--synthetic", type=int, default=None)
     iso.add_argument("--only", nargs="*", default=None)
+    iso.add_argument(
+        "--profile", action="store_true",
+        help="aggregate REST job rows per probe (set "
+        "SPARK_GRAFT_EXTRA_CONF='{\"spark.ui.enabled\":\"true\"}')",
+    )
     pl = sub.add_parser("plans")
     pl.add_argument("--out", default="plans/r07")
     pl.add_argument("--suffix", default="before")
     pl.add_argument("--cpus", type=int, default=None)
     pl.add_argument("--sf", default=None)
+    sw = sub.add_parser("sweep")
+    sw.add_argument("--cpus", type=int, default=None)
+    sw.add_argument("--sf", default=None)
+    sw.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
     if args.cmd == "isolate":
         cmd_isolate(args)
+    elif args.cmd == "sweep":
+        cmd_sweep(args)
     else:
         cmd_plans(args)
 

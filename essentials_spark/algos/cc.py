@@ -713,9 +713,11 @@ def connected_components(
             in_small_regime = front_rows is not None and front_rows < (
                 STATE_BROADCAST_MAX_ROWS if small_round_max is None else small_round_max
             )
-            if in_small_regime and front_rows:
+            if in_small_regime and front_rows and m >= broadcast_mass_cap:
                 # row count passed — confirm the NEIGHBORHOOD mass is
-                # broadcastable before committing to the broadcast shape
+                # broadcastable before committing to the broadcast shape.
+                # (When the WHOLE edge table is under the cap the gate
+                # holds for any frontier — skip the per-round probe job.)
                 in_small_regime = frontier_msg_mass(frontier) < broadcast_mass_cap
             k = 1 if in_small_regime else min(max(1, fused_iters), max_iter - iteration)
             cur, front = labels, frontier

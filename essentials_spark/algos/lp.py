@@ -163,6 +163,11 @@ def label_propagation(
     _deg_cache: dict = {}
 
     def _mass(front: DataFrame) -> int:
+        # any frontier's neighborhood mass is bounded by the total edge
+        # count — when that is already under every caller's cap, skip
+        # the per-round probe job entirely
+        if m < 4 * STATE_BROADCAST_MAX_ROWS:
+            return m
         if "deg" not in _deg_cache:
             d = edges.groupBy("src").agg(F.count("*").alias("_deg")).persist()
             _deg_cache["deg"] = d

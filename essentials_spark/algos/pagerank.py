@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
-from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
+from essentials_spark.engine.superstep import (
+    SuperstepRunner,
+    superstep_conf,
+    superstep_fast_regime,
+    truncate_plan,
+)
 from essentials_spark.graph.derive import Graph
 
 
@@ -98,7 +103,12 @@ def pagerank(
             n_buckets=n_buckets, name_hint="pr_blocks",
         )
     elif kernel == "bucketed" and static_edges_w is None:
-        edges_w = prepare_static_edges(edges_w, runner, keys="src", n_buckets=n_buckets, name_hint="pr")
+        from essentials_spark.engine.static_table import adaptive_buckets
+
+        edges_w = prepare_static_edges(
+            edges_w, runner, keys="src",
+            n_buckets=n_buckets or adaptive_buckets(spark, m), name_hint="pr",
+        )
 
     # vertex state: rank + dangling flag (no out-edges)
     state = (
@@ -135,10 +145,14 @@ def pagerank(
         converged = bool(meta.get("converged"))
     ranks = ranks.persist()
 
-    def spread(cur):
+    def spread(cur, dsum_lit: float | None = None):
         """One superstep as pure dataflow — the dangling mass term is a
         1-row aggregate cross-joined in (no driver collect), so several
-        supersteps fuse into a single Spark job."""
+        supersteps fuse into a single Spark job. ``dsum_lit`` (fast
+        regime): the dangling sum enters as a LITERAL collected from the
+        previous materialized state instead — the in-plan 1-row
+        aggregate costs a serial broadcast job per superstep, which at
+        gate scale is most of the wall (profiled round 7)."""
         if kernel == "csr":
             msgs = spmv_push(blocks, cur.select("vid", "rank"), n_buckets)
         else:
@@ -154,12 +168,24 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("coef")).alias("contrib"))
             )
+        joined = cur.select("vid", "dangling", F.col("rank").alias("plast")).join(
+            msgs.withColumnRenamed("dst", "vid"), "vid", "left"
+        )
+        if dsum_lit is not None:
+            # same IEEE arithmetic as the in-plan branch, evaluated
+            # driver-side: base = (1 - alpha + dsum) / n
+            base = (1.0 - alpha + dsum_lit) / float(n)
+            return joined.select(
+                "vid",
+                "dangling",
+                (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                "plast",
+            )
         dsum_df = cur.agg(
             (F.lit(alpha) * F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))).alias("_dsum")
         )
         return (
-            cur.select("vid", "dangling", F.col("rank").alias("plast"))
-            .join(msgs.withColumnRenamed("dst", "vid"), "vid", "left")
+            joined
             .crossJoin(F.broadcast(dsum_df))
             .select(
                 "vid",
@@ -179,7 +205,50 @@ def pagerank(
     # 3.3M vertices. 6 is a safe ceiling; truncate_plan resets stats at
     # every block boundary.
     fused_iters = min(fused_iters, 6)
+    # fast regime (gate scale, same bound as the AQE suppression): the
+    # fused block's in-plan dangling-sum broadcasts SERIALIZE — each
+    # superstep's 1-row aggregate is a separate broadcast job that must
+    # wait for its predecessor, so "one action per block" still pays
+    # 2 chained jobs per superstep (profiled: 29 broadcast jobs, 7.8 of
+    # 8.7 s at sf0.1). Here each superstep instead runs one action and
+    # ONE driver collect that returns the L-inf error AND the next
+    # superstep's dangling sum together; the scalar enters the next
+    # plan as a literal (identical IEEE arithmetic). Convergence is
+    # still only acted on at the fused-block cadence, so iteration
+    # counts — and therefore results — match the fused path exactly.
+    fast = superstep_fast_regime(m)
     with superstep_conf(spark, work_rows=m):
+        if fast and not converged and iteration < max_iter:
+            k_cad = max(1, fused_iters)
+            dsum = float(
+                ranks.agg(
+                    (F.lit(alpha) * F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))).alias("d")
+                ).collect()[0]["d"]
+                or 0.0
+            )
+            while not converged and iteration < max_iter:
+                new_ranks = runner.materialize(spread(ranks, dsum_lit=dsum), iteration + 1)
+                row = new_ranks.agg(
+                    F.max(F.abs(F.col("rank") - F.col("plast"))).alias("err"),
+                    (F.lit(alpha) * F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))).alias("d"),
+                ).collect()[0]
+                err, dsum = row["err"], float(row["d"] or 0.0)
+                iteration += 1
+                runner.log(iteration, linf_err=err, edges_processed=m)
+                ranks.unpersist()
+                ranks = new_ranks.drop("plast").persist()
+                if (
+                    (iteration % k_cad == 0 or iteration >= max_iter)
+                    and err is not None
+                    and err < tol
+                ):
+                    prev = ranks
+                    ranks = runner.materialize(
+                        ranks, iteration, eager=True, force=True, meta={"converged": True}
+                    ).persist()
+                    prev.unpersist()
+                    converged = True
+                    break
         while not converged and iteration < max_iter:
             k = min(max(1, fused_iters), max_iter - iteration)
             cur = ranks

@@ -41,6 +41,20 @@ from pyspark.sql import functions as F
 STATE_BROADCAST_MAX_ROWS = 500_000
 
 
+def adaptive_buckets(spark: SparkSession, rows: int | None, rows_per_bucket: int = 65536) -> int | None:
+    """Size-derived bucket count for a static table whose row count is
+    KNOWN before the write. At scale (rows >= rows_per_bucket x
+    defaultParallelism) this returns defaultParallelism — identical to
+    the previous default — while a gate-scale table gets a handful of
+    buckets so every later scan stage schedules a handful of tasks
+    instead of one per core (guide §2.2/§6: partition by size, not by a
+    constant tuned to the box). None (unknown rows) keeps the caller's
+    default."""
+    if rows is None:
+        return None
+    return max(1, min(spark.sparkContext.defaultParallelism, rows // rows_per_bucket + 1))
+
+
 def hint_state_join(state: DataFrame, n_rows: int | None) -> DataFrame:
     """Hint the vertex-state side of a ``static_edges ⋈ state`` join.
 

@@ -85,12 +85,33 @@ def superstep_conf(spark: SparkSession, work_rows: int | None = None):
     if work_rows is not None and work_rows > bound:
         yield
         return
+    # With AQE suppressed nothing coalesces post-shuffle partitions, so
+    # every tiny superstep stage schedules shuffle.partitions tasks and
+    # the serial broadcast-job chain pays ~100 task launches per job
+    # (profiled round 7: pagerank spent 7.8 of 8.7 s inside broadcast
+    # jobs at sf0.1). Derive the partition count from the KNOWN work
+    # size instead — the deterministic stand-in for AQE's coalescing
+    # (guide §2.2), scale-symmetric: above the row bound AQE stays on
+    # and coalesces adaptively; below it we coalesce by known size.
+    rows_per_part = int(
+        os.environ.get("SPARK_GRAFT_SUPERSTEP_ROWS_PER_PARTITION", 65536)
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    n_parts = max(1, min(parallelism, (work_rows or bound) // rows_per_part + 1))
     key = id(spark)
     with _AQE_LOCK:
         st = _AQE_STATE.get(key)
         if st is None:
-            saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            saved = {
+                "spark.sql.adaptive.enabled": spark.conf.get(
+                    "spark.sql.adaptive.enabled", "true"
+                ),
+                "spark.sql.shuffle.partitions": spark.conf.get(
+                    "spark.sql.shuffle.partitions", str(parallelism)
+                ),
+            }
             spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
             st = _AQE_STATE[key] = [0, saved]
         st[0] += 1
     try:
@@ -102,9 +123,27 @@ def superstep_conf(spark: SparkSession, work_rows: int | None = None):
                 st[0] -= 1
                 if st[0] <= 0:
                     try:
-                        spark.conf.set("spark.sql.adaptive.enabled", st[1])
+                        for k, v in st[1].items():
+                            spark.conf.set(k, v)
                     finally:
                         del _AQE_STATE[key]
+
+
+def superstep_fast_regime(work_rows: int | None) -> bool:
+    """True when a loop over ``work_rows`` edge-scale rows runs in the
+    suppressed-AQE fast regime (same gate as :func:`superstep_conf`):
+    fixed per-job driver latency dominates there, so loops may trade
+    plan fusion for fewer serial (broadcast) jobs per superstep."""
+    if os.environ.get("SPARK_GRAFT_SUPERSTEP_AQE") == "1":
+        return False
+    from essentials_spark.engine.static_table import STATE_BROADCAST_MAX_ROWS
+
+    bound = int(
+        os.environ.get(
+            "SPARK_GRAFT_SUPERSTEP_AQE_MAX_ROWS", 4 * STATE_BROADCAST_MAX_ROWS
+        )
+    )
+    return work_rows is not None and work_rows <= bound
 
 
 def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -116,6 +116,17 @@ def prepare_graph(
     ``n_buckets`` should track cluster shuffle parallelism (thousands
     at 100 TB). ``include_pagerank=False`` skips the weighted spread
     table when only undirected algorithms will run."""
+    if n_buckets is None:
+        # graph.edges is normally checkpointed by the derivation, so
+        # this count is a cached-RDD scan, not a recompute; the bucket
+        # count then tracks table size instead of the local core count
+        # (at scale it resolves to defaultParallelism as before)
+        from essentials_spark.engine.static_table import adaptive_buckets
+
+        try:
+            n_buckets = adaptive_buckets(graph.edges.sparkSession, graph.edges.count())
+        except Exception:
+            n_buckets = None
     sym = canonicalize_edges(graph.edges, symmetrize=True, dedup=True, drop_self_loops=True)
     sym_st = persist_bucketed(sym.select("src", "dst"), "src", n_buckets=n_buckets, name_hint="pg_sym")
     pr_st = None
