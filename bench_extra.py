@@ -236,8 +236,20 @@ def cmd_plans(args) -> None:
     sf_dir = args.sf or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     kg, kg_m = bench_mod.build_graph(spark, sf_dir, None)
     n = kg.graph.vertices.count()
+    m = kg.graph.edges.count()
     pg = prepare_graph(kg.graph)
     os.makedirs(args.out, exist_ok=True)
+
+    # dump the loop plans under the SAME session conf the superstep
+    # loops run with (scoped AQE suppression + size-derived shuffle
+    # partitions below the row bound; a no-op above it) so the artifact
+    # matches what actually executes
+    from contextlib import ExitStack
+
+    from essentials_spark.engine.superstep import superstep_conf, superstep_fast_regime
+
+    loop_conf = ExitStack()
+    loop_conf.enter_context(superstep_conf(spark, work_rows=m))
 
     def dump(name, df):
         path = os.path.join(args.out, f"{name}_{args.suffix}.txt")
@@ -257,17 +269,29 @@ def cmd_plans(args) -> None:
         .groupBy("dst")
         .agg(F.sum(F.col("rank") * F.col("coef")).alias("contrib"))
     )
-    dsum_df = cur.agg((F.lit(0.85) * F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))).alias("_dsum"))
-    step = (
-        cur.select("vid", "dangling", F.col("rank").alias("plast"))
-        .join(msgs.withColumnRenamed("dst", "vid"), "vid", "left")
-        .crossJoin(F.broadcast(dsum_df))
-        .select(
+    joined = cur.select("vid", "dangling", F.col("rank").alias("plast")).join(
+        msgs.withColumnRenamed("dst", "vid"), "vid", "left"
+    )
+    if superstep_fast_regime(m):
+        # fast-regime shape: the dangling sum enters as a literal
+        # collected with the previous superstep's error check — no
+        # in-plan 1-row aggregate, no broadcast-exchange job
+        step = joined.select(
             "vid", "dangling",
-            ((F.lit(0.15) + F.col("_dsum")) / F.lit(float(n)) + F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            (F.lit((0.15 + 0.0) / float(n)) + F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
             "plast",
         )
-    )
+    else:
+        dsum_df = cur.agg((F.lit(0.85) * F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))).alias("_dsum"))
+        step = (
+            joined
+            .crossJoin(F.broadcast(dsum_df))
+            .select(
+                "vid", "dangling",
+                ((F.lit(0.15) + F.col("_dsum")) / F.lit(float(n)) + F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                "plast",
+            )
+        )
     dump("pagerank_superstep", step)
 
     # cc: one hash-min round (general shape) over the shared sym table
@@ -307,6 +331,10 @@ def cmd_plans(args) -> None:
         "vid", F.coalesce(F.col("new_label"), F.col("label")).alias("label"), F.col("label").alias("old")
     )
     dump("lp_round", lp_round)
+
+    # tc runs OUTSIDE the loop conf (one-shot join pipeline — AQE's
+    # runtime broadcast conversion is a measured ~2x win there)
+    loop_conf.close()
 
     # tc: the full (lazy) corner-count plan on the membership graph
     sym_m = truncate_plan(

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from essentials_spark.engine.static_table import prepare_static_edges
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph
 
 
@@ -86,31 +86,33 @@ def betweenness_centrality(
         ).persist()
     ]
     depth = 0
-    while depth < max_iter:
-        frontier = levels[depth]
-        msgs = (
-            edges.join(frontier.select(F.col("vid").alias("src"), "seed", "sigma"), "src")
-            .groupBy("seed", F.col("dst").alias("vid"))
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        if symmetric:
-            # undirected: a neighbor of depth d sits at depth d-1, d,
-            # or d+1 — the anti-join needs only the last two levels
-            visited = levels[depth].select("seed", "vid")
-            if depth > 0:
-                visited = visited.unionByName(levels[depth - 1].select("seed", "vid"))
-        else:
-            visited = levels[0].select("seed", "vid")
-            for lv in levels[1:]:
-                visited = visited.unionByName(lv.select("seed", "vid"))
-        new = truncate_plan(msgs.join(visited, ["seed", "vid"], "left_anti")).persist()
-        n_new = new.count()
-        runner.log(depth + 1, discovered=n_new)
-        if n_new == 0:
-            new.unpersist()
-            break
-        levels.append(new)
-        depth += 1
+    m_work = edges.count() * max(1, len(sources))
+    with superstep_conf(spark, work_rows=m_work):
+        while depth < max_iter:
+            frontier = levels[depth]
+            msgs = (
+                edges.join(frontier.select(F.col("vid").alias("src"), "seed", "sigma"), "src")
+                .groupBy("seed", F.col("dst").alias("vid"))
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            if symmetric:
+                # undirected: a neighbor of depth d sits at depth d-1, d,
+                # or d+1 — the anti-join needs only the last two levels
+                visited = levels[depth].select("seed", "vid")
+                if depth > 0:
+                    visited = visited.unionByName(levels[depth - 1].select("seed", "vid"))
+            else:
+                visited = levels[0].select("seed", "vid")
+                for lv in levels[1:]:
+                    visited = visited.unionByName(lv.select("seed", "vid"))
+            new = truncate_plan(msgs.join(visited, ["seed", "vid"], "left_anti")).persist()
+            n_new = new.count()
+            runner.log(depth + 1, discovered=n_new)
+            if n_new == 0:
+                new.unpersist()
+                break
+            levels.append(new)
+            depth += 1
 
     max_depth = len(levels) - 1
 
@@ -119,38 +121,39 @@ def betweenness_centrality(
     # list; a backward round touches ONLY levels d and d-1.
     delta = truncate_plan(levels[max_depth].withColumn("delta", F.lit(0.0))).persist()
     finalized: list[DataFrame] = []
-    for d in range(max_depth, 0, -1):
-        succ = delta.select(
-            "seed", F.col("vid").alias("src"), F.col("sigma").alias("wsigma"), F.col("delta").alias("wdelta")
-        )
-        # walk predecessors on the transposed table (join keyed on its
-        # bucketed src = the successor endpoint); predecessors of a
-        # depth-d vertex are exactly the depth-(d-1) rows
-        contrib = (
-            edges_rev.join(succ, "src")
-            .join(
-                levels[d - 1].select("seed", F.col("vid").alias("dst"), F.col("sigma").alias("vsigma")),
-                ["seed", "dst"],
+    with superstep_conf(spark, work_rows=m_work):
+        for d in range(max_depth, 0, -1):
+            succ = delta.select(
+                "seed", F.col("vid").alias("src"), F.col("sigma").alias("wsigma"), F.col("delta").alias("wdelta")
             )
-            .groupBy("seed", F.col("dst").alias("vid"))
-            .agg(F.sum((F.col("vsigma") / F.col("wsigma")) * (1.0 + F.col("wdelta"))).alias("dd"))
-        )
-        finalized.append(delta.select("seed", "vid", "delta"))
-        prev_delta = delta
-        delta = truncate_plan(
-            levels[d - 1].join(contrib, ["seed", "vid"], "left").select(
-                "seed", "vid", "sigma", F.coalesce(F.col("dd"), F.lit(0.0)).alias("delta")
+            # walk predecessors on the transposed table (join keyed on its
+            # bucketed src = the successor endpoint); predecessors of a
+            # depth-d vertex are exactly the depth-(d-1) rows
+            contrib = (
+                edges_rev.join(succ, "src")
+                .join(
+                    levels[d - 1].select("seed", F.col("vid").alias("dst"), F.col("sigma").alias("vsigma")),
+                    ["seed", "dst"],
+                )
+                .groupBy("seed", F.col("dst").alias("vid"))
+                .agg(F.sum((F.col("vsigma") / F.col("wsigma")) * (1.0 + F.col("wdelta"))).alias("dd"))
             )
-        ).persist()
-        # level d's sigma table is consumed (the finalized delta is
-        # eagerly localCheckpoint-materialized, so it no longer reads
-        # from the level cache) — release it now, not at GC time
-        levels[d].unpersist()
-        # same for the consumed delta's DataFrame-level cache: its
-        # rows live in the localCheckpoint blocks that `finalized`
-        # reads from, so the persist on top is a redundant duplicate
-        # pinning O(seed x level) memory per depth — drop it eagerly
-        prev_delta.unpersist()
+            finalized.append(delta.select("seed", "vid", "delta"))
+            prev_delta = delta
+            delta = truncate_plan(
+                levels[d - 1].join(contrib, ["seed", "vid"], "left").select(
+                    "seed", "vid", "sigma", F.coalesce(F.col("dd"), F.lit(0.0)).alias("delta")
+                )
+            ).persist()
+            # level d's sigma table is consumed (the finalized delta is
+            # eagerly localCheckpoint-materialized, so it no longer reads
+            # from the level cache) — release it now, not at GC time
+            levels[d].unpersist()
+            # same for the consumed delta's DataFrame-level cache: its
+            # rows live in the localCheckpoint blocks that `finalized`
+            # reads from, so the persist on top is a redundant duplicate
+            # pinning O(seed x level) memory per depth — drop it eagerly
+            prev_delta.unpersist()
     finalized.append(delta.select("seed", "vid", "delta"))
     levels[0].unpersist()
 
@@ -218,161 +221,164 @@ def betweenness_centrality_contracted(
         runner, keys="src", mode=edges_mode, name_hint="bcc_edges",
     )
 
-    # ---- phase 1: seeded multi-source weighted relax (dist) ----
-    dist = truncate_plan(
-        seeds_df.select(F.col("vid").alias("seed"), "vid", F.lit(0.0).alias("dist"))
-    ).persist()
-    frontier = dist
-    it = 0
-    while it < max_iter:
-        cand = (
-            sedges.join(frontier.select("seed", F.col("vid").alias("src"), "dist"), "src")
-            .groupBy("seed", F.col("dst").alias("vid"))
-            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
-        )
-        merged = truncate_plan(
-            dist.join(cand, ["seed", "vid"], "full").select(
-                "seed", "vid",
-                F.least(F.col("dist"), F.col("cand")).alias("dist"),
-                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+    # scoped loop conf for all three chained fixpoint loops (the
+    # inter-loop DAG builds are loop-scale too); no-op above the bound
+    with superstep_conf(spark, work_rows=sedges.count() * max(1, len(sources))):
+        # ---- phase 1: seeded multi-source weighted relax (dist) ----
+        dist = truncate_plan(
+            seeds_df.select(F.col("vid").alias("seed"), "vid", F.lit(0.0).alias("dist"))
+        ).persist()
+        frontier = dist
+        it = 0
+        while it < max_iter:
+            cand = (
+                sedges.join(frontier.select("seed", F.col("vid").alias("src"), "dist"), "src")
+                .groupBy("seed", F.col("dst").alias("vid"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
             )
-        )
-        improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
-        n_imp = improved.count()
-        it += 1
-        runner.log(it, improved=n_imp, phase="dist")
-        prev = dist
-        dist = merged.select("seed", "vid", "dist").persist()
-        prev.unpersist()
-        frontier = improved.select("seed", "vid", "dist")
-        if n_imp == 0:
-            break
+            merged = truncate_plan(
+                dist.join(cand, ["seed", "vid"], "full").select(
+                    "seed", "vid",
+                    F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                    (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+                )
+            )
+            improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
+            n_imp = improved.count()
+            it += 1
+            runner.log(it, improved=n_imp, phase="dist")
+            prev = dist
+            dist = merged.select("seed", "vid", "dist").persist()
+            prev.unpersist()
+            frontier = improved.select("seed", "vid", "dist")
+            if n_imp == 0:
+                break
 
-    # ---- shortest-path DAG edges per seed (multigraph: one row per
-    # chain direction / passthrough edge) ----
-    dag = truncate_plan(
-        sedges.join(dist.select("seed", F.col("vid").alias("src"), F.col("dist").alias("du")), "src")
-        .join(dist.select("seed", F.col("vid").alias("dst"), F.col("dist").alias("dw")), ["seed", "dst"])
-        .filter(F.col("du") + F.col("w") == F.col("dw"))
-        .select("seed", F.col("src").alias("u"), F.col("dst").alias("wv"))
-    ).persist()
-    in_need = dag.groupBy("seed", F.col("wv").alias("vid")).agg(F.count(F.lit(1)).alias("needed"))
-    out_need = truncate_plan(
-        dag.groupBy("seed", F.col("u").alias("vid")).agg(F.count(F.lit(1)).alias("out_needed"))
-    ).persist()
+        # ---- shortest-path DAG edges per seed (multigraph: one row per
+        # chain direction / passthrough edge) ----
+        dag = truncate_plan(
+            sedges.join(dist.select("seed", F.col("vid").alias("src"), F.col("dist").alias("du")), "src")
+            .join(dist.select("seed", F.col("vid").alias("dst"), F.col("dist").alias("dw")), ["seed", "dst"])
+            .filter(F.col("du") + F.col("w") == F.col("dw"))
+            .select("seed", F.col("src").alias("u"), F.col("dst").alias("wv"))
+        ).persist()
+        in_need = dag.groupBy("seed", F.col("wv").alias("vid")).agg(F.count(F.lit(1)).alias("needed"))
+        out_need = truncate_plan(
+            dag.groupBy("seed", F.col("u").alias("vid")).agg(F.count(F.lit(1)).alias("out_needed"))
+        ).persist()
 
-    # ---- phase 2: sigma by in-ready assignment iteration ----
-    sigma = truncate_plan(
-        seeds_df.select(F.col("vid").alias("seed"), "vid", F.lit(1.0).alias("sigma"))
-    ).persist()
-    it = 0
-    while it < max_iter:
-        got = (
-            dag.join(sigma.select("seed", F.col("vid").alias("u"), "sigma"), ["seed", "u"])
-            .join(sigma.select("seed", F.col("vid").alias("wv")), ["seed", "wv"], "left_anti")
-        )
-        ready = (
-            got.groupBy("seed", "wv").agg(F.count(F.lit(1)).alias("have"), F.sum("sigma").alias("sig"))
-            .join(in_need.select("seed", F.col("vid").alias("wv"), "needed"), ["seed", "wv"])
-            .filter(F.col("have") == F.col("needed"))
-            .select("seed", F.col("wv").alias("vid"), F.col("sig").alias("sigma"))
-        )
-        ready = truncate_plan(ready)
-        n_new = ready.count()
-        it += 1
-        runner.log(it, assigned=n_new, phase="sigma")
-        if n_new == 0:
-            break
-        prev = sigma
-        sigma = truncate_plan(sigma.unionByName(ready)).persist()
-        prev.unpersist()
+        # ---- phase 2: sigma by in-ready assignment iteration ----
+        sigma = truncate_plan(
+            seeds_df.select(F.col("vid").alias("seed"), "vid", F.lit(1.0).alias("sigma"))
+        ).persist()
+        it = 0
+        while it < max_iter:
+            got = (
+                dag.join(sigma.select("seed", F.col("vid").alias("u"), "sigma"), ["seed", "u"])
+                .join(sigma.select("seed", F.col("vid").alias("wv")), ["seed", "wv"], "left_anti")
+            )
+            ready = (
+                got.groupBy("seed", "wv").agg(F.count(F.lit(1)).alias("have"), F.sum("sigma").alias("sig"))
+                .join(in_need.select("seed", F.col("vid").alias("wv"), "needed"), ["seed", "wv"])
+                .filter(F.col("have") == F.col("needed"))
+                .select("seed", F.col("wv").alias("vid"), F.col("sig").alias("sigma"))
+            )
+            ready = truncate_plan(ready)
+            n_new = ready.count()
+            it += 1
+            runner.log(it, assigned=n_new, phase="sigma")
+            if n_new == 0:
+                break
+            prev = sigma
+            sigma = truncate_plan(sigma.unionByName(ready)).persist()
+            prev.unpersist()
 
-    # ---- per-chain, per-seed geometry: n_left / n_right / tie ----
-    # chains: (p, q, hops, head_p, head_q); k = hops - 1 interiors
-    ch = ctr.chains.select("p", "q", "hops", "head_p")
-    cs = (
-        ch.crossJoin(seeds_df.select(F.col("vid").alias("seed")).distinct())
-        .join(dist.select("seed", F.col("vid").alias("p"), F.col("dist").alias("dp")), ["seed", "p"], "left")
-        .join(dist.select("seed", F.col("vid").alias("q"), F.col("dist").alias("dq")), ["seed", "q"], "left")
-        .join(sigma.select("seed", F.col("vid").alias("p"), F.col("sigma").alias("sp")), ["seed", "p"], "left")
-        .join(sigma.select("seed", F.col("vid").alias("q"), F.col("sigma").alias("sq")), ["seed", "q"], "left")
-        .filter(F.col("dp").isNotNull() | F.col("dq").isNotNull())
-    )
-    k = (F.col("hops") - 1).cast("double")
-    both = F.col("dp").isNotNull() & F.col("dq").isNotNull()
-    d_diff = F.col("dq") - F.col("dp")  # D = dist(q) - dist(p)
-    n_left = F.when(
-        ~F.col("dq").isNotNull(), k
-    ).when(~F.col("dp").isNotNull(), F.lit(0.0)).otherwise(
-        F.greatest(F.lit(0.0), F.least(k, F.floor((d_diff + k) / 2).cast("double")))
-    )
-    n_right = F.when(
-        ~F.col("dp").isNotNull(), k
-    ).when(~F.col("dq").isNotNull(), F.lit(0.0)).otherwise(
-        F.greatest(F.lit(0.0), F.least(k, F.floor((-d_diff + k) / 2).cast("double")))
-    )
-    tie = both & (n_left + n_right == k - 1)
-    share_p = F.col("sp") / (F.col("sp") + F.col("sq"))
-    share_q = F.col("sq") / (F.col("sp") + F.col("sq"))
-    cs = truncate_plan(
-        cs.withColumns(
-            {
-                "k": k,
-                "n_left": n_left,
-                "n_right": n_right,
-                "tie": tie,
-                "x_p": F.when(F.col("dp").isNotNull(), n_left + F.when(tie, share_p).otherwise(0.0)),
-                "x_q": F.when(F.col("dq").isNotNull(), n_right + F.when(tie, share_q).otherwise(0.0)),
-            }
+        # ---- per-chain, per-seed geometry: n_left / n_right / tie ----
+        # chains: (p, q, hops, head_p, head_q); k = hops - 1 interiors
+        ch = ctr.chains.select("p", "q", "hops", "head_p")
+        cs = (
+            ch.crossJoin(seeds_df.select(F.col("vid").alias("seed")).distinct())
+            .join(dist.select("seed", F.col("vid").alias("p"), F.col("dist").alias("dp")), ["seed", "p"], "left")
+            .join(dist.select("seed", F.col("vid").alias("q"), F.col("dist").alias("dq")), ["seed", "q"], "left")
+            .join(sigma.select("seed", F.col("vid").alias("p"), F.col("sigma").alias("sp")), ["seed", "p"], "left")
+            .join(sigma.select("seed", F.col("vid").alias("q"), F.col("sigma").alias("sq")), ["seed", "q"], "left")
+            .filter(F.col("dp").isNotNull() | F.col("dq").isNotNull())
         )
-    ).persist()
-    inject = (
-        cs.filter(F.col("x_p").isNotNull()).select("seed", F.col("p").alias("vid"), F.col("x_p").alias("x"))
-        .unionByName(
-            cs.filter(F.col("x_q").isNotNull()).select("seed", F.col("q").alias("vid"), F.col("x_q").alias("x"))
+        k = (F.col("hops") - 1).cast("double")
+        both = F.col("dp").isNotNull() & F.col("dq").isNotNull()
+        d_diff = F.col("dq") - F.col("dp")  # D = dist(q) - dist(p)
+        n_left = F.when(
+            ~F.col("dq").isNotNull(), k
+        ).when(~F.col("dp").isNotNull(), F.lit(0.0)).otherwise(
+            F.greatest(F.lit(0.0), F.least(k, F.floor((d_diff + k) / 2).cast("double")))
         )
-        .groupBy("seed", "vid")
-        .agg(F.sum("x").alias("x"))
-    )
-    inject = truncate_plan(inject).persist()
+        n_right = F.when(
+            ~F.col("dp").isNotNull(), k
+        ).when(~F.col("dq").isNotNull(), F.lit(0.0)).otherwise(
+            F.greatest(F.lit(0.0), F.least(k, F.floor((-d_diff + k) / 2).cast("double")))
+        )
+        tie = both & (n_left + n_right == k - 1)
+        share_p = F.col("sp") / (F.col("sp") + F.col("sq"))
+        share_q = F.col("sq") / (F.col("sp") + F.col("sq"))
+        cs = truncate_plan(
+            cs.withColumns(
+                {
+                    "k": k,
+                    "n_left": n_left,
+                    "n_right": n_right,
+                    "tie": tie,
+                    "x_p": F.when(F.col("dp").isNotNull(), n_left + F.when(tie, share_p).otherwise(0.0)),
+                    "x_q": F.when(F.col("dq").isNotNull(), n_right + F.when(tie, share_q).otherwise(0.0)),
+                }
+            )
+        ).persist()
+        inject = (
+            cs.filter(F.col("x_p").isNotNull()).select("seed", F.col("p").alias("vid"), F.col("x_p").alias("x"))
+            .unionByName(
+                cs.filter(F.col("x_q").isNotNull()).select("seed", F.col("q").alias("vid"), F.col("x_q").alias("x"))
+            )
+            .groupBy("seed", "vid")
+            .agg(F.sum("x").alias("x"))
+        )
+        inject = truncate_plan(inject).persist()
 
-    # ---- phase 3: delta by out-ready reverse iteration + injections ----
-    reached = dist.select("seed", "vid")
-    xof = F.coalesce(F.col("x"), F.lit(0.0))
-    sinks = (
-        reached.join(out_need, ["seed", "vid"], "left")
-        .filter(F.col("out_needed").isNull())
-        .join(inject, ["seed", "vid"], "left")
-        .select("seed", "vid", xof.alias("delta"))
-    )
-    delta = truncate_plan(sinks).persist()
-    it = 0
-    while it < max_iter:
-        got = (
-            dag.join(delta.select("seed", F.col("vid").alias("wv"), "delta"), ["seed", "wv"])
-            .join(sigma.select("seed", F.col("vid").alias("wv"), F.col("sigma").alias("sw")), ["seed", "wv"])
-            .join(delta.select("seed", F.col("vid").alias("u")), ["seed", "u"], "left_anti")
+        # ---- phase 3: delta by out-ready reverse iteration + injections ----
+        reached = dist.select("seed", "vid")
+        xof = F.coalesce(F.col("x"), F.lit(0.0))
+        sinks = (
+            reached.join(out_need, ["seed", "vid"], "left")
+            .filter(F.col("out_needed").isNull())
+            .join(inject, ["seed", "vid"], "left")
+            .select("seed", "vid", xof.alias("delta"))
         )
-        ready = (
-            got.groupBy("seed", "u")
-            .agg(F.count(F.lit(1)).alias("have"), F.sum((1.0 + F.col("delta")) / F.col("sw")).alias("acc"))
-            .join(out_need.select("seed", F.col("vid").alias("u"), "out_needed"), ["seed", "u"])
-            .filter(F.col("have") == F.col("out_needed"))
-        )
-        ready = (
-            ready.join(sigma.select("seed", F.col("vid").alias("u"), F.col("sigma").alias("su")), ["seed", "u"])
-            .join(inject.select("seed", F.col("vid").alias("u"), "x"), ["seed", "u"], "left")
-            .select("seed", F.col("u").alias("vid"), (F.col("su") * F.col("acc") + xof).alias("delta"))
-        )
-        ready = truncate_plan(ready)
-        n_new = ready.count()
-        it += 1
-        runner.log(it, assigned=n_new, phase="delta")
-        if n_new == 0:
-            break
-        prev = delta
-        delta = truncate_plan(delta.unionByName(ready)).persist()
-        prev.unpersist()
+        delta = truncate_plan(sinks).persist()
+        it = 0
+        while it < max_iter:
+            got = (
+                dag.join(delta.select("seed", F.col("vid").alias("wv"), "delta"), ["seed", "wv"])
+                .join(sigma.select("seed", F.col("vid").alias("wv"), F.col("sigma").alias("sw")), ["seed", "wv"])
+                .join(delta.select("seed", F.col("vid").alias("u")), ["seed", "u"], "left_anti")
+            )
+            ready = (
+                got.groupBy("seed", "u")
+                .agg(F.count(F.lit(1)).alias("have"), F.sum((1.0 + F.col("delta")) / F.col("sw")).alias("acc"))
+                .join(out_need.select("seed", F.col("vid").alias("u"), "out_needed"), ["seed", "u"])
+                .filter(F.col("have") == F.col("out_needed"))
+            )
+            ready = (
+                ready.join(sigma.select("seed", F.col("vid").alias("u"), F.col("sigma").alias("su")), ["seed", "u"])
+                .join(inject.select("seed", F.col("vid").alias("u"), "x"), ["seed", "u"], "left")
+                .select("seed", F.col("u").alias("vid"), (F.col("su") * F.col("acc") + xof).alias("delta"))
+            )
+            ready = truncate_plan(ready)
+            n_new = ready.count()
+            it += 1
+            runner.log(it, assigned=n_new, phase="delta")
+            if n_new == 0:
+                break
+            prev = delta
+            delta = truncate_plan(delta.unionByName(ready)).persist()
+            prev.unpersist()
 
     # ---- phase 4: closed-form interior deltas ----
     flows = (

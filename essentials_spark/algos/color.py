@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
 
@@ -47,56 +47,58 @@ def color(
     colored = spark.createDataFrame([], "vid long, color int")
 
     it = 0
-    while it < max_iter:
-        n_left = uncolored.count()
-        if n_left == 0:
-            break
-        # push uncolored priorities along edges (u uncolored, u->v):
-        # per v, the max/min (prio, vid) among its uncolored neighbors.
-        # Edges to already-colored v are aggregated too and discarded by
-        # the state join — cheaper than a second edge-side filter join.
-        # adaptive state-join hint (engine/static_table.py), the same
-        # tail-round discipline as every other iterative loop: the
-        # uncolored set shrinks geometrically (2 colors/round peel off
-        # all local extrema), so late rounds broadcast the n_left-row
-        # state into the bucketed edge scan — zero state exchange —
-        # while early vertex-scale rounds shuffle-hash into the
-        # bucketed layout. n_left is the KNOWN exact count (line above).
-        msgs = (
-            edges.join(
-                hint_state_join(
-                    uncolored.select(F.col("vid").alias("src"), F.col("prio").alias("p")), n_left
-                ),
-                "src",
+    # scoped loop conf (engine/superstep.py) — no-op above the bound
+    with superstep_conf(spark, work_rows=edges.count()):
+        while it < max_iter:
+            n_left = uncolored.count()
+            if n_left == 0:
+                break
+            # push uncolored priorities along edges (u uncolored, u->v):
+            # per v, the max/min (prio, vid) among its uncolored neighbors.
+            # Edges to already-colored v are aggregated too and discarded by
+            # the state join — cheaper than a second edge-side filter join.
+            # adaptive state-join hint (engine/static_table.py), the same
+            # tail-round discipline as every other iterative loop: the
+            # uncolored set shrinks geometrically (2 colors/round peel off
+            # all local extrema), so late rounds broadcast the n_left-row
+            # state into the bucketed edge scan — zero state exchange —
+            # while early vertex-scale rounds shuffle-hash into the
+            # bucketed layout. n_left is the KNOWN exact count (line above).
+            msgs = (
+                edges.join(
+                    hint_state_join(
+                        uncolored.select(F.col("vid").alias("src"), F.col("prio").alias("p")), n_left
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(
+                    F.max(F.struct(F.col("p"), F.col("src").alias("v"))).alias("mx"),
+                    F.min(F.struct(F.col("p"), F.col("src").alias("v"))).alias("mn"),
+                )
+                .withColumnRenamed("dst", "vid")
             )
-            .groupBy("dst")
-            .agg(
-                F.max(F.struct(F.col("p"), F.col("src").alias("v"))).alias("mx"),
-                F.min(F.struct(F.col("p"), F.col("src").alias("v"))).alias("mn"),
+            me = F.struct(F.col("prio").alias("p"), F.col("vid").alias("v"))
+            decide = uncolored.join(msgs, "vid", "left").select(
+                "vid",
+                "prio",
+                F.when(F.col("mx").isNull() | (me > F.col("mx")), F.lit(2 * it))
+                .when(me < F.col("mn"), F.lit(2 * it + 1))
+                .cast("int")
+                .alias("color"),
             )
-            .withColumnRenamed("dst", "vid")
-        )
-        me = F.struct(F.col("prio").alias("p"), F.col("vid").alias("v"))
-        decide = uncolored.join(msgs, "vid", "left").select(
-            "vid",
-            "prio",
-            F.when(F.col("mx").isNull() | (me > F.col("mx")), F.lit(2 * it))
-            .when(me < F.col("mn"), F.lit(2 * it + 1))
-            .cast("int")
-            .alias("color"),
-        )
-        decide = truncate_plan(decide)
-        newly = decide.filter(F.col("color").isNotNull()).select("vid", "color")
-        prev_c, prev_u = colored, uncolored
-        colored = truncate_plan(colored.unionByName(newly)).persist()
-        uncolored = truncate_plan(decide.filter(F.col("color").isNull()).select("vid", "prio")).persist()
-        # truncate_plan materialized the successors — release the
-        # superseded caches eagerly (no-op on the unpersisted seed df;
-        # see bc.py note)
-        prev_c.unpersist()
-        prev_u.unpersist()
-        it += 1
-        runner.log(it, colored=newly.count(), remaining=n_left)
+            decide = truncate_plan(decide)
+            newly = decide.filter(F.col("color").isNotNull()).select("vid", "color")
+            prev_c, prev_u = colored, uncolored
+            colored = truncate_plan(colored.unionByName(newly)).persist()
+            uncolored = truncate_plan(decide.filter(F.col("color").isNull()).select("vid", "prio")).persist()
+            # truncate_plan materialized the successors — release the
+            # superseded caches eagerly (no-op on the unpersisted seed df;
+            # see bc.py note)
+            prev_c.unpersist()
+            prev_u.unpersist()
+            it += 1
+            runner.log(it, colored=newly.count(), remaining=n_left)
 
     runner.finalize()
     return colored

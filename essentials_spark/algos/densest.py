@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 
 
 def densest_subgraph(
@@ -63,45 +63,47 @@ def densest_subgraph(
     m = cur_e.count()
     best_v, best_n, best_m = cur_v, n, m
 
-    for it in range(1, max_iter + 1):
-        if n == 0 or m == 0:
-            break
-        deg = (
-            cur_e.select(F.col("src").alias("vid"))
-            .unionAll(cur_e.select(F.col("dst").alias("vid")))
-            .groupBy("vid")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        # survivors: deg*n*den > thr_coef*m  (isolated vertices have
-        # no deg row and always peel — their degree 0 fails the test);
-        # the product side runs in decimal so deg*n cannot overflow
-        # long at 10^12-vertex scale
-        keep = truncate_plan(
-            cur_v.join(deg, "vid", "left")
-            .filter(
-                F.coalesce(F.col("deg"), F.lit(0)).cast("decimal(38,0)")
-                * F.lit(int(n) * epsilon_den)
-                > F.lit(thr_coef * int(m)).cast("decimal(38,0)")
+    # scoped loop conf (engine/superstep.py) — no-op above the bound
+    with superstep_conf(spark, work_rows=m):
+        for it in range(1, max_iter + 1):
+            if n == 0 or m == 0:
+                break
+            deg = (
+                cur_e.select(F.col("src").alias("vid"))
+                .unionAll(cur_e.select(F.col("dst").alias("vid")))
+                .groupBy("vid")
+                .agg(F.count(F.lit(1)).alias("deg"))
             )
-            .select("vid")
-        ).persist()
-        new_e = truncate_plan(
-            cur_e.join(keep.select(F.col("vid").alias("src")), "src")
-            .join(keep.select(F.col("vid").alias("dst")), "dst")
-            .select("src", "dst")
-        ).persist()
-        new_n, new_m = keep.count(), new_e.count()
-        runner.log(it, n=new_n, m=new_m)
-        if cur_v is not best_v:
-            cur_v.unpersist()
-        cur_e.unpersist()
-        cur_v, cur_e, n, m = keep, new_e, new_n, new_m
-        # strictly-better density only (ties keep the earlier, larger
-        # subgraph): m*best_n > best_m*n — exact integers
-        if n > 0 and m * best_n > best_m * n:
-            if best_v is not cur_v:
-                best_v.unpersist()
-            best_v, best_n, best_m = cur_v, n, m
+            # survivors: deg*n*den > thr_coef*m  (isolated vertices have
+            # no deg row and always peel — their degree 0 fails the test);
+            # the product side runs in decimal so deg*n cannot overflow
+            # long at 10^12-vertex scale
+            keep = truncate_plan(
+                cur_v.join(deg, "vid", "left")
+                .filter(
+                    F.coalesce(F.col("deg"), F.lit(0)).cast("decimal(38,0)")
+                    * F.lit(int(n) * epsilon_den)
+                    > F.lit(thr_coef * int(m)).cast("decimal(38,0)")
+                )
+                .select("vid")
+            ).persist()
+            new_e = truncate_plan(
+                cur_e.join(keep.select(F.col("vid").alias("src")), "src")
+                .join(keep.select(F.col("vid").alias("dst")), "dst")
+                .select("src", "dst")
+            ).persist()
+            new_n, new_m = keep.count(), new_e.count()
+            runner.log(it, n=new_n, m=new_m)
+            if cur_v is not best_v:
+                cur_v.unpersist()
+            cur_e.unpersist()
+            cur_v, cur_e, n, m = keep, new_e, new_n, new_m
+            # strictly-better density only (ties keep the earlier, larger
+            # subgraph): m*best_n > best_m*n — exact integers
+            if n > 0 and m * best_n > best_m * n:
+                if best_v is not cur_v:
+                    best_v.unpersist()
+                best_v, best_n, best_m = cur_v, n, m
 
     runner.finalize()
     return best_v.select(

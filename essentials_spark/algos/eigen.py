@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph
 
 
@@ -43,46 +43,51 @@ def eigenvector_centrality(
         name_hint="eigen",
     )
     n = graph.vertices.count()
+    m = graph.edges.count()
     state = truncate_plan(
         graph.vertices.select("vid", F.lit(1.0).alias("score"))
     ).persist()
 
-    for it in range(1, max_iter + 1):
-        raw = (
-            edges.join(
-                hint_state_join(state.select(F.col("vid").alias("src"), "score"), n), "src"
+    # scoped loop conf (engine/superstep.py): below the known-row bound
+    # AQE replanning is pure driver overhead and partitions derive from
+    # the edge count; above it this is a no-op and AQE stays on
+    with superstep_conf(spark, work_rows=m):
+        for it in range(1, max_iter + 1):
+            raw = (
+                edges.join(
+                    hint_state_join(state.select(F.col("vid").alias("src"), "score"), n), "src"
+                )
+                .groupBy("dst")
+                .agg(F.sum("score").alias("raw"))
+                .withColumnRenamed("dst", "vid")
             )
-            .groupBy("dst")
-            .agg(F.sum("score").alias("raw"))
-            .withColumnRenamed("dst", "vid")
-        )
-        joined = state.join(raw, "vid", "left").select(
-            "vid",
-            F.col("score").alias("prev"),
-            F.coalesce(F.col("raw"), F.lit(0.0)).alias("raw"),
-        ).persist()
-        norm = joined.agg(F.sum("raw").alias("l1"))
-        new_state = truncate_plan(
-            joined.crossJoin(F.broadcast(norm)).select(
+            joined = state.join(raw, "vid", "left").select(
                 "vid",
-                F.when(F.col("l1") > 0, F.col("raw") / F.col("l1"))
-                .otherwise(0.0)
-                .alias("score"),
-                "prev",
-            )
-        ).persist()
-        if tol > 0.0:
-            err = new_state.agg(F.max(F.abs(F.col("score") - F.col("prev")))).collect()[0][0]
-        else:
-            new_state.count()
-            err = None
-        runner.log(it, err=err)
-        prev_state = state
-        state = new_state.select("vid", "score")
-        prev_state.unpersist()
-        joined.unpersist()
-        if err is not None and err < tol:
-            break
+                F.col("score").alias("prev"),
+                F.coalesce(F.col("raw"), F.lit(0.0)).alias("raw"),
+            ).persist()
+            norm = joined.agg(F.sum("raw").alias("l1"))
+            new_state = truncate_plan(
+                joined.crossJoin(F.broadcast(norm)).select(
+                    "vid",
+                    F.when(F.col("l1") > 0, F.col("raw") / F.col("l1"))
+                    .otherwise(0.0)
+                    .alias("score"),
+                    "prev",
+                )
+            ).persist()
+            if tol > 0.0:
+                err = new_state.agg(F.max(F.abs(F.col("score") - F.col("prev")))).collect()[0][0]
+            else:
+                new_state.count()
+                err = None
+            runner.log(it, err=err)
+            prev_state = state
+            state = new_state.select("vid", "score")
+            prev_state.unpersist()
+            joined.unpersist()
+            if err is not None and err < tol:
+                break
 
     runner.finalize()
     return state
@@ -117,37 +122,40 @@ def katz_centrality(
         name_hint="katz",
     )
     n = graph.vertices.count()
+    m = graph.edges.count()
     state = truncate_plan(
         graph.vertices.select("vid", F.lit(float(beta)).alias("score"))
     ).persist()
 
-    for it in range(1, max_iter + 1):
-        raw = (
-            edges.join(
-                hint_state_join(state.select(F.col("vid").alias("src"), "score"), n), "src"
+    # scoped loop conf — same gate as eigenvector_centrality above
+    with superstep_conf(spark, work_rows=m):
+        for it in range(1, max_iter + 1):
+            raw = (
+                edges.join(
+                    hint_state_join(state.select(F.col("vid").alias("src"), "score"), n), "src"
+                )
+                .groupBy("dst")
+                .agg(F.sum("score").alias("raw"))
+                .withColumnRenamed("dst", "vid")
             )
-            .groupBy("dst")
-            .agg(F.sum("score").alias("raw"))
-            .withColumnRenamed("dst", "vid")
-        )
-        new_state = truncate_plan(
-            state.join(raw, "vid", "left").select(
-                "vid",
-                F.col("score").alias("prev"),
-                (F.lit(float(beta)) + F.lit(float(alpha)) * F.coalesce(F.col("raw"), F.lit(0.0))).alias("score"),
-            )
-        ).persist()
-        if tol > 0.0:
-            err = new_state.agg(F.max(F.abs(F.col("score") - F.col("prev")))).collect()[0][0]
-        else:
-            new_state.count()
-            err = None
-        runner.log(it, err=err)
-        prev_state = state
-        state = new_state.select("vid", "score")
-        prev_state.unpersist()
-        if err is not None and err < tol:
-            break
+            new_state = truncate_plan(
+                state.join(raw, "vid", "left").select(
+                    "vid",
+                    F.col("score").alias("prev"),
+                    (F.lit(float(beta)) + F.lit(float(alpha)) * F.coalesce(F.col("raw"), F.lit(0.0))).alias("score"),
+                )
+            ).persist()
+            if tol > 0.0:
+                err = new_state.agg(F.max(F.abs(F.col("score") - F.col("prev")))).collect()[0][0]
+            else:
+                new_state.count()
+                err = None
+            runner.log(it, err=err)
+            prev_state = state
+            state = new_state.select("vid", "score")
+            prev_state.unpersist()
+            if err is not None and err < tol:
+                break
 
     runner.finalize()
     return state

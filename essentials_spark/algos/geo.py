@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.functions.geo_math import haversine_km, spherical_midpoint
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
@@ -186,51 +186,53 @@ def geolocate(
         return int(row or 0)
 
     it = 0
-    while it < max_iter:
-        pushed = (
-            edges.join(
-                hint_state_join(front.withColumnRenamed("vid", "src"), front_rows), "src"
+    # scoped loop conf (engine/superstep.py) — no-op above the bound
+    with superstep_conf(spark, work_rows=edges.count()):
+        while it < max_iter:
+            pushed = (
+                edges.join(
+                    hint_state_join(front.withColumnRenamed("vid", "src"), front_rows), "src"
+                )
+                .select(F.col("dst").alias("vid"), F.col("lat").alias("nlat"), F.col("lon").alias("nlon"))
             )
-            .select(F.col("dst").alias("vid"), F.col("lat").alias("nlat"), F.col("lon").alias("nlon"))
-        )
-        if front_rows < STATE_BROADCAST_MAX_ROWS and frontier_msg_mass(
-            front
-        ) < 4 * STATE_BROADCAST_MAX_ROWS:
-            # membership probe without exchanging `located`: probe the
-            # (cached, narrow) located scan with the broadcast frontier
-            # neighborhood, then null-filter — all exchanges are
-            # frontier-scale. (An anti-join would build the hash table
-            # from `located`, re-shuffling the cumulative set per round
-            # — the round-1 finding this frontier formulation fixes.)
-            cand_ids = pushed.select("vid").distinct()
-            hit = located.join(F.broadcast(cand_ids), "vid").select("vid", F.lit(1).alias("_loc"))
-            pairs = (
-                pushed.join(F.broadcast(hit), "vid", "left")
-                .filter(F.col("_loc").isNull())
-                .drop("_loc")
-            )
-        else:
-            pairs = pushed.join(located.select("vid"), "vid", "left_anti")
-        new, stats = _locate_from_pairs(pairs, method, spatial_iters, eps)
-        new = truncate_plan(new)  # materializes: round intermediates now releasable
-        if stats is not None:
-            stats.unpersist()
-        n_new = new.count()
-        it += 1
-        runner.log(it, located=n_new, frontier_rows=front_rows)
-        if n_new == 0:
-            break
-        prev = located
-        located = truncate_plan(located.unionByName(new)).persist()
-        prev.unpersist()
-        # next round: only the newly located push. `new` was
-        # truncate_plan'd (eager localCheckpoint) above, so the frontier
-        # is a materialized LogicalRDD LEAF — next round's `pushed`
-        # join, frontier_msg_mass collect, and the located union all
-        # read stored blocks, never re-evaluating prior rounds' joins
-        # (the O(rounds^2) lineage blowup truncate_plan exists to stop).
-        front = new
-        front_rows = n_new
+            if front_rows < STATE_BROADCAST_MAX_ROWS and frontier_msg_mass(
+                front
+            ) < 4 * STATE_BROADCAST_MAX_ROWS:
+                # membership probe without exchanging `located`: probe the
+                # (cached, narrow) located scan with the broadcast frontier
+                # neighborhood, then null-filter — all exchanges are
+                # frontier-scale. (An anti-join would build the hash table
+                # from `located`, re-shuffling the cumulative set per round
+                # — the round-1 finding this frontier formulation fixes.)
+                cand_ids = pushed.select("vid").distinct()
+                hit = located.join(F.broadcast(cand_ids), "vid").select("vid", F.lit(1).alias("_loc"))
+                pairs = (
+                    pushed.join(F.broadcast(hit), "vid", "left")
+                    .filter(F.col("_loc").isNull())
+                    .drop("_loc")
+                )
+            else:
+                pairs = pushed.join(located.select("vid"), "vid", "left_anti")
+            new, stats = _locate_from_pairs(pairs, method, spatial_iters, eps)
+            new = truncate_plan(new)  # materializes: round intermediates now releasable
+            if stats is not None:
+                stats.unpersist()
+            n_new = new.count()
+            it += 1
+            runner.log(it, located=n_new, frontier_rows=front_rows)
+            if n_new == 0:
+                break
+            prev = located
+            located = truncate_plan(located.unionByName(new)).persist()
+            prev.unpersist()
+            # next round: only the newly located push. `new` was
+            # truncate_plan'd (eager localCheckpoint) above, so the frontier
+            # is a materialized LogicalRDD LEAF — next round's `pushed`
+            # join, frontier_msg_mass collect, and the located union all
+            # read stored blocks, never re-evaluating prior rounds' joins
+            # (the O(rounds^2) lineage blowup truncate_plan exists to stop).
+            front = new
+            front_rows = n_new
 
     runner.finalize()
     return located
@@ -298,33 +300,35 @@ def _geolocate_contracted(
 
     values = truncate_plan(known.select("vid", "lat", "lon")).persist()
     it = 0
-    while it < max_iter:
-        # terminals whose every delivering source is valued, not yet valued
-        got = (
-            deliver.join(values.select(F.col("vid").alias("u"), "lat", "lon"), "u")
-            .join(values.select("vid"), "vid", "left_anti")
-        )
-        ready = (
-            got.groupBy("vid").agg(F.count(F.lit(1)).alias("have"))
-            .join(need, "vid")
-            .filter(F.col("have") == F.col("needed"))
-            .select("vid")
-        )
-        pairs = got.join(ready, "vid", "left_semi").select(
-            "vid", F.col("lat").alias("nlat"), F.col("lon").alias("nlon")
-        )
-        new, stats = _locate_from_pairs(pairs, method, spatial_iters, eps)
-        new = truncate_plan(new)
-        if stats is not None:
-            stats.unpersist()
-        n_new = new.count()
-        it += 1
-        runner.log(it, located=n_new, phase="terminal_dag")
-        if n_new == 0:
-            break
-        prev = values
-        values = truncate_plan(values.unionByName(new)).persist()
-        prev.unpersist()
+    # scoped loop conf — no-op above the bound
+    with superstep_conf(deliver.sparkSession, work_rows=deliver.count()):
+        while it < max_iter:
+            # terminals whose every delivering source is valued, not yet valued
+            got = (
+                deliver.join(values.select(F.col("vid").alias("u"), "lat", "lon"), "u")
+                .join(values.select("vid"), "vid", "left_anti")
+            )
+            ready = (
+                got.groupBy("vid").agg(F.count(F.lit(1)).alias("have"))
+                .join(need, "vid")
+                .filter(F.col("have") == F.col("needed"))
+                .select("vid")
+            )
+            pairs = got.join(ready, "vid", "left_semi").select(
+                "vid", F.col("lat").alias("nlat"), F.col("lon").alias("nlon")
+            )
+            new, stats = _locate_from_pairs(pairs, method, spatial_iters, eps)
+            new = truncate_plan(new)
+            if stats is not None:
+                stats.unpersist()
+            n_new = new.count()
+            it += 1
+            runner.log(it, located=n_new, phase="terminal_dag")
+            if n_new == 0:
+                break
+            prev = values
+            values = truncate_plan(values.unionByName(new)).persist()
+            prev.unpersist()
 
     # 3. closed-form interior rehydration
     va = values.select(F.col("vid").alias("end_a"), F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"))

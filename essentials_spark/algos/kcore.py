@@ -39,7 +39,7 @@ from essentials_spark.engine.static_table import (
     hint_state_join,
     prepare_static_edges,
 )
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
 
@@ -221,52 +221,54 @@ def kcore_hindex(
     # dominant tail cost without fusion.
     fused = min(fused_iters, 4)
     mass_cap = 4 * STATE_BROADCAST_MAX_ROWS
-    while rounds < max_rounds:
-        # shape decision from the ACTUAL frontier: row count alone
-        # bounds nothing on a power-law graph (one hub makes the
-        # neighborhood edge-scale), so the small (all-broadcast) shape
-        # additionally requires the 1-hop and 2-hop message MASS to fit
-        # the broadcast cap. Within a fused block the shape is stale by
-        # <k rounds — the 4x cap over the state-broadcast bound is the
-        # margin for that drift, and a mid-shape fallback is always
-        # correct (same values, shuffled instead of broadcast).
-        if changed_rows >= n:
-            shape = "full"
-        elif changed_rows < STATE_BROADCAST_MAX_ROWS // 8 and _mass(changed) < mass_cap:
-            affected_probe = (
-                edges.join(F.broadcast(changed.select(F.col("vid").alias("src"))), "src")
-                .select(F.col("dst").alias("vid"))
-                .distinct()
-            )
-            shape = "small" if _mass(affected_probe) < mass_cap else "mid"
-        else:
-            shape = "mid"
-        # fuse only small rounds: a stale full/mid hint makes every
-        # sub-round pay the m-scale stream, so big rounds run one per
-        # action (their frontier shrinkage is worth more than the
-        # saved action overhead)
-        k = min(max(1, fused), max_rounds - rounds) if shape == "small" else 1
-        cur, chg = state, changed
-        intermediates: list[DataFrame] = []
-        for j in range(k):
-            cur = one_round(cur.select("vid", "c"), chg, changed_rows, shape)
-            if j < k - 1:
-                cur = cur.persist()
-                intermediates.append(cur)
-                chg = cur.filter(F.col("c") != F.col("old")).select("vid")
-        new_state = runner.materialize(cur, rounds + k)
-        delta = new_state.filter(F.col("c") != F.col("old")).select("vid")
-        n_changed = delta.count()
-        for df in intermediates:
-            df.unpersist()
-        rounds += k
-        runner.log(rounds, changed=n_changed, edges_processed=m * k)
-        state.unpersist()
-        state = new_state.drop("old").persist()
-        changed = delta
-        changed_rows = n_changed
-        if n_changed == 0:
-            break
+    # scoped loop conf (engine/superstep.py) — no-op above the bound
+    with superstep_conf(spark, work_rows=m):
+        while rounds < max_rounds:
+            # shape decision from the ACTUAL frontier: row count alone
+            # bounds nothing on a power-law graph (one hub makes the
+            # neighborhood edge-scale), so the small (all-broadcast) shape
+            # additionally requires the 1-hop and 2-hop message MASS to fit
+            # the broadcast cap. Within a fused block the shape is stale by
+            # <k rounds — the 4x cap over the state-broadcast bound is the
+            # margin for that drift, and a mid-shape fallback is always
+            # correct (same values, shuffled instead of broadcast).
+            if changed_rows >= n:
+                shape = "full"
+            elif changed_rows < STATE_BROADCAST_MAX_ROWS // 8 and _mass(changed) < mass_cap:
+                affected_probe = (
+                    edges.join(F.broadcast(changed.select(F.col("vid").alias("src"))), "src")
+                    .select(F.col("dst").alias("vid"))
+                    .distinct()
+                )
+                shape = "small" if _mass(affected_probe) < mass_cap else "mid"
+            else:
+                shape = "mid"
+            # fuse only small rounds: a stale full/mid hint makes every
+            # sub-round pay the m-scale stream, so big rounds run one per
+            # action (their frontier shrinkage is worth more than the
+            # saved action overhead)
+            k = min(max(1, fused), max_rounds - rounds) if shape == "small" else 1
+            cur, chg = state, changed
+            intermediates: list[DataFrame] = []
+            for j in range(k):
+                cur = one_round(cur.select("vid", "c"), chg, changed_rows, shape)
+                if j < k - 1:
+                    cur = cur.persist()
+                    intermediates.append(cur)
+                    chg = cur.filter(F.col("c") != F.col("old")).select("vid")
+            new_state = runner.materialize(cur, rounds + k)
+            delta = new_state.filter(F.col("c") != F.col("old")).select("vid")
+            n_changed = delta.count()
+            for df in intermediates:
+                df.unpersist()
+            rounds += k
+            runner.log(rounds, changed=n_changed, edges_processed=m * k)
+            state.unpersist()
+            state = new_state.drop("old").persist()
+            changed = delta
+            changed_rows = n_changed
+            if n_changed == 0:
+                break
 
     out = state.select("vid", F.col("c").cast("int").alias("core"))
     runner.finalize()
@@ -424,29 +426,31 @@ def kcore_hindex_local(
         })
 
     rounds = 0
-    while rounds < max_rounds:
-        local_side = state.select(_bk("vid").alias("bucket"), "vid", "c", F.lit(True).alias("loc"))
-        bound_side = cross.join(state, cross.src == state.vid).select(
-            "bucket", F.col("src").alias("vid"), "c", F.lit(False).alias("loc")
-        )
-        out = (
-            blocks.groupby("bucket")
-            .cogroup(local_side.unionByName(bound_side).groupby("bucket"))
-            .applyInPandas(kernel, schema="vid long, c long, changed int")
-        )
-        new_state = runner.materialize(out, rounds + 1)
-        n_changed = int(new_state.agg(F.sum("changed")).collect()[0][0] or 0)
-        rounds += 1
-        runner.log(rounds, changed=n_changed, boundary_rows=b_rows)
-        state.unpersist()
-        state = new_state.drop("changed").persist()
-        if n_changed == 0:
-            break
+    # scoped loop conf — no-op above the bound
+    with superstep_conf(spark, work_rows=m):
+        while rounds < max_rounds:
+            local_side = state.select(_bk("vid").alias("bucket"), "vid", "c", F.lit(True).alias("loc"))
+            bound_side = cross.join(state, cross.src == state.vid).select(
+                "bucket", F.col("src").alias("vid"), "c", F.lit(False).alias("loc")
+            )
+            out = (
+                blocks.groupby("bucket")
+                .cogroup(local_side.unionByName(bound_side).groupby("bucket"))
+                .applyInPandas(kernel, schema="vid long, c long, changed int")
+            )
+            new_state = runner.materialize(out, rounds + 1)
+            n_changed = int(new_state.agg(F.sum("changed")).collect()[0][0] or 0)
+            rounds += 1
+            runner.log(rounds, changed=n_changed, boundary_rows=b_rows)
+            state.unpersist()
+            state = new_state.drop("changed").persist()
+            if n_changed == 0:
+                break
 
-    out = state.select("vid", F.col("c").cast("int").alias("core"))
-    runner.finalize()
-    blocks.unpersist()
-    cross.unpersist()
+        out = state.select("vid", F.col("c").cast("int").alias("core"))
+        runner.finalize()
+        blocks.unpersist()
+        cross.unpersist()
     if not persist_result:
         try:
             state.unpersist()
@@ -481,33 +485,35 @@ def kcore_peel(
     peeled: list[DataFrame] = []  # (vid, core) fragments
     it = 0
     k = 1
-    while k <= max_k:
-        victims = state.filter(F.col("deg") < k).select("vid")
-        n_removed = victims.count()
-        it += 1
-        runner.log(it, k=k, removed=n_removed)
-        if n_removed == 0:
-            if state.count() == 0:
-                break
-            k += 1
-            continue
-        peeled.append(
-            truncate_plan(victims.withColumn("core", F.lit(k - 1).cast("int")))
-        )
-        # degree decrements along the victims' adjacency only
-        dec = (
-            edges.join(peeled[-1].select(F.col("vid").alias("src")), "src")
-            .groupBy("dst")
-            .agg(F.count("*").alias("dec"))
-            .withColumnRenamed("dst", "vid")
-        )
-        new_state = truncate_plan(
-            state.join(peeled[-1].select("vid"), "vid", "left_anti")
-            .join(dec, "vid", "left")
-            .select("vid", (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"))
-        ).persist()
-        state.unpersist()
-        state = new_state
+    # scoped loop conf — no-op above the bound
+    with superstep_conf(spark, work_rows=edges.count()):
+        while k <= max_k:
+            victims = state.filter(F.col("deg") < k).select("vid")
+            n_removed = victims.count()
+            it += 1
+            runner.log(it, k=k, removed=n_removed)
+            if n_removed == 0:
+                if state.count() == 0:
+                    break
+                k += 1
+                continue
+            peeled.append(
+                truncate_plan(victims.withColumn("core", F.lit(k - 1).cast("int")))
+            )
+            # degree decrements along the victims' adjacency only
+            dec = (
+                edges.join(peeled[-1].select(F.col("vid").alias("src")), "src")
+                .groupBy("dst")
+                .agg(F.count("*").alias("dec"))
+                .withColumnRenamed("dst", "vid")
+            )
+            new_state = truncate_plan(
+                state.join(peeled[-1].select("vid"), "vid", "left_anti")
+                .join(dec, "vid", "left")
+                .select("vid", (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"))
+            ).persist()
+            state.unpersist()
+            state = new_state
 
     # survivors past max_k keep the last k they were known to survive
     survivors = state.select("vid", F.lit(min(k, max_k)).cast("int").alias("core"))

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph, canonicalize_edges
 
 
@@ -109,23 +109,25 @@ def ktruss(
         return und
     if not delta:
         it = 0
-        while it < max_iter:
-            it += 1
-            sup = edge_support(und)
-            keep = truncate_plan(
-                und.join(
-                    sup.filter(F.col("sup") >= k - 2).select("src", "dst"),
-                    ["src", "dst"],
-                    "left_semi",
-                )
-            ).persist()
-            n_keep = keep.count()
-            runner.log(it, edges=n_keep, dropped=n_prev - n_keep)
-            und.unpersist()
-            und = keep
-            if n_keep == n_prev or n_keep == 0:
-                break
-            n_prev = n_keep
+        # scoped loop conf (engine/superstep.py) — no-op above the bound
+        with superstep_conf(spark, work_rows=n_prev):
+            while it < max_iter:
+                it += 1
+                sup = edge_support(und)
+                keep = truncate_plan(
+                    und.join(
+                        sup.filter(F.col("sup") >= k - 2).select("src", "dst"),
+                        ["src", "dst"],
+                        "left_semi",
+                    )
+                ).persist()
+                n_keep = keep.count()
+                runner.log(it, edges=n_keep, dropped=n_prev - n_keep)
+                und.unpersist()
+                und = keep
+                if n_keep == n_prev or n_keep == 0:
+                    break
+                n_prev = n_keep
         runner.finalize()
         return und
 
@@ -207,85 +209,87 @@ def _peel_delta(
     (surviving edges, last global iteration)."""
     n_prev = n_edges
     it = iter_base
-    while it < iter_base + max_iter:
-        it += 1
-        drop = truncate_plan(sup.filter(F.col("sup") < k - 2).select("src", "dst")).persist()
-        n_drop = drop.count()
-        if n_drop == 0:
-            drop.unpersist()
-            break
-        keep = truncate_plan(und.join(drop, ["src", "dst"], "left_anti")).persist()
-        n_keep = n_prev - n_drop  # drop is a subset of und: no extra count
-        runner.log(it, k=k, edges=n_keep, dropped=n_drop)
-        # enumerate EXACTLY the destroyed triangles: each dropped edge
-        # pivoted on its lower-degree endpoint, one adjacency join
-        # against the pre-removal graph, closure semi-check, then
-        # canonical-triangle dedup (a triangle losing 2-3 edges must
-        # decrement its surviving edges once, not twice).
-        dd = (
-            drop
-            .join(deg.select(F.col("vid").alias("src"), F.col("deg").alias("sdeg")), "src")
-            .join(deg.select(F.col("vid").alias("dst"), F.col("deg").alias("ddeg")), "dst")
-        )
-        lower_first = F.struct("sdeg", "src") < F.struct("ddeg", "dst")
-        piv = dd.select(
-            F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("p"),
-            F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("q"),
-        )
-        sym = und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        cand = (
-            piv.join(sym.select(F.col("src").alias("p"), F.col("dst").alias("w")), "p")
-            .filter(F.col("w") != F.col("q"))
-        )
-        tri = cand.join(
-            und.select(F.col("src").alias("c1"), F.col("dst").alias("c2")),
-            (F.least("q", "w") == F.col("c1")) & (F.greatest("q", "w") == F.col("c2")),
-            "left_semi",
-        )
-        tri_c = tri.select(F.array_sort(F.array("p", "q", "w")).alias("t")).distinct()
-        dec = (
-            tri_c.select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("t")[0].alias("src"), F.col("t")[1].alias("dst")),
-                        F.struct(F.col("t")[0].alias("src"), F.col("t")[2].alias("dst")),
-                        F.struct(F.col("t")[1].alias("src"), F.col("t")[2].alias("dst")),
-                    )
-                ).alias("e")
+    # scoped loop conf (engine/superstep.py) — no-op above the bound
+    with superstep_conf(und.sparkSession, work_rows=n_edges):
+        while it < iter_base + max_iter:
+            it += 1
+            drop = truncate_plan(sup.filter(F.col("sup") < k - 2).select("src", "dst")).persist()
+            n_drop = drop.count()
+            if n_drop == 0:
+                drop.unpersist()
+                break
+            keep = truncate_plan(und.join(drop, ["src", "dst"], "left_anti")).persist()
+            n_keep = n_prev - n_drop  # drop is a subset of und: no extra count
+            runner.log(it, k=k, edges=n_keep, dropped=n_drop)
+            # enumerate EXACTLY the destroyed triangles: each dropped edge
+            # pivoted on its lower-degree endpoint, one adjacency join
+            # against the pre-removal graph, closure semi-check, then
+            # canonical-triangle dedup (a triangle losing 2-3 edges must
+            # decrement its surviving edges once, not twice).
+            dd = (
+                drop
+                .join(deg.select(F.col("vid").alias("src"), F.col("deg").alias("sdeg")), "src")
+                .join(deg.select(F.col("vid").alias("dst"), F.col("deg").alias("ddeg")), "dst")
             )
-            .select("e.src", "e.dst")
-            .groupBy("src", "dst").agg(F.count("*").alias("d"))
-        )
-        new_sup = truncate_plan(
-            sup.join(drop, ["src", "dst"], "left_anti")
-            .join(dec, ["src", "dst"], "left")
-            .select("src", "dst", (F.col("sup") - F.coalesce("d", F.lit(0))).alias("sup"))
-        ).persist()
-        # degree maintenance: each dropped edge lowers both endpoints
-        # by 1 — |drop|-scale, never an m-scale regroup
-        ddelta = (
-            drop.select(F.col("src").alias("vid"))
-            .unionByName(drop.select(F.col("dst").alias("vid")))
-            .groupBy("vid").agg(F.count("*").alias("dd"))
-        )
-        new_deg = truncate_plan(
-            deg.join(ddelta, "vid", "left")
-            .select("vid", (F.col("deg") - F.coalesce("dd", F.lit(0))).alias("deg"))
-        ).persist()
-        for df in (und, sup, deg):
-            df.unpersist()
-        if keep_drops is None:
-            drop.unpersist()
-        else:
-            keep_drops.append(drop)
-        und, sup, deg = keep, new_sup, new_deg
-        n_prev = n_keep
-        if runner.checkpoint_dir and it % runner.checkpoint_every == 0:
-            runner.materialize(
-                state_fn(sup) if state_fn else sup, it, meta={"k": k}
+            lower_first = F.struct("sdeg", "src") < F.struct("ddeg", "dst")
+            piv = dd.select(
+                F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("p"),
+                F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("q"),
             )
-        if n_keep == 0:
-            break
+            sym = und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            cand = (
+                piv.join(sym.select(F.col("src").alias("p"), F.col("dst").alias("w")), "p")
+                .filter(F.col("w") != F.col("q"))
+            )
+            tri = cand.join(
+                und.select(F.col("src").alias("c1"), F.col("dst").alias("c2")),
+                (F.least("q", "w") == F.col("c1")) & (F.greatest("q", "w") == F.col("c2")),
+                "left_semi",
+            )
+            tri_c = tri.select(F.array_sort(F.array("p", "q", "w")).alias("t")).distinct()
+            dec = (
+                tri_c.select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("t")[0].alias("src"), F.col("t")[1].alias("dst")),
+                            F.struct(F.col("t")[0].alias("src"), F.col("t")[2].alias("dst")),
+                            F.struct(F.col("t")[1].alias("src"), F.col("t")[2].alias("dst")),
+                        )
+                    ).alias("e")
+                )
+                .select("e.src", "e.dst")
+                .groupBy("src", "dst").agg(F.count("*").alias("d"))
+            )
+            new_sup = truncate_plan(
+                sup.join(drop, ["src", "dst"], "left_anti")
+                .join(dec, ["src", "dst"], "left")
+                .select("src", "dst", (F.col("sup") - F.coalesce("d", F.lit(0))).alias("sup"))
+            ).persist()
+            # degree maintenance: each dropped edge lowers both endpoints
+            # by 1 — |drop|-scale, never an m-scale regroup
+            ddelta = (
+                drop.select(F.col("src").alias("vid"))
+                .unionByName(drop.select(F.col("dst").alias("vid")))
+                .groupBy("vid").agg(F.count("*").alias("dd"))
+            )
+            new_deg = truncate_plan(
+                deg.join(ddelta, "vid", "left")
+                .select("vid", (F.col("deg") - F.coalesce("dd", F.lit(0))).alias("deg"))
+            ).persist()
+            for df in (und, sup, deg):
+                df.unpersist()
+            if keep_drops is None:
+                drop.unpersist()
+            else:
+                keep_drops.append(drop)
+            und, sup, deg = keep, new_sup, new_deg
+            n_prev = n_keep
+            if runner.checkpoint_dir and it % runner.checkpoint_every == 0:
+                runner.materialize(
+                    state_fn(sup) if state_fn else sup, it, meta={"k": k}
+                )
+            if n_keep == 0:
+                break
     return und, sup, deg, n_prev, it
 
 

@@ -222,6 +222,7 @@ def louvain(
     from essentials_spark.engine.superstep import (
         SuperstepRunner,
         edge_fingerprint,
+        superstep_conf,
         truncate_plan,
     )
 
@@ -276,25 +277,27 @@ def louvain(
         it, state, _meta = resumed
         if it <= len(schedule):
             labels, start = state.select("vid", "label"), it
-    for idx in range(start, len(schedule)):
-        r, cls = schedule[idx]
-        if mode == "mis":
-            if mis_hash is not None:
-                hvals = mis_hash(g.vertices.select("vid"), r)
+    # scoped loop conf (engine/superstep.py) — no-op above the bound
+    with superstep_conf(g.edges.sparkSession, work_rows=g.edges.count()):
+        for idx in range(start, len(schedule)):
+            r, cls = schedule[idx]
+            if mode == "mis":
+                if mis_hash is not None:
+                    hvals = mis_hash(g.vertices.select("vid"), r)
+                else:
+                    hvals = g.vertices.select(
+                        "vid", F.xxhash64(F.col("vid"), F.lit(r)).alias("h")
+                    )
+                movers = _mis_movers(mis_edges, hvals)
             else:
-                hvals = g.vertices.select(
-                    "vid", F.xxhash64(F.col("vid"), F.lit(r)).alias("h")
+                movers = (
+                    par.filter(F.col("par") == cls).select("vid") if par is not None else None
                 )
-            movers = _mis_movers(mis_edges, hvals)
-        else:
-            movers = (
-                par.filter(F.col("par") == cls).select("vid") if par is not None else None
+            labels = runner.materialize(
+                louvain_move_round(g, labels, degrees, two_m, movers=movers),
+                idx + 1,
+                force=(idx == len(schedule) - 1),
             )
-        labels = runner.materialize(
-            louvain_move_round(g, labels, degrees, two_m, movers=movers),
-            idx + 1,
-            force=(idx == len(schedule) - 1),
-        )
     return labels
 
 

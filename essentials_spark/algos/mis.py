@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.functions.portable_hash import md5_int60
 
 
@@ -52,51 +52,53 @@ def maximal_independent_set(
     ).persist()
     picked: list[DataFrame] = []
 
-    for r in range(1, max_iter + 1):
-        n = live_v.count()
-        if n == 0:
-            break
-        h = live_v.select(
-            "vid",
-            md5_int60(F.concat_ws("|", F.lit(salt), F.lit(str(r)), F.col("vid").cast("string"))).alias("h"),
-        )
-        hs = h.select(F.col("vid").alias("src"), F.col("h").alias("hsrc"))
-        hd = h.select(F.col("vid").alias("dst"), F.col("h").alias("hdst"))
-        # losers: some live neighbor beats them on (h, vid)
-        losers = (
-            live_e.join(hs, "src")
-            .join(hd, "dst")
-            .filter(
-                (F.col("hdst") < F.col("hsrc"))
-                | ((F.col("hdst") == F.col("hsrc")) & (F.col("dst") < F.col("src")))
+    # scoped loop conf (engine/superstep.py) — no-op above the bound
+    with superstep_conf(spark, work_rows=live_e.count()):
+        for r in range(1, max_iter + 1):
+            n = live_v.count()
+            if n == 0:
+                break
+            h = live_v.select(
+                "vid",
+                md5_int60(F.concat_ws("|", F.lit(salt), F.lit(str(r)), F.col("vid").cast("string"))).alias("h"),
             )
-            .select(F.col("src").alias("vid"))
-            .distinct()
-        )
-        winners = truncate_plan(
-            live_v.join(losers, "vid", "left_anti").select(
-                "vid", F.lit(r).cast("int").alias("mis_round")
+            hs = h.select(F.col("vid").alias("src"), F.col("h").alias("hsrc"))
+            hd = h.select(F.col("vid").alias("dst"), F.col("h").alias("hdst"))
+            # losers: some live neighbor beats them on (h, vid)
+            losers = (
+                live_e.join(hs, "src")
+                .join(hd, "dst")
+                .filter(
+                    (F.col("hdst") < F.col("hsrc"))
+                    | ((F.col("hdst") == F.col("hsrc")) & (F.col("dst") < F.col("src")))
+                )
+                .select(F.col("src").alias("vid"))
+                .distinct()
             )
-        ).persist()
-        n_w = winners.count()
-        runner.log(r, winners=n_w, live=n)
-        picked.append(winners)
-        # retire winners and their whole neighborhoods
-        nbrs = (
-            live_e.join(winners.select(F.col("vid").alias("src")), "src")
-            .select(F.col("dst").alias("vid"))
-            .distinct()
-        )
-        gone = winners.select("vid").unionByName(nbrs).distinct()
-        new_v = truncate_plan(live_v.join(gone, "vid", "left_anti")).persist()
-        new_e = truncate_plan(
-            live_e.join(new_v.select(F.col("vid").alias("src")), "src")
-            .join(new_v.select(F.col("vid").alias("dst")), "dst")
-            .select("src", "dst")
-        ).persist()
-        live_v.unpersist()
-        live_e.unpersist()
-        live_v, live_e = new_v, new_e
+            winners = truncate_plan(
+                live_v.join(losers, "vid", "left_anti").select(
+                    "vid", F.lit(r).cast("int").alias("mis_round")
+                )
+            ).persist()
+            n_w = winners.count()
+            runner.log(r, winners=n_w, live=n)
+            picked.append(winners)
+            # retire winners and their whole neighborhoods
+            nbrs = (
+                live_e.join(winners.select(F.col("vid").alias("src")), "src")
+                .select(F.col("dst").alias("vid"))
+                .distinct()
+            )
+            gone = winners.select("vid").unionByName(nbrs).distinct()
+            new_v = truncate_plan(live_v.join(gone, "vid", "left_anti")).persist()
+            new_e = truncate_plan(
+                live_e.join(new_v.select(F.col("vid").alias("src")), "src")
+                .join(new_v.select(F.col("vid").alias("dst")), "dst")
+                .select("src", "dst")
+            ).persist()
+            live_v.unpersist()
+            live_e.unpersist()
+            live_v, live_e = new_v, new_e
 
     runner.finalize()
     if not picked:

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from essentials_spark.engine.static_table import prepare_static_edges
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph
 
 
@@ -53,51 +53,53 @@ def ppr(
     ).persist()
 
     it = 0
-    while it < max_iter:
-        # deg_state feeds the new-state base AND (via active) the
-        # spread + absorb branches of the same materialize action —
-        # persist within the iteration (see cc.py one_round note)
-        deg_state = state.join(deg.withColumnRenamed("src", "vid"), "vid", "left").select(
-            "seed", "vid", "p", "r", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
-        ).persist()
-        active = deg_state.filter((F.col("r") > F.lit(eps) * F.col("deg")) & (F.col("deg") > 0))
-        n_active = active.count()
-        it += 1
-        runner.log(it, active=n_active)
-        if n_active == 0:
+    # scoped loop conf (engine/superstep.py) — no-op above the bound
+    with superstep_conf(spark, work_rows=edges.count() * max(1, len(seeds))):
+        while it < max_iter:
+            # deg_state feeds the new-state base AND (via active) the
+            # spread + absorb branches of the same materialize action —
+            # persist within the iteration (see cc.py one_round note)
+            deg_state = state.join(deg.withColumnRenamed("src", "vid"), "vid", "left").select(
+                "seed", "vid", "p", "r", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+            ).persist()
+            active = deg_state.filter((F.col("r") > F.lit(eps) * F.col("deg")) & (F.col("deg") > 0))
+            n_active = active.count()
+            it += 1
+            runner.log(it, active=n_active)
+            if n_active == 0:
+                deg_state.unpersist()
+                break
+            # push: absorb alpha*r into p, spread (1-alpha)*r over out-nbrs
+            spread = (
+                edges.join(active.select(F.col("vid").alias("src"), "seed", "r"), "src")
+                .select(
+                    "seed",
+                    F.col("dst").alias("vid"),
+                    ((1.0 - alpha) * F.col("r") / F.col("deg")).alias("dr"),
+                )
+                .groupBy("seed", "vid")
+                .agg(F.sum("dr").alias("dr"))
+            )
+            absorbed = active.select("seed", "vid", (F.col("p") + alpha * F.col("r")).alias("p2"))
+            new_state = (
+                deg_state.select("seed", "vid", "p", "r")
+                .join(absorbed, ["seed", "vid"], "left")
+                .join(spread, ["seed", "vid"], "full")
+                .select(
+                    "seed",
+                    "vid",
+                    F.coalesce(F.col("p2"), F.col("p"), F.lit(0.0)).alias("p"),
+                    (
+                        F.when(F.col("p2").isNotNull(), F.lit(0.0)).otherwise(F.coalesce(F.col("r"), F.lit(0.0)))
+                        + F.coalesce(F.col("dr"), F.lit(0.0))
+                    ).alias("r"),
+                )
+            )
+            new_state = runner.materialize(new_state, it).persist()
             deg_state.unpersist()
-            break
-        # push: absorb alpha*r into p, spread (1-alpha)*r over out-nbrs
-        spread = (
-            edges.join(active.select(F.col("vid").alias("src"), "seed", "r"), "src")
-            .select(
-                "seed",
-                F.col("dst").alias("vid"),
-                ((1.0 - alpha) * F.col("r") / F.col("deg")).alias("dr"),
-            )
-            .groupBy("seed", "vid")
-            .agg(F.sum("dr").alias("dr"))
-        )
-        absorbed = active.select("seed", "vid", (F.col("p") + alpha * F.col("r")).alias("p2"))
-        new_state = (
-            deg_state.select("seed", "vid", "p", "r")
-            .join(absorbed, ["seed", "vid"], "left")
-            .join(spread, ["seed", "vid"], "full")
-            .select(
-                "seed",
-                "vid",
-                F.coalesce(F.col("p2"), F.col("p"), F.lit(0.0)).alias("p"),
-                (
-                    F.when(F.col("p2").isNotNull(), F.lit(0.0)).otherwise(F.coalesce(F.col("r"), F.lit(0.0)))
-                    + F.coalesce(F.col("dr"), F.lit(0.0))
-                ).alias("r"),
-            )
-        )
-        new_state = runner.materialize(new_state, it).persist()
-        deg_state.unpersist()
-        state.unpersist()
-        state = new_state
+            state.unpersist()
+            state = new_state
 
-    out = state.filter(F.col("p") > 0).select("seed", "vid", F.col("p").alias("score"))
+        out = state.filter(F.col("p") > 0).select("seed", "vid", F.col("p").alias("score"))
     runner.finalize()
     return out

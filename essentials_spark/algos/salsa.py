@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from essentials_spark.engine.static_table import hint_state_join, prepare_static_edges
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph
 
 
@@ -67,49 +67,51 @@ def salsa(
     ).persist()
     n = state.count()
 
-    for it in range(1, max_iter + 1):
-        auth = (
-            fwd.join(hint_state_join(state.select(F.col("vid").alias("src"), "hub"), n), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("hub") * F.col("w_out")).alias("auth_raw"))
-            .withColumnRenamed("dst", "vid")
-        )
-        s1 = state.select("vid", "hub").join(auth, "vid", "left").select(
-            "vid", F.coalesce(F.col("auth_raw"), F.lit(0.0)).alias("auth_raw"), "hub"
-        ).persist()
-        hub = (
-            rev.join(hint_state_join(s1.select(F.col("vid").alias("src"), "auth_raw"), n), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("auth_raw") * F.col("w_in")).alias("hub_raw"))
-            .withColumnRenamed("dst", "vid")
-        )
-        s2 = s1.join(hub, "vid", "left").select(
-            "vid", "auth_raw", F.coalesce(F.col("hub_raw"), F.lit(0.0)).alias("hub_raw")
-        ).persist()
-        # L1 norms (probability-distribution semantics; raw scores are
-        # non-negative so no abs needed)
-        norms = s2.agg(
-            F.sum("auth_raw").alias("na"), F.sum("hub_raw").alias("nh")
-        )
-        new_state = s2.crossJoin(F.broadcast(norms)).select(
-            "vid",
-            F.when(F.col("na") > 0, F.col("auth_raw") / F.col("na")).otherwise(0.0).alias("auth"),
-            F.when(F.col("nh") > 0, F.col("hub_raw") / F.col("nh")).otherwise(0.0).alias("hub"),
-        )
-        new_state = runner.materialize(new_state, it).persist()
-        runner.log(it)
-        s1.unpersist()
-        s2.unpersist()
-        state.unpersist()
-        state = new_state
+    # scoped loop conf (engine/superstep.py) — no-op above the bound
+    with superstep_conf(spark, work_rows=fwd.count()):
+        for it in range(1, max_iter + 1):
+            auth = (
+                fwd.join(hint_state_join(state.select(F.col("vid").alias("src"), "hub"), n), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("hub") * F.col("w_out")).alias("auth_raw"))
+                .withColumnRenamed("dst", "vid")
+            )
+            s1 = state.select("vid", "hub").join(auth, "vid", "left").select(
+                "vid", F.coalesce(F.col("auth_raw"), F.lit(0.0)).alias("auth_raw"), "hub"
+            ).persist()
+            hub = (
+                rev.join(hint_state_join(s1.select(F.col("vid").alias("src"), "auth_raw"), n), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("auth_raw") * F.col("w_in")).alias("hub_raw"))
+                .withColumnRenamed("dst", "vid")
+            )
+            s2 = s1.join(hub, "vid", "left").select(
+                "vid", "auth_raw", F.coalesce(F.col("hub_raw"), F.lit(0.0)).alias("hub_raw")
+            ).persist()
+            # L1 norms (probability-distribution semantics; raw scores are
+            # non-negative so no abs needed)
+            norms = s2.agg(
+                F.sum("auth_raw").alias("na"), F.sum("hub_raw").alias("nh")
+            )
+            new_state = s2.crossJoin(F.broadcast(norms)).select(
+                "vid",
+                F.when(F.col("na") > 0, F.col("auth_raw") / F.col("na")).otherwise(0.0).alias("auth"),
+                F.when(F.col("nh") > 0, F.col("hub_raw") / F.col("nh")).otherwise(0.0).alias("hub"),
+            )
+            new_state = runner.materialize(new_state, it).persist()
+            runner.log(it)
+            s1.unpersist()
+            s2.unpersist()
+            state.unpersist()
+            state = new_state
 
-    out = state
-    if include_ranks:
-        out = state.withColumns(
-            {
-                "auth_rank": F.row_number().over(Window.orderBy(F.desc("auth"), "vid")),
-                "hub_rank": F.row_number().over(Window.orderBy(F.desc("hub"), "vid")),
-            }
-        )
+        out = state
+        if include_ranks:
+            out = state.withColumns(
+                {
+                    "auth_rank": F.row_number().over(Window.orderBy(F.desc("auth"), "vid")),
+                    "hub_rank": F.row_number().over(Window.orderBy(F.desc("hub"), "vid")),
+                }
+            )
     runner.finalize()
     return out

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 
 
 def _min_label_fixpoint(
@@ -434,47 +434,49 @@ def strongly_connected_components(
         if cand is not None:
             cand.unpersist()
         rev_edges = live_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    for phase in range(max_phases):
-        if remaining.count() == 0:
-            break
-        if kernel == "csr":
-            # bucket-local chaotic fixpoints (integral vids): in-
-            # bucket relaxation to local fixpoints, cross-bucket
-            # exchange between rounds
-            f = _min_label_fixpoint_bucketed(
-                remaining, live_edges, runner, f"p{phase}_fwd", n_buckets, max_rounds
+    # scoped loop conf (engine/superstep.py) — no-op above the bound
+    with superstep_conf(spark, work_rows=live_edges.count()):
+        for phase in range(max_phases):
+            if remaining.count() == 0:
+                break
+            if kernel == "csr":
+                # bucket-local chaotic fixpoints (integral vids): in-
+                # bucket relaxation to local fixpoints, cross-bucket
+                # exchange between rounds
+                f = _min_label_fixpoint_bucketed(
+                    remaining, live_edges, runner, f"p{phase}_fwd", n_buckets, max_rounds
+                )
+                b = _min_label_fixpoint_bucketed(
+                    remaining, rev_edges, runner, f"p{phase}_bwd", n_buckets, max_rounds
+                )
+            else:
+                f = _min_label_fixpoint(
+                    remaining, live_edges, runner, f"p{phase}_fwd", max_rounds
+                )
+                b = _min_label_fixpoint(
+                    remaining, rev_edges, runner, f"p{phase}_bwd", max_rounds
+                )
+            joined = f.select("vid", F.col("lab").alias("f")).join(
+                b.select("vid", F.col("lab").alias("b")), "vid"
             )
-            b = _min_label_fixpoint_bucketed(
-                remaining, rev_edges, runner, f"p{phase}_bwd", n_buckets, max_rounds
-            )
-        else:
-            f = _min_label_fixpoint(
-                remaining, live_edges, runner, f"p{phase}_fwd", max_rounds
-            )
-            b = _min_label_fixpoint(
-                remaining, rev_edges, runner, f"p{phase}_bwd", max_rounds
-            )
-        joined = f.select("vid", F.col("lab").alias("f")).join(
-            b.select("vid", F.col("lab").alias("b")), "vid"
-        )
-        done = truncate_plan(
-            joined.filter(F.col("f") == F.col("b")).select("vid", F.col("f").alias("scc"))
-        ).persist()
-        n_done = done.count()
-        runner.log(phase + 1, scc_assigned=n_done)
-        assigned_parts.append(done)
-        new_remaining = truncate_plan(
-            joined.filter(F.col("f") != F.col("b")).select("vid")
-        ).persist()
-        new_edges = truncate_plan(
-            live_edges.join(new_remaining.select(F.col("vid").alias("src")), "src")
-            .join(new_remaining.select(F.col("vid").alias("dst")), "dst")
-            .select("src", "dst")
-        ).persist()
-        for df in (remaining, live_edges, f, b):
-            df.unpersist()
-        remaining, live_edges = new_remaining, new_edges
-        rev_edges = live_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            done = truncate_plan(
+                joined.filter(F.col("f") == F.col("b")).select("vid", F.col("f").alias("scc"))
+            ).persist()
+            n_done = done.count()
+            runner.log(phase + 1, scc_assigned=n_done)
+            assigned_parts.append(done)
+            new_remaining = truncate_plan(
+                joined.filter(F.col("f") != F.col("b")).select("vid")
+            ).persist()
+            new_edges = truncate_plan(
+                live_edges.join(new_remaining.select(F.col("vid").alias("src")), "src")
+                .join(new_remaining.select(F.col("vid").alias("dst")), "dst")
+                .select("src", "dst")
+            ).persist()
+            for df in (remaining, live_edges, f, b):
+                df.unpersist()
+            remaining, live_edges = new_remaining, new_edges
+            rev_edges = live_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     if not assigned_parts:
         runner.finalize()
         return vertices.select("vid", F.col("vid").alias("scc")).limit(0)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from essentials_spark.engine.static_table import prepare_static_edges
-from essentials_spark.engine.superstep import SuperstepRunner, truncate_plan
+from essentials_spark.engine.superstep import SuperstepRunner, superstep_conf, truncate_plan
 from essentials_spark.graph.derive import Graph
 
 
@@ -67,36 +67,43 @@ def _relax_min(
     dist = truncate_plan(seeds.select("vid", F.col("dist").cast("double").alias("dist"))).persist()
     frontier = dist
     iteration = 0
-    while iteration < max_iter:
-        if blocks is not None:
-            from essentials_spark.graph.csr_blocks import csr_tropical_push
+    # known per-round work bound for the scoped loop conf: the static
+    # table is already written, so the count is a cheap cached scan
+    if blocks is not None:
+        m_work = int(blocks.agg(F.sum(F.size("dst_ids"))).collect()[0][0] or 0)
+    else:
+        m_work = edges.count()
+    with superstep_conf(spark, work_rows=m_work):
+        while iteration < max_iter:
+            if blocks is not None:
+                from essentials_spark.graph.csr_blocks import csr_tropical_push
 
-            cand = csr_tropical_push(blocks, frontier, n_buckets).select(
-                F.col("dst").alias("vid"), F.col("nbr_min").alias("cand")
+                cand = csr_tropical_push(blocks, frontier, n_buckets).select(
+                    F.col("dst").alias("vid"), F.col("nbr_min").alias("cand")
+                )
+            else:
+                cand = (
+                    edges.join(frontier.select(F.col("vid").alias("src"), "dist"), "src")
+                    .groupBy("dst")
+                    .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+                    .withColumnRenamed("dst", "vid")
+                )
+            merged = dist.join(cand, "vid", "full").select(
+                "vid",
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
             )
-        else:
-            cand = (
-                edges.join(frontier.select(F.col("vid").alias("src"), "dist"), "src")
-                .groupBy("dst")
-                .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
-                .withColumnRenamed("dst", "vid")
-            )
-        merged = dist.join(cand, "vid", "full").select(
-            "vid",
-            F.least(F.col("dist"), F.col("cand")).alias("dist"),
-            (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
-        )
-        merged = truncate_plan(merged)
-        improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
-        n_improved = improved.count()
-        iteration += 1
-        runner.log(iteration, improved=n_improved)
-        prev = dist
-        dist = merged.select("vid", "dist").persist()
-        prev.unpersist()
-        frontier = improved.select("vid", "dist")
-        if n_improved == 0:
-            break
+            merged = truncate_plan(merged)
+            improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
+            n_improved = improved.count()
+            iteration += 1
+            runner.log(iteration, improved=n_improved)
+            prev = dist
+            dist = merged.select("vid", "dist").persist()
+            prev.unpersist()
+            frontier = improved.select("vid", "dist")
+            if n_improved == 0:
+                break
     return dist
 
 
@@ -221,25 +228,26 @@ def bfs(
     frontier = dist.select("vid")
     depth = 0
 
-    while depth < max_iter:
-        nxt = (
-            edges.join(frontier.withColumnRenamed("vid", "src"), "src")
-            .select(F.col("dst").alias("vid"))
-            .dropDuplicates(["vid"])  # uniquify (operators/uniquify)
-            .join(dist.select("vid"), "vid", "left_anti")  # visited filter
-        )
-        depth += 1
-        new = truncate_plan(nxt.withColumn("dist", F.lit(depth).cast("int")))
-        n_new = new.count()
-        runner.log(depth, frontier_size=n_new)
-        if n_new == 0:
-            break
-        prev = dist
-        # truncate_plan materializes: the union no longer depends on the
-        # old cache — release it eagerly (see bc.py note)
-        dist = truncate_plan(dist.unionByName(new)).persist()
-        prev.unpersist()
-        frontier = new.select("vid")
+    with superstep_conf(spark, work_rows=edges.count()):
+        while depth < max_iter:
+            nxt = (
+                edges.join(frontier.withColumnRenamed("vid", "src"), "src")
+                .select(F.col("dst").alias("vid"))
+                .dropDuplicates(["vid"])  # uniquify (operators/uniquify)
+                .join(dist.select("vid"), "vid", "left_anti")  # visited filter
+            )
+            depth += 1
+            new = truncate_plan(nxt.withColumn("dist", F.lit(depth).cast("int")))
+            n_new = new.count()
+            runner.log(depth, frontier_size=n_new)
+            if n_new == 0:
+                break
+            prev = dist
+            # truncate_plan materializes: the union no longer depends on the
+            # old cache — release it eagerly (see bc.py note)
+            dist = truncate_plan(dist.unionByName(new)).persist()
+            prev.unpersist()
+            frontier = new.select("vid")
 
     runner.finalize()
     return dist
@@ -319,23 +327,24 @@ def _seeded_hop_distances(
     frontier = dist.select("seed", "vid")
     depth = 0
 
-    while depth < max_iter:
-        nxt = (
-            edges.join(frontier.withColumnRenamed("vid", "src"), "src")
-            .select("seed", F.col("dst").alias("vid"))
-            .dropDuplicates(["seed", "vid"])
-            .join(dist.select("seed", "vid"), ["seed", "vid"], "left_anti")
-        )
-        depth += 1
-        new = truncate_plan(nxt.withColumn("dist", F.lit(depth).cast("int")))
-        n_new = new.count()
-        runner.log(depth, frontier_size=n_new)
-        if n_new == 0:
-            break
-        prev = dist
-        dist = truncate_plan(dist.unionByName(new)).persist()
-        prev.unpersist()
-        frontier = new.select("seed", "vid")
+    with superstep_conf(spark, work_rows=edges.count() * max(1, len(sources))):
+        while depth < max_iter:
+            nxt = (
+                edges.join(frontier.withColumnRenamed("vid", "src"), "src")
+                .select("seed", F.col("dst").alias("vid"))
+                .dropDuplicates(["seed", "vid"])
+                .join(dist.select("seed", "vid"), ["seed", "vid"], "left_anti")
+            )
+            depth += 1
+            new = truncate_plan(nxt.withColumn("dist", F.lit(depth).cast("int")))
+            n_new = new.count()
+            runner.log(depth, frontier_size=n_new)
+            if n_new == 0:
+                break
+            prev = dist
+            dist = truncate_plan(dist.unionByName(new)).persist()
+            prev.unpersist()
+            frontier = new.select("seed", "vid")
     return dist
 
 
@@ -439,33 +448,34 @@ def temporal_reachability(
     frontier = arr
     it = 0
 
-    while it < max_iter:
-        msgs = (
-            edges.join(
-                frontier.select(F.col("vid").alias("src"), "arrival"), "src"
+    with superstep_conf(spark, work_rows=edges.count()):
+        while it < max_iter:
+            msgs = (
+                edges.join(
+                    frontier.select(F.col("vid").alias("src"), "arrival"), "src"
+                )
+                .filter(F.col("ets") >= F.col("arrival"))
+                .groupBy("dst")
+                .agg(F.min("ets").alias("cand"))
+                .withColumnRenamed("dst", "vid")
             )
-            .filter(F.col("ets") >= F.col("arrival"))
-            .groupBy("dst")
-            .agg(F.min("ets").alias("cand"))
-            .withColumnRenamed("dst", "vid")
-        )
-        improved = (
-            msgs.join(arr, "vid", "left")
-            .filter(F.col("arrival").isNull() | (F.col("cand") < F.col("arrival")))
-            .select("vid", F.col("cand").alias("arrival"))
-        )
-        improved = truncate_plan(improved)
-        n_new = improved.count()
-        it += 1
-        runner.log(it, frontier_size=n_new)
-        if n_new == 0:
-            break
-        prev = arr
-        arr = truncate_plan(
-            arr.join(improved.select("vid"), "vid", "left_anti").unionByName(improved)
-        ).persist()
-        prev.unpersist()
-        frontier = improved
+            improved = (
+                msgs.join(arr, "vid", "left")
+                .filter(F.col("arrival").isNull() | (F.col("cand") < F.col("arrival")))
+                .select("vid", F.col("cand").alias("arrival"))
+            )
+            improved = truncate_plan(improved)
+            n_new = improved.count()
+            it += 1
+            runner.log(it, frontier_size=n_new)
+            if n_new == 0:
+                break
+            prev = arr
+            arr = truncate_plan(
+                arr.join(improved.select("vid"), "vid", "left_anti").unionByName(improved)
+            ).persist()
+            prev.unpersist()
+            frontier = improved
 
     runner.finalize()
     return arr.select("vid", F.col("arrival").alias("arrival_us"))
@@ -509,29 +519,30 @@ def _seeded_chain_distances(
     ).persist()
     frontier = dist
     it = 0
-    while it < max_iter:
-        cand = (
-            sedges.join(frontier.select("seed", F.col("vid").alias("src"), "dist"), "src")
-            .groupBy("seed", F.col("dst").alias("vid"))
-            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
-        )
-        merged = truncate_plan(
-            dist.join(cand, ["seed", "vid"], "full").select(
-                "seed", "vid",
-                F.least(F.col("dist"), F.col("cand")).alias("dist"),
-                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+    with superstep_conf(spark, work_rows=sedges.count() * max(1, len(sources))):
+        while it < max_iter:
+            cand = (
+                sedges.join(frontier.select("seed", F.col("vid").alias("src"), "dist"), "src")
+                .groupBy("seed", F.col("dst").alias("vid"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
             )
-        )
-        improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
-        n_imp = improved.count()
-        it += 1
-        runner.log(it, improved=n_imp)
-        prev = dist
-        dist = merged.select("seed", "vid", "dist").persist()
-        prev.unpersist()
-        frontier = improved.select("seed", "vid", "dist")
-        if n_imp == 0:
-            break
+            merged = truncate_plan(
+                dist.join(cand, ["seed", "vid"], "full").select(
+                    "seed", "vid",
+                    F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                    (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+                )
+            )
+            improved = merged.filter(F.coalesce(F.col("improved"), F.lit(False)))
+            n_imp = improved.count()
+            it += 1
+            runner.log(it, improved=n_imp)
+            prev = dist
+            dist = merged.select("seed", "vid", "dist").persist()
+            prev.unpersist()
+            frontier = improved.select("seed", "vid", "dist")
+            if n_imp == 0:
+                break
 
     d_a = dist.select("seed", F.col("vid").alias("end_a"), F.col("dist").alias("dist_a"))
     d_b = dist.select("seed", F.col("vid").alias("end_b"), F.col("dist").alias("dist_b"))
