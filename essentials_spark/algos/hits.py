@@ -88,11 +88,16 @@ def hits(
             state.unpersist()
             state = new_state
 
-        ranked = state.withColumns(
-            {
-                "auth_rank": F.row_number().over(Window.orderBy(F.desc("auth"), "vid")),
-                "hub_rank": F.row_number().over(Window.orderBy(F.desc("hub"), "vid")),
-            }
+        # eager truncate BEFORE finalize: the loop issues no per-round
+        # action on its last state, so the return must not re-read the
+        # static tables finalize() drops
+        ranked = truncate_plan(
+            state.withColumns(
+                {
+                    "auth_rank": F.row_number().over(Window.orderBy(F.desc("auth"), "vid")),
+                    "hub_rank": F.row_number().over(Window.orderBy(F.desc("hub"), "vid")),
+                }
+            )
         )
     runner.finalize()
     return ranked

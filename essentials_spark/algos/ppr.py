@@ -100,6 +100,12 @@ def ppr(
             state.unpersist()
             state = new_state
 
-        out = state.filter(F.col("p") > 0).select("seed", "vid", F.col("p").alias("score"))
+        # eager truncate BEFORE finalize: the final round's state is
+        # persisted lazily (the loop's next-round count never runs), so
+        # an un-materialized return would re-read the es_ppr static
+        # table that finalize() is about to drop
+        out = truncate_plan(
+            state.filter(F.col("p") > 0).select("seed", "vid", F.col("p").alias("score"))
+        )
     runner.finalize()
     return out

@@ -113,5 +113,9 @@ def salsa(
                     "hub_rank": F.row_number().over(Window.orderBy(F.desc("hub"), "vid")),
                 }
             )
+        # eager truncate BEFORE finalize (see hits.py): no per-round
+        # action lands on the last state, so the return must not
+        # re-read the static tables finalize() drops
+        out = truncate_plan(out)
     runner.finalize()
     return out
